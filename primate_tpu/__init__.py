@@ -1,0 +1,76 @@
+"""primate_tpu — TPU-native stochastic spectral estimation.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+`peekxc/primate` (probabilistic implicit matrix trace/diagonal estimation):
+
+  * trace estimators: Girard-Hutchinson (`hutch`), Hutch++, XTrace
+  * diagonal estimators: `diag`, XDiag
+  * matrix-free block Lanczos tridiagonalization (`lanczos`, `rayleigh_ritz`)
+  * Gaussian quadrature from Jacobi matrices (`quadrature`: Golub-Welsch, FTTR)
+  * implicit matrix functions `f(A)` (`MatrixFunction`) for logdet, exp, inv,
+    Schatten norms, numerical rank, heat-kernel signatures
+  * composable adaptive stopping criteria evaluated **on-device**
+  * sparse CSR/COO/BSR operators with Pallas SpMM kernels
+  * multi-chip scaling via `jax.sharding` row-partitioned operators
+
+Everything in the compute path is jittable: estimators compile to a single
+fused device program (`lax.while_loop` over batched Lanczos sweeps), probes
+are batched into GEMM/SpMM on the MXU, and randomness is stateless threefry.
+"""
+
+__version__ = "0.1.0"
+
+from . import operators, random, special, stats
+from .diagonal import diag, xdiag
+from .estimators import (
+	ConfidenceCriterion,
+	ControlVariableEstimator,
+	ConvergenceCriterion,
+	CountCriterion,
+	EstimatorResult,
+	KneeCriterion,
+	MeanEstimator,
+	ToleranceCriterion,
+	convergence_criterion,
+)
+from .integrate import quadrature
+from .lanczos import lanczos, lanczos_block, rayleigh_ritz
+from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
+from .random import haar, isotropic, symmetric
+from .trace import hutch, hutchpp, xtrace
+from .tridiag import eigh_tridiag, eigvalsh_tridiag
+
+__all__ = [
+	"ConfidenceCriterion",
+	"ControlVariableEstimator",
+	"ConvergenceCriterion",
+	"CountCriterion",
+	"EstimatorResult",
+	"KneeCriterion",
+	"MatrixFunction",
+	"MeanEstimator",
+	"ToleranceCriterion",
+	"Toeplitz",
+	"convergence_criterion",
+	"diag",
+	"eigh_tridiag",
+	"eigvalsh_tridiag",
+	"haar",
+	"hutch",
+	"hutchpp",
+	"isotropic",
+	"lanczos",
+	"lanczos_block",
+	"matrix_function",
+	"normalize_unit",
+	"operators",
+	"quadrature",
+	"random",
+	"rayleigh_ritz",
+	"special",
+	"stats",
+	"symmetric",
+	"trace",
+	"xdiag",
+	"xtrace",
+]

@@ -1,0 +1,178 @@
+"""Stochastic diagonal estimators: Girard-Hutchinson `diag` and XDiag.
+
+Parity: reference ``src/primate/diagonal.py`` (`diag`, `xdiag`).
+
+TPU-first: `diag` runs as one fused `lax.while_loop` carrying the
+ratio-normalization accumulators ``(Σ v∘Av, Σ v∘v)`` and a dim-N streaming-mean
+state on-device; the tolerance criterion evaluates inside the loop condition.
+`xdiag` is a single fused program of GEMMs + column-wise reductions (the
+reference's MATLAB-derived identities, `diagonal.py:115-137`).
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .estimators import (
+	ConvergenceCriterion,
+	EstimatorResult,
+	EstSnapshot,
+	MeanEstimator,
+	convergence_criterion,
+)
+from .operators import aslinop, is_valid_operator
+from .random import as_key, sample_isotropic
+from .stats import MeanState, make_mean_state, mean_update
+
+__all__ = ["diag", "xdiag"]
+
+
+class _DiagCarry(NamedTuple):
+	it: jnp.ndarray  # () int32
+	numer: jnp.ndarray  # (N,) Σ v ∘ (Av)
+	denom: jnp.ndarray  # (N,) Σ v ∘ v
+	mean: MeanState  # dim-N streaming mean of the ratio estimates
+	delta: jnp.ndarray  # (N,)
+
+
+def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
+	return EstSnapshot(n=c.mean.n, estimate=c.mean.mu, delta=c.delta, var=None, values=None)
+
+
+@partial(jax.jit, static_argnames=("n", "pdf", "maxiter"))
+def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int):
+	dtype = A.dtype
+	acc = jnp.promote_types(dtype, jnp.float32)
+	init = _DiagCarry(
+		it=jnp.zeros((), jnp.int32),
+		numer=jnp.zeros(n, acc),
+		denom=jnp.zeros(n, acc),
+		mean=make_mean_state(n, acc),
+		delta=jnp.full(n, jnp.inf, acc),
+	)
+
+	def cond(c):
+		return jnp.logical_and(c.it < maxiter, jnp.logical_not(criterion.check(_diag_snapshot(c))))
+
+	def body(c):
+		k = jax.random.fold_in(key, c.it)
+		v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=dtype)[:, 0]
+		u = (A.matvec(v) if hasattr(A, "matvec") else (A @ v)).astype(acc)
+		v = v.astype(acc)
+		numer = c.numer + u * v
+		denom = c.denom + v * v
+		est = numer / jnp.where(denom == 0, 1.0, denom)
+		new_mean = mean_update(c.mean, est[None, :])
+		return _DiagCarry(it=c.it + 1, numer=numer, denom=denom, mean=new_mean, delta=new_mean.mu - c.mean.mu)
+
+	return lax.while_loop(cond, body, init)
+
+
+def diag(
+	A,
+	pdf: Union[str, Callable] = "rademacher",
+	converge: Union[str, ConvergenceCriterion] = "tolerance",
+	seed=None,
+	full: bool = False,
+	callback: Optional[Callable] = None,
+	record: bool = False,
+	maxiter: int = 4096,
+	**kwargs,
+) -> Union[np.ndarray, tuple]:
+	r"""Estimate ``diag(A)`` via the ratio-normalized Girard-Hutchinson estimator.
+
+	Accumulates ``Σ v∘(Av) / Σ v∘v`` over isotropic probes — unbiased for the
+	diagonal, with the denominator normalization removing the probe-magnitude
+	variance. Default stop: the dim-N tolerance criterion on the mean update.
+	Parity: reference `diagonal.py:11-92`.
+	"""
+	is_valid_operator(A)
+	op = A if hasattr(A, "quad") else aslinop(A)
+	N = op.shape[0]
+	criterion = convergence_criterion(converge, **kwargs)
+
+	if int(np.prod(op.shape)) == 0:
+		return 0.0 if not full else (0.0, EstimatorResult())
+
+	key = as_key(seed)
+
+	if callback is None and not record:
+		carry = _diag_fused(op, criterion, key, n=N, pdf=pdf, maxiter=int(maxiter))
+		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
+		estimate = np.asarray(carry.mean.mu)
+		if not full:
+			return estimate
+		result = EstimatorResult(
+			estimator=estimator,
+			criterion=criterion,
+			estimate=estimate,
+			message=criterion.message(estimator),
+			nit=int(carry.mean.n),
+		)
+		return estimate, result
+
+	# Host-stepped path for callbacks / sample recording.
+	estimator = MeanEstimator(dim=N, covariance=False, record=record)
+	result = EstimatorResult(estimator, criterion)
+	numer = jnp.zeros(N)
+	denom = jnp.zeros(N)
+	it = 0
+	while not bool(criterion(estimator)) and it < maxiter:
+		v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=op.dtype)[:, 0]
+		u = op.matvec(v) if hasattr(op, "matvec") else op @ v
+		numer = numer + u * v
+		denom = denom + v * v
+		estimator.update((numer / denom)[None, :])
+		if callback is not None:
+			callback(result)
+		it += 1
+	result.estimate = estimator.estimate
+	return (estimator.estimate, result) if full else estimator.estimate
+
+
+def _colwise_dot(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+	return jnp.einsum("ij,ij->j", X, Y)[:, None]
+
+
+@partial(jax.jit, static_argnames=("n", "m", "pdf"))
+def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
+	"""Fused XDiag (Epperly SM4.3): sketch + leave-one-out diagonal identities."""
+	dtype = A.dtype
+	apply_op = A.matmat if hasattr(A, "matmat") else (lambda V: A @ V)
+	N = sample_isotropic(key, (n, m), pdf=pdf, dtype=dtype)
+	Y = apply_op(N)
+	Q, R = jnp.linalg.qr(Y, mode="reduced")
+	dNY = jnp.einsum("ij,ij->i", N, Y)[:, None]  # rowwise ⟨N, Y⟩ = diag(N Yᵀ)
+
+	Z = apply_op(Q)  # symmetric A: Aᵀ Q = A Q
+	T = Z.T @ N
+	R_inv = jax.scipy.linalg.solve_triangular(R, jnp.eye(m, dtype=R.dtype), lower=False)
+	S = R_inv.T / jnp.linalg.norm(R_inv, axis=1)[None, :]
+	QS = Q @ S
+
+	dQZ = jnp.einsum("ij,ij->i", Q, Z)[:, None]  # diag(Q Zᵀ)
+	dQSSZ = jnp.einsum("ij,ij->i", QS, Z @ S)[:, None]
+	dNTQ = jnp.einsum("ij,ij->i", N, Q @ T)[:, None]
+	dST = _colwise_dot(S, T)  # (m, 1) column dots
+	dNQSST = jnp.einsum("ij,ij->i", N, QS * dST[:, 0][None, :])[:, None]
+
+	d = dQZ + (-dQSSZ + dNY - dNTQ + dNQSST) / m
+	return d[:, 0]
+
+
+def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndarray:
+	"""Estimate ``diag(A)`` with the XDiag leave-one-out estimator.
+
+	Uses ``m / 2`` operator applications for an m-sample estimate. Parity:
+	reference `diagonal.py:99-138`.
+	"""
+	is_valid_operator(A)
+	op = A if hasattr(A, "quad") else aslinop(A)
+	n = op.shape[0]
+	m = 2 * n if m is None else min(int(m) + (int(m) % 2), 2 * n)
+	m = m // 2
+	return np.asarray(_xdiag_program(op, as_key(seed), n=n, m=m, pdf=pdf))

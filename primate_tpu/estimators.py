@@ -1,0 +1,524 @@
+"""Estimator framework: streaming estimators + composable on-device stopping rules.
+
+Parity: reference ``src/primate/estimators.py`` (Estimator protocol,
+MeanEstimator, ControlVariableEstimator, EstimatorResult, ConvergenceCriterion
+algebra, count/tolerance/confidence/knee criteria, string registry).
+
+TPU-first design:
+  * A criterion's ``__call__`` evaluates a **jittable predicate** over an
+    :class:`EstSnapshot` pytree — so composed criteria trace straight into
+    `lax.while_loop` conditions and adaptive estimation runs on-device with no
+    host round-trip per batch (the reference evaluates criteria in Python
+    between batches, `trace.py:107`).
+  * Criteria are themselves **registered pytrees** whose numeric parameters are
+    leaves: passing a criterion into a jitted estimator program caches the
+    compilation by *structure*, so changing `atol` or `count` re-uses the
+    compiled program.
+  * The boolean algebra (``|``, ``&``, ``~``) builds Or/And/Not nodes rather
+    than opaque lambdas, for the same caching reason.
+  * The CLT confidence test needs Student-t quantiles: the t-table is
+    precomputed on the host at construction (df = 1..30) and becomes a constant
+    in the compiled program; beyond 30 samples the normal quantile is used —
+    mirroring reference `estimators.py:254,279-293`.
+"""
+
+import typing
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, NamedTuple, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .stats import Covariance, CovState, Mean, MeanState, cov_matrix
+from .utils.typing import restrict_kwargs
+
+__all__ = [
+	"EstSnapshot",
+	"Estimator",
+	"MeanEstimator",
+	"ControlVariableEstimator",
+	"EstimatorResult",
+	"ConvergenceCriterion",
+	"CountCriterion",
+	"ToleranceCriterion",
+	"ConfidenceCriterion",
+	"KneeCriterion",
+	"convergence_criterion",
+	"CRITERIA",
+	"arr_summary",
+]
+
+
+def arr_summary(x) -> str:
+	"""Compact array printer for criterion messages (reference `estimators.py:18-31`)."""
+	if x is None:
+		return "None"
+	x = np.atleast_1d(np.asarray(x))
+	with np.printoptions(precision=2, suppress=True, threshold=3, floatmode="fixed"):
+		if len(x) == 1:
+			return f"{x.item():.3f}"
+		elif len(x) <= 3:
+			return np.array2string(x, separator=",")
+		x1 = np.array2string(x[:2], separator=",").strip("[]")
+		x2 = np.array2string(x[-1], separator=",").strip("[]")
+		return "[" + x1 + ",...," + x2 + "]"
+
+
+class EstSnapshot(NamedTuple):
+	"""The jittable view of an estimator that criteria consume.
+
+	n: () int32 — samples seen. estimate/delta: (dim,). var: () sample variance
+	of the scalar samples (None when not tracked). values: (cap,) recorded
+	sample buffer, mask = arange(cap) < n (None when not recording).
+	"""
+
+	n: jnp.ndarray
+	estimate: jnp.ndarray
+	delta: jnp.ndarray
+	var: Optional[jnp.ndarray] = None
+	values: Optional[jnp.ndarray] = None
+
+
+@typing.runtime_checkable
+class Estimator(typing.Protocol):
+	"""Minimal estimator protocol: sample count, update, estimate, delta."""
+
+	n_samples: int
+
+	def __len__(self) -> int: ...
+
+	def update(self, x) -> None: ...
+
+	@property
+	def estimate(self): ...
+
+
+def _as_snapshot(est) -> EstSnapshot:
+	if isinstance(est, EstSnapshot):
+		return est
+	if hasattr(est, "snapshot"):
+		return est.snapshot()
+	raise TypeError(f"Cannot view {type(est)} as an estimator snapshot")
+
+
+# ---------------------------------------------------------------------------
+# Convergence criteria
+# ---------------------------------------------------------------------------
+
+
+class ConvergenceCriterion:
+	"""Composable stopping rule; ``crit(est)`` returns a (traceable) boolean.
+
+	Compose lazily with ``|``, ``&``, ``~`` (reference `estimators.py:56-77`).
+	Subclasses implement ``check(snapshot) -> jnp.bool_``.
+	"""
+
+	def __init__(self, operation: Optional[Callable] = None):
+		self._operation = operation
+
+	def check(self, snap: EstSnapshot):
+		assert self._operation is not None, "Base criterion requires an operation"
+		return self._operation(snap)
+
+	def __call__(self, est) -> jnp.ndarray:
+		return self.check(_as_snapshot(est))
+
+	def __or__(self, other: "ConvergenceCriterion"):
+		return OrCriterion(self, other)
+
+	def __and__(self, other: "ConvergenceCriterion"):
+		return AndCriterion(self, other)
+
+	def __invert__(self):
+		return NotCriterion(self)
+
+	def message(self, est) -> str:
+		return "Composite convergence criterion"
+
+
+@jax.tree_util.register_pytree_node_class
+class OrCriterion(ConvergenceCriterion):
+	def __init__(self, left, right):
+		self.left, self.right = left, right
+
+	def check(self, snap):
+		return jnp.logical_or(self.left.check(snap), self.right.check(snap))
+
+	def message(self, est):
+		return f"{self.left.message(est)} | {self.right.message(est)}"
+
+	def tree_flatten(self):
+		return (self.left, self.right), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class AndCriterion(ConvergenceCriterion):
+	def __init__(self, left, right):
+		self.left, self.right = left, right
+
+	def check(self, snap):
+		return jnp.logical_and(self.left.check(snap), self.right.check(snap))
+
+	def message(self, est):
+		return f"{self.left.message(est)} & {self.right.message(est)}"
+
+	def tree_flatten(self):
+		return (self.left, self.right), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class NotCriterion(ConvergenceCriterion):
+	def __init__(self, inner):
+		self.inner = inner
+
+	def check(self, snap):
+		return jnp.logical_not(self.inner.check(snap))
+
+	def message(self, est):
+		return f"~({self.inner.message(est)})"
+
+	def tree_flatten(self):
+		return (self.inner,), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class CountCriterion(ConvergenceCriterion):
+	"""TRUE once at least ``count`` samples have been seen."""
+
+	def __init__(self, count: int):
+		self.count = count
+
+	def check(self, snap: EstSnapshot):
+		return snap.n >= self.count
+
+	def message(self, est) -> str:
+		snap = _as_snapshot(est)
+		return f"Est: {arr_summary(np.asarray(snap.estimate))} (#S:{int(snap.n)})"
+
+	def tree_flatten(self):
+		return (self.count,), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.count = children[0]
+		return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class ToleranceCriterion(ConvergenceCriterion):
+	"""TRUE when the last mean-update ``delta`` is small in norm:
+	``‖Δ‖ < atol`` or ``‖Δ‖ < rtol · ‖estimate‖``."""
+
+	def __init__(self, rtol: float = 0.01, atol: float = 1.49e-08, ord: Union[str, float, None] = 2.0):
+		self.rtol, self.atol, self.ord = rtol, atol, ord
+
+	def check(self, snap: EstSnapshot):
+		err = jnp.linalg.norm(jnp.atleast_1d(snap.delta), ord=self.ord)
+		est_norm = jnp.linalg.norm(jnp.atleast_1d(snap.estimate), ord=self.ord)
+		return jnp.logical_or(err < self.atol, err < self.rtol * est_norm)
+
+	def message(self, est) -> str:
+		snap = _as_snapshot(est)
+		msg = f"Est: {arr_summary(np.asarray(snap.estimate))}"
+		msg += f"(atol={float(self.atol):3f}, rtol={float(self.rtol):3f}, #S:{int(snap.n)})"
+		err = float(jnp.linalg.norm(jnp.atleast_1d(snap.delta), ord=self.ord))
+		nrm = float(jnp.linalg.norm(jnp.atleast_1d(snap.estimate), ord=self.ord))
+		msg += f"\nnorm(it - est, {self.ord}) = {err:.3f}, norm(est, {self.ord}) = {nrm:.3f}"
+		return msg
+
+	def tree_flatten(self):
+		return (self.rtol, self.atol), self.ord
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.rtol, obj.atol = children
+		obj.ord = aux
+		return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class ConfidenceCriterion(ConvergenceCriterion):
+	"""CLT-based stopping: the (t / normal) margin of error of the sample mean
+	falls below ``atol``, or the relative standard error below ``rtol``."""
+
+	def __init__(self, confidence: float = 0.95, atol: float = 0.00, rtol: float = 0.01):
+		assert 0 < confidence < 1, "Confidence must be in (0, 1)"
+		import scipy.special as spc
+		import scipy.stats as st
+
+		self.confidence = confidence
+		self.atol = 0.0 if atol is None else atol
+		self.rtol = 0.0 if rtol is None else rtol
+		self.z = float(np.sqrt(2.0) * spc.erfinv(confidence))
+		self.t_scores = jnp.asarray(st.t.ppf((confidence + 1.0) / 2.0, df=np.arange(30) + 1), jnp.float32)
+
+	def _error(self, snap: EstSnapshot):
+		assert snap.var is not None, "ConfidenceCriterion requires a variance-tracking estimator"
+		n = snap.n
+		nf = jnp.maximum(n, 1).astype(jnp.float32)
+		std_err = jnp.sqrt(jnp.maximum(snap.var, 0.0).astype(jnp.float32) / nf)
+		score = jnp.where(n < 30, self.t_scores[jnp.clip(n, 0, 29)], self.z)
+		moe = score * std_err
+		est_scalar = jnp.atleast_1d(snap.estimate)[0].astype(jnp.float32)
+		rel = jnp.abs(std_err / jnp.where(est_scalar == 0, jnp.inf, est_scalar))
+		underdet = n < 3
+		return jnp.where(underdet, jnp.inf, moe), jnp.where(underdet, jnp.inf, rel)
+
+	def check(self, snap: EstSnapshot):
+		moe, rel = self._error(snap)
+		return jnp.logical_or(moe <= self.atol, rel <= self.rtol)
+
+	def message(self, est) -> str:
+		snap = _as_snapshot(est)
+		moe, _ = self._error(snap)
+		return (
+			f"Est: {arr_summary(np.asarray(snap.estimate))} +/- {float(moe):.3f} "
+			f"({self.confidence * 100:.0f}% CI, #S:{int(snap.n)})"
+		)
+
+	def tree_flatten(self):
+		return (self.atol, self.rtol, self.t_scores), (self.confidence, self.z)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.atol, obj.rtol, obj.t_scores = children
+		obj.confidence, obj.z = aux
+		return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class KneeCriterion(ConvergenceCriterion):
+	"""Kneedle knee detection on the cumulative-mean difference curve.
+
+	Requires a recording estimator; all cumulative statistics are computed with
+	masking over the fixed-capacity sample buffer so the test is jittable.
+	"""
+
+	def __init__(self, S: float = 1.0):
+		self.S = S
+
+	def check(self, snap: EstSnapshot):
+		if snap.values is None:
+			return jnp.asarray(False)
+		v = snap.values.astype(jnp.float32)
+		cap = v.shape[0]
+		idx = jnp.arange(cap)
+		m = snap.n
+		valid = idx < m
+		v = jnp.where(valid, v, 0.0)
+		cum_mean = jnp.cumsum(v) / jnp.arange(1, cap + 1)
+		diffs = jnp.abs(jnp.diff(cum_mean))
+		diffs = jnp.where(idx[:-1] < m - 1, diffs, 0.0)
+		y = jnp.cumsum(diffs)
+		y_valid = idx[:-1] < m - 1
+		y_min = jnp.min(jnp.where(y_valid, y, jnp.inf))
+		y_max = jnp.max(jnp.where(y_valid, y, -jnp.inf))
+		denom = jnp.where(y_max > y_min, y_max - y_min, 1.0)
+		y_norm = (y - y_min) / denom
+		# x-coordinate normalized to [0, 1] over the valid prefix.
+		mlen = jnp.maximum(m - 1, 2).astype(jnp.float32)  # len(y) in the reference
+		x_norm = idx[:-1].astype(jnp.float32) / jnp.maximum(mlen - 1.0, 1.0)
+		diff_curve = jnp.where(y_valid, y_norm - x_norm, -jnp.inf)
+		max_i = jnp.argmax(diff_curve)
+		max_diff = diff_curve[max_i]
+		last = diff_curve[jnp.maximum(m - 2, 0)]
+		threshold = max_diff - (self.S / jnp.maximum(mlen - 1.0, 1.0))
+		knee = jnp.logical_and(max_diff > threshold, last < threshold)
+		return jnp.logical_and(m >= 3, knee)
+
+	def message(self, est) -> str:
+		snap = _as_snapshot(est)
+		return f"Est: {arr_summary(np.asarray(snap.estimate))} (#S:{int(snap.n)}, S={float(self.S):3f})"
+
+	def tree_flatten(self):
+		return (self.S,), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.S = children[0]
+		return obj
+
+
+CRITERIA = {
+	"count": CountCriterion,
+	"tolerance": ToleranceCriterion,
+	"confidence": ConfidenceCriterion,
+	"knee": KneeCriterion,
+}
+
+
+def convergence_criterion(criterion: Union[str, ConvergenceCriterion], **kwargs) -> ConvergenceCriterion:
+	"""Resolve a criterion name (+ routed kwargs) or pass an instance through."""
+	if isinstance(criterion, ConvergenceCriterion):
+		return criterion
+	assert isinstance(criterion, str) and criterion.lower() in CRITERIA, f"Invalid criterion {criterion}"
+	crit_cls = CRITERIA[criterion.lower()]
+	return crit_cls(**restrict_kwargs(crit_cls, kwargs))
+
+
+def default_trace_criterion() -> ConvergenceCriterion:
+	"""The reference's default for `hutch`: 200 samples OR 95% CI within ±1.0."""
+	return CountCriterion(count=200) | ConfidenceCriterion(confidence=0.95, atol=1.0, rtol=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Estimators (host-facing classes over the jittable state pytrees)
+# ---------------------------------------------------------------------------
+
+
+class MeanEstimator:
+	"""Sample-mean estimator with optional Welford covariance and sample recording.
+
+	Thin host wrapper over :class:`~primate_tpu.stats.MeanState` /
+	:class:`~primate_tpu.stats.CovState`; the fused device estimators construct
+	one from their final loop state via :meth:`from_state`.
+	"""
+
+	def __init__(self, dim: int = 1, covariance: bool = False, record: bool = False, dtype=None):
+		self.dim = dim
+		self._moments = Covariance(dim=dim, dtype=dtype) if covariance else Mean(dim=dim, dtype=dtype)
+		self.delta = np.full(dim, np.inf)
+		self.values: Optional[list] = [] if record else None
+
+	@classmethod
+	def from_state(cls, state: Union[MeanState, CovState], delta=None, values=None, n_values: Optional[int] = None):
+		dim = state.mu.shape[0]
+		obj = cls(dim=dim, covariance=isinstance(state, CovState), record=values is not None)
+		obj._moments._state = state
+		obj.delta = np.full(dim, np.inf) if delta is None else np.asarray(delta)
+		if values is not None:
+			n_keep = int(state.n) if n_values is None else int(n_values)
+			obj.values = list(np.asarray(values)[:n_keep])
+		return obj
+
+	@property
+	def n_samples(self) -> int:
+		return self._moments.n
+
+	def __len__(self) -> int:
+		return self.n_samples
+
+	@property
+	def mean(self):
+		mu = self._moments.mu
+		return mu.item() if self.dim == 1 else np.ravel(mu)
+
+	@property
+	def estimate(self):
+		if self.n_samples == 0:
+			return np.nan if self.dim == 1 else np.full(self.dim, np.nan)
+		return self.mean
+
+	@property
+	def converged_variance(self):
+		if isinstance(self._moments, Covariance):
+			return self._moments.covariance()
+		return None
+
+	def update(self, x) -> None:
+		x = jnp.atleast_1d(jnp.asarray(x))
+		x = x[:, None] if x.ndim == 1 else x
+		old_mu = np.asarray(self._moments.mu).copy()
+		self._moments.update(x)
+		self.delta = np.asarray(self._moments.mu) - old_mu
+		if self.values is not None:
+			self.values.extend(np.asarray(x).ravel().tolist())
+
+	def snapshot(self) -> EstSnapshot:
+		state = self._moments._state
+		var = None
+		if isinstance(state, CovState) and self.dim == 1:
+			var = cov_matrix(state, ddof=1)[0, 0]
+		values = jnp.asarray(self.values) if self.values else None
+		est = state.mu if self.n_samples > 0 else jnp.full(self.dim, jnp.nan, state.mu.dtype)
+		return EstSnapshot(n=state.n, estimate=est, delta=jnp.asarray(self.delta), var=var, values=values)
+
+
+class ControlVariableEstimator(MeanEstimator):
+	"""Mean estimator corrected by control variates with known expectations.
+
+	``estimate = mean(samples) − α·(mean(cv) − E[cv])`` with α estimated from
+	the running covariance when not supplied (reference `estimators.py:148-204`).
+	"""
+
+	def __init__(self, ecv, alpha=None, record: bool = False):
+		ecv = np.atleast_1d(ecv).ravel()
+		super().__init__(dim=len(ecv), covariance=False, record=record)
+		if alpha is not None:
+			alpha = np.atleast_1d(alpha).ravel()
+			assert len(ecv) == len(alpha), "Coefficients alpha must have same length as the control variables."
+		self.alpha = alpha
+		self.ecv = ecv
+		self.cov = Covariance(dim=len(ecv) + 1)
+		self._estimate_cor = alpha is None
+		self.delta = np.inf
+
+	@property
+	def n_samples(self) -> int:
+		return self.cov.n
+
+	def update(self, samples) -> None:
+		samples = jnp.atleast_1d(jnp.asarray(samples))
+		samples = samples[None, :] if samples.ndim == 1 else samples
+		old = self.estimate
+		self.cov.update(samples)
+		if self._estimate_cor and self.cov.n > 1:
+			C = np.asarray(self.cov(ddof=1))
+			if self.cov.dim == 2:
+				self.alpha = np.atleast_1d(C[0, 1] / C[1, 1])
+			else:
+				self.alpha = np.linalg.solve(C[1:, 1:], C[1:, 0])
+		new = self.estimate
+		self.delta = np.inf if (np.isnan(old) or np.isnan(new)) else abs(new - old)
+		if self.values is not None:
+			self.values.extend(np.asarray(samples).tolist())
+
+	@property
+	def estimate(self) -> float:
+		if self.cov.n == 0 or self.alpha is None:
+			return np.nan
+		mu = np.asarray(self.cov.mu)
+		return float(mu[0] - np.dot(np.ravel(self.alpha), mu[1:] - self.ecv))
+
+	def snapshot(self) -> EstSnapshot:
+		var = cov_matrix(self.cov._state, ddof=1)[0, 0] if self.cov.n > 1 else None
+		return EstSnapshot(
+			n=jnp.asarray(self.cov.n, jnp.int32),
+			estimate=jnp.atleast_1d(jnp.asarray(self.estimate, jnp.float32)),
+			delta=jnp.atleast_1d(jnp.asarray(self.delta, jnp.float32)),
+			var=var,
+			values=jnp.asarray(self.values) if self.values else None,
+		)
+
+
+@dataclass
+class EstimatorResult:
+	"""Result record for the statistical estimators (reference `estimators.py:79-99`)."""
+
+	estimator: Optional[MeanEstimator] = None
+	criterion: Union[ConvergenceCriterion, str, None] = None
+	estimate: Union[float, np.ndarray] = 0.0
+	message: str = ""
+	nit: int = 0
+	info: dict = field(default_factory=dict)
+	samples: Optional[np.ndarray] = None
+
+	def __iter__(self) -> Iterable:
+		return iter((self.estimator, self.criterion, self.estimate, self.message, self.nit, self.info))

@@ -1,0 +1,241 @@
+"""Matrix-free block Lanczos tridiagonalization as a batched `lax.scan`.
+
+Parity: reference C++ kernel ``src/primate/include/lanczos.h:89-148``
+(`lanczos_recurrence`, Paige's A27 variant) and Python API
+``src/primate/lanczos.py:25-164`` (`lanczos`, `rayleigh_ritz`).
+
+TPU-first design (NOT a translation of the C++ loop):
+  * The reference runs one serial three-term recurrence per probe vector behind
+    an FFI boundary. Here **all nv probes advance together**: the Krylov step is
+    one operator application on an ``(n, nv)`` block — a single GEMM/SpMM on the
+    MXU per Lanczos step — and the α/β updates are batched reductions on the VPU.
+  * The recurrence itself is a `lax.scan` over ``deg`` steps (Lanczos is
+    inherently sequential in the degree; all parallelism comes from the probe
+    block and from sharding the ``n`` axis across chips).
+  * The reference's ring buffer of ``ncv`` basis vectors with cyclic index
+    rotation (`lanczos.h:113-147`) becomes a ``(ncv, n, nv)`` carry written with
+    `lax.dynamic_update_index_in_dim`; selective re-orthogonalization against
+    the last ``orth`` vectors is a **masked classical Gram-Schmidt** — two
+    batched matmuls per pass (CGS2 by default, which is both more stable and
+    more MXU-friendly than the reference's serial MGS sweep,
+    `lanczos.h:43-66`).
+  * Early exit on an invariant subspace (β ≤ √n·rtol, `lanczos.h:139-141`)
+    cannot break out of a traced loop, so each probe carries a ``done`` flag
+    that freezes its column: α/β emit zeros afterwards, which makes the
+    tridiagonal matrix decouple exactly as the reference's zero-fill does.
+  * All reductions accumulate in float32 (or float64 under x64) regardless of
+    the storage dtype, so bf16 operators keep accurate Jacobi coefficients.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .tridiag import eigh_tridiag, eigvalsh_tridiag
+
+__all__ = ["lanczos", "rayleigh_ritz", "lanczos_block", "LanczosOutput"]
+
+
+class LanczosOutput(NamedTuple):
+	"""Batched Lanczos results: probe axis last.
+
+	alphas: (deg, nv) diagonal entries α_0..α_{deg-1} of the Jacobi matrices.
+	betas:  (deg, nv) off-diagonals/residuals β_1..β_deg (β_deg is the final
+	        residual norm; the deg×deg tridiagonal uses betas[:deg-1]).
+	Q:      (ncv, n, nv) window of Lanczos basis vectors (slot ``t % ncv``
+	        holds q_t) — the full basis when ``ncv == deg``.
+	"""
+
+	alphas: jnp.ndarray
+	betas: jnp.ndarray
+	Q: jnp.ndarray
+
+
+def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_basis: bool) -> Tuple[int, int, int]:
+	"""Clamp (deg, orth, ncv) with the reference's rules (`lanczos.py:88-89`, `_lanczos.h:71-87`)."""
+	deg = int(np.clip(deg, 1, n))
+	orth = deg if (orth < 0 or orth > deg) else int(orth)
+	if ncv is None:
+		ncv = deg if return_basis else int(np.clip(max(orth, 2), 2, deg))
+	ncv = int(np.clip(ncv, min(2, deg), deg))
+	return deg, orth, ncv
+
+
+@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes"))
+def lanczos_block(
+	matmat: Callable[[jnp.ndarray], jnp.ndarray],
+	V0: jnp.ndarray,
+	deg: int,
+	ncv: int,
+	orth: int = 0,
+	rtol: float = 1e-8,
+	reorth_passes: int = 2,
+) -> LanczosOutput:
+	"""Run ``deg`` Lanczos steps on a block of probes ``V0 (n, nv)`` — pure/jittable.
+
+	``matmat`` applies the symmetric operator to an ``(n, nv)`` block. Each scan
+	step costs one ``matmat`` plus O(ncv) batched inner products. See module
+	docstring for the design rationale.
+	"""
+	n, nv = V0.shape
+	dtype = V0.dtype
+	acc_dtype = jnp.promote_types(dtype, jnp.float32)  # f32 accumulation for bf16 storage
+
+	norm0 = jnp.sqrt(jnp.sum(V0.astype(acc_dtype) ** 2, axis=0))
+	q0 = (V0 / jnp.where(norm0 > 0, norm0, 1).astype(dtype)).astype(dtype)
+	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
+
+	Q_win = jnp.zeros((ncv, n, nv), dtype).at[0].set(q0)
+	carry0 = (
+		jnp.zeros((n, nv), dtype),  # q_prev
+		q0,  # q_cur
+		Q_win,
+		jnp.zeros(nv, acc_dtype),  # beta_j (coupling into the current step)
+		jnp.zeros(nv, bool),  # done
+	)
+
+	# Re-orth window validity: slot s at step j holds q_t with age (j - s) mod ncv;
+	# valid if the slot was written (age <= j) and within the last `orth` vectors.
+	slot_ids = jnp.arange(ncv)
+
+	def step(carry, j):
+		q_prev, q_cur, Q_win, beta_j, done = carry
+		v = matmat(q_cur).astype(acc_dtype)
+		v = v - beta_j[None, :] * q_prev.astype(acc_dtype)
+		alpha_j = jnp.sum(v * q_cur.astype(acc_dtype), axis=0)
+		v = v - alpha_j[None, :] * q_cur.astype(acc_dtype)
+
+		if orth > 0:
+			age = (j - slot_ids) % ncv
+			valid = ((age < orth) & (age <= j)).astype(acc_dtype)  # (ncv,)
+			Qw = Q_win.astype(acc_dtype)
+			for _ in range(max(1, reorth_passes)):
+				proj = jnp.einsum("knb,nb->kb", Qw, v) * valid[:, None]
+				v = v - jnp.einsum("knb,kb->nb", Qw, proj)
+
+		beta_next = jnp.sqrt(jnp.sum(v * v, axis=0))
+		newly_done = beta_next < residual_tol
+		alpha_out = jnp.where(done, 0.0, alpha_j)
+		beta_out = jnp.where(done, 0.0, beta_next)
+
+		q_next = (v / jnp.where(beta_next > 0, beta_next, 1)[None, :]).astype(dtype)
+		advance = ~(done | newly_done) & (j + 1 < deg)
+		q_next = jnp.where(advance[None, :], q_next, 0).astype(dtype)
+		slot = (j + 1) % ncv
+		old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
+		new_slot = jnp.where(advance[None, :], q_next, old_slot)
+		Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
+
+		q_prev_n = jnp.where(advance[None, :], q_cur, q_prev)
+		q_cur_n = jnp.where(advance[None, :], q_next, q_cur)
+		beta_n = jnp.where(advance, beta_next, beta_j)
+		return (q_prev_n, q_cur_n, Q_win, beta_n, done | newly_done), (alpha_out, beta_out)
+
+	(_, _, Q_win, _, _), (alphas, betas) = lax.scan(step, carry0, jnp.arange(deg))
+	return LanczosOutput(alphas=alphas, betas=betas, Q=Q_win)
+
+
+def lanczos(
+	A,
+	v0: Optional[jnp.ndarray] = None,
+	deg: Optional[int] = None,
+	rtol: float = 1e-8,
+	orth: int = 0,
+	sparse_mat: bool = False,
+	return_basis: bool = False,
+	seed=None,
+	dtype=None,
+	ncv: Optional[int] = None,
+	reorth_passes: int = 2,
+	**kwargs,
+) -> tuple:
+	r"""Lanczos tridiagonalization: build ``T = Qᵀ A Q`` from a symmetric operator.
+
+	Runs ``deg`` steps of the β-coupled three-term recurrence with ``orth``
+	re-orthogonalizations per step (0 = none, ``deg`` or negative = full).
+	Accepts a single start vector ``v0 (n,)`` — reference-compatible output — or
+	a block ``v0 (n, nv)`` of probes, which all advance in one fused sweep.
+
+	Returns ``(a, b)``: diagonal (deg,) and off-diagonal (deg-1,) of the Jacobi
+	matrix (with a trailing probe axis when batched); with ``return_basis=True``
+	also the basis ``Q (n, ncv[, nv])``; with ``sparse_mat=True`` the dense
+	tridiagonal matrix itself (JAX has no host-sparse spdiags — downstream
+	eigensolves densify anyway since deg ≲ 100).
+
+	Parity: reference `lanczos.py:25-117`.
+	"""
+	from .operators import aslinop
+
+	op = aslinop(A, dtype=dtype)
+	n = op.shape[0]
+	deg = n if deg is None else min(int(deg), n)
+	assert deg > 0, "Number of steps must be positive!"
+	deg, orth, ncv = _validate_params(n, deg, orth, ncv, return_basis)
+
+	f_dtype = dtype or op.dtype
+	single = False
+	if v0 is None:
+		from .random import as_key
+
+		v0 = jax.random.uniform(as_key(seed), (n,), dtype=f_dtype, minval=-1.0, maxval=1.0)
+	v0 = jnp.asarray(v0, dtype=f_dtype)
+	if v0.ndim == 1:
+		single, v0 = True, v0[:, None]
+	assert v0.shape[0] == n, "Invalid starting vector; must match the number of columns of A."
+
+	out = lanczos_block(op.matmat, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes)
+	a = out.alphas.astype(f_dtype)  # (deg, nv)
+	b = out.betas[: deg - 1].astype(f_dtype)  # (deg-1, nv)
+	# Rearrange basis window slots into natural order q_0..q_{ncv-1}: with
+	# ncv == deg slots never wrap, so this is the identity permutation.
+	Q = jnp.moveaxis(out.Q, 0, -1)  # (n, nv, ncv)
+	if single:
+		a, b, Q = a[:, 0], b[:, 0], Q[:, 0, :]
+	else:
+		Q = jnp.moveaxis(Q, 1, 0)  # (nv, n, ncv)
+
+	if sparse_mat:
+		T = _tridiag_matrix(a, b)
+		return T if not return_basis else (T, Q)
+	return (a, b) if not return_basis else ((a, b), Q)
+
+
+def _tridiag_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+	"""Densify Jacobi coefficients into (.., deg, deg) tridiagonal matrices."""
+	a = jnp.moveaxis(jnp.atleast_2d(a.T), 0, 0)  # (nv, deg) or (1, deg)
+	b = jnp.atleast_2d(b.T)
+	T = jax.vmap(lambda ai, bi: jnp.diag(ai) + jnp.diag(bi, 1) + jnp.diag(bi, -1))(a, b)
+	return T[0] if T.shape[0] == 1 else T
+
+
+def rayleigh_ritz(
+	A,
+	deg: Optional[int] = None,
+	return_eigenvectors: bool = False,
+	method: str = "auto",
+	**kwargs,
+) -> Union[jnp.ndarray, tuple]:
+	"""Rayleigh-Ritz eigenvalue approximations via Lanczos + tridiagonal eigensolve.
+
+	Parity: reference `lanczos.py:120-164`. ``method`` selects the tridiagonal
+	solver ("auto"/"eigh" → batched dense `jnp.linalg.eigh` on the deg×deg Jacobi
+	matrix; "tqli" → the O(1)-space implicit-shift QL solver).
+	"""
+	n = A.shape[0]
+	deg = n if deg is None else min(int(deg), n)
+	deg = int(np.clip(deg, 2, n))
+	Q_basis = kwargs.pop("return_basis", False)
+	if Q_basis:
+		(a, b), Q = lanczos(A, deg=deg, return_basis=True, **kwargs)
+	else:
+		a, b = lanczos(A, deg=deg, return_basis=False, **kwargs)
+
+	if return_eigenvectors:
+		rw, Y = eigh_tridiag(a, b, method=method)
+		return (rw, Y) if not Q_basis else (rw, Y, Q)
+	rw = eigvalsh_tridiag(a, b, method=method)
+	return rw if not Q_basis else (rw, Q)

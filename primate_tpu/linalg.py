@@ -1,0 +1,86 @@
+"""Small dense linear-algebra updates used by the exchangeable estimators.
+
+Parity: reference ``src/primate/linalg.py`` (`update_trinv`, the incremental
+upper-triangular inverse behind XTrace's leave-one-out identities).
+
+TPU-first restructuring: the reference appends **one column at a time** via
+`scipy.qr_insert` + a rank-one triangular-inverse update (`trace.py:298-301`) —
+inherently host-serial. Here the same math is done **block-wise**: a batch of
+``b`` new columns is orthogonalized against the current basis with two passes of
+classical Gram-Schmidt (CGS2 — two GEMMs, MXU-friendly, and more stable than a
+single MGS sweep), then QR'd locally; the triangular inverse updates by a
+block-triangular identity. Both are pure jnp and jit per (m, b) shape.
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = ["update_trinv", "update_trinv_block", "qr_append"]
+
+
+def update_trinv(B_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+	"""Append one column to an upper-triangular inverse.
+
+	Given ``B⁻¹`` for upper-triangular ``B (n x n)`` and a new column ``b`` of
+	length ``n+1``, returns the inverse of ``[[B, b[:n]], [0, b[n]]]``.
+	"""
+	B_inv = jnp.asarray(B_inv)
+	b = jnp.asarray(b).reshape(-1)
+	n = B_inv.shape[0]
+	assert B_inv.shape == (n, n) and b.shape[0] == n + 1, "B must be n x n and `b` must have length `n + 1`"
+	out = jnp.zeros((n + 1, n + 1), dtype=jnp.result_type(B_inv, b))
+	inv_corner = jnp.reciprocal(b[-1])
+	out = out.at[:n, :n].set(B_inv)
+	out = out.at[n, n].set(inv_corner)
+	out = out.at[:n, n].set(-inv_corner * (B_inv @ b[:n]))
+	return out
+
+
+def update_trinv_block(R_inv: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+	"""Append a block of columns to an upper-triangular inverse.
+
+	For the block upper-triangular ``[[R, B], [0, C]]`` with known ``R⁻¹`` and
+	upper-triangular ``C (b x b)``, the inverse is
+	``[[R⁻¹, -R⁻¹ B C⁻¹], [0, C⁻¹]]``. One triangular solve + one GEMM.
+	"""
+	m = R_inv.shape[0]
+	b = C.shape[0]
+	C_inv = solve_triangular(C, jnp.eye(b, dtype=C.dtype), lower=False)
+	out = jnp.zeros((m + b, m + b), dtype=jnp.result_type(R_inv, C))
+	out = out.at[:m, :m].set(R_inv)
+	out = out.at[m:, m:].set(C_inv)
+	if m > 0:
+		out = out.at[:m, m:].set(-(R_inv @ B) @ C_inv)
+	return out
+
+
+def qr_append(
+	Q: Optional[jnp.ndarray], R: Optional[jnp.ndarray], Y: jnp.ndarray, reorth_passes: int = 2
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+	"""Append columns ``Y (n x b)`` to a thin QR factorization ``Q R``.
+
+	Block Gram-Schmidt: project ``Y`` off ``span(Q)`` (``reorth_passes`` CGS
+	sweeps, each two GEMMs), QR the remainder, and assemble the bordered ``R``.
+	Equivalent to ``b`` successive `qr_insert` calls, but runs as a handful of
+	MXU matmuls instead of a serial column loop.
+	"""
+	Y = jnp.asarray(Y)
+	if Q is None or Q.shape[1] == 0:
+		Qn, Rn = jnp.linalg.qr(Y, mode="reduced")
+		return Qn, Rn
+	m = Q.shape[1]
+	B = jnp.zeros((m, Y.shape[1]), dtype=Y.dtype)
+	Z = Y
+	for _ in range(max(1, reorth_passes)):
+		proj = Q.T @ Z
+		Z = Z - Q @ proj
+		B = B + proj
+	Q2, C = jnp.linalg.qr(Z, mode="reduced")
+	Q_new = jnp.concatenate([Q, Q2], axis=1)
+	R_new = jnp.zeros((m + Y.shape[1], m + Y.shape[1]), dtype=Y.dtype)
+	R_new = R_new.at[:m, :m].set(R)
+	R_new = R_new.at[:m, m:].set(B)
+	R_new = R_new.at[m:, m:].set(C)
+	return Q_new, R_new

@@ -1,0 +1,40 @@
+"""Operator layer: the pytree LinearOperator protocol and its implementations.
+
+See `base` for the protocol, `sparse` for COO/CSR/BSR, and `special_ops` for
+MatrixFunction / Toeplitz / spectrum normalization.
+"""
+
+from .base import (
+	AffineOperator,
+	DenseOperator,
+	FunctionOperator,
+	LinearOperator,
+	aslinop,
+	is_linear_op,
+	is_valid_operator,
+	matmat,
+	quad_form,
+)
+from .sparse import BSROperator, COOOperator, CSROperator, GramOperator
+from .special_ops import MatrixFunction, ScaledOperator, Toeplitz, matrix_function, normalize_unit
+
+__all__ = [
+	"AffineOperator",
+	"BSROperator",
+	"COOOperator",
+	"CSROperator",
+	"DenseOperator",
+	"FunctionOperator",
+	"GramOperator",
+	"LinearOperator",
+	"MatrixFunction",
+	"ScaledOperator",
+	"Toeplitz",
+	"aslinop",
+	"is_linear_op",
+	"is_valid_operator",
+	"matmat",
+	"matrix_function",
+	"normalize_unit",
+	"quad_form",
+]

@@ -1,0 +1,237 @@
+"""Linear operator protocol: pytree operators with jittable matvec/matmat/quad.
+
+Parity: reference C++20 concepts ``src/primate/include/linear_operator.h:25-70``
+(LinearOperator / AdjointOperator / QuadOperator / SupportsMatrixMult /
+AffineOperator), the Eigen wrappers ``include/eigen_operators.h``, and the
+Python-callback bridge ``include/pylinop.h``.
+
+TPU-first: there is no FFI boundary to bridge — *any jittable callable is an
+operator*. The protocol is structural, exactly like the reference's concepts:
+
+  * required: ``.shape`` and one of ``matmat(V)`` / ``matvec(v)`` / ``@``;
+  * optional: ``.dtype``, ``.quad(V)`` (used directly by estimators when
+    present, mirroring `trace.py:97`), ``.rmatvec`` (adjoint).
+
+Operators are registered **pytrees** (via `register_pytree_node_class`), so
+they pass through `jit`/`vmap`/`lax.while_loop` as arguments — changing the
+matrix re-uses the compiled estimator program instead of recompiling.
+"""
+
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+	"LinearOperator",
+	"DenseOperator",
+	"FunctionOperator",
+	"AffineOperator",
+	"aslinop",
+	"is_linear_op",
+	"is_valid_operator",
+	"matmat",
+	"quad_form",
+]
+
+
+class LinearOperator:
+	"""Base class for matrix-free symmetric(-friendly) operators.
+
+	Subclasses implement ``_matmat(V)`` on an ``(n, k)`` block (the MXU-shaped
+	primitive); ``matvec`` derives from it. ``shape``/``dtype`` are aux data.
+	"""
+
+	shape: Tuple[int, int]
+	dtype: Any
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		raise NotImplementedError
+
+	def matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		return self._matmat(jnp.asarray(V))
+
+	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		v = jnp.asarray(v)
+		return self._matmat(v[:, None])[:, 0]
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		# Estimation targets are symmetric; subclasses override when not.
+		return self.matvec(v)
+
+	def __matmul__(self, x) -> jnp.ndarray:
+		x = jnp.asarray(x)
+		return self.matvec(x) if x.ndim == 1 else self.matmat(x)
+
+	def todense(self) -> jnp.ndarray:
+		return self.matmat(jnp.eye(self.shape[1], dtype=self.dtype))
+
+
+@jax.tree_util.register_pytree_node_class
+class DenseOperator(LinearOperator):
+	"""Dense matrix operator: matvec/matmat are MXU GEMMs.
+
+	Replaces the reference's ``DenseEigenLinearOperator``
+	(`eigen_operators.h:17-55`).
+	"""
+
+	def __init__(self, A: jnp.ndarray):
+		self.A = jnp.asarray(A)
+		assert self.A.ndim == 2, "Operator must be two dimensional."
+		self.shape = tuple(self.A.shape)
+		self.dtype = self.A.dtype
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		return self.A @ V
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		return self.A.T @ v
+
+	def todense(self) -> jnp.ndarray:
+		return self.A
+
+	def tree_flatten(self):
+		return (self.A,), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(children[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class FunctionOperator(LinearOperator):
+	"""Wrap an arbitrary jittable callable ``V ↦ A V`` as an operator.
+
+	Replaces the reference's ``PyLinearOperator`` callback bridge
+	(`pylinop.h:16-73`) — with no FFI boundary, the callable simply traces into
+	the estimator program. The callable must accept ``(n, k)`` blocks (pass
+	``batched=False`` to lift a single-vector matvec via `vmap`).
+	"""
+
+	def __init__(self, fn: Callable, shape: Tuple[int, int], dtype=None, batched: bool = True, captures: tuple = ()):
+		self.fn = fn
+		self.shape = tuple(shape)
+		self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(0.0).dtype
+		self.batched = batched
+		self.captures = tuple(captures)  # pytree leaves the callable closes over
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		if self.batched:
+			return self.fn(V) if not self.captures else self.fn(*self.captures, V)
+		f = (lambda v: self.fn(v)) if not self.captures else (lambda v: self.fn(*self.captures, v))
+		return jax.vmap(f, in_axes=1, out_axes=1)(V)
+
+	def tree_flatten(self):
+		return self.captures, (self.fn, self.shape, self.dtype, self.batched)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		fn, shape, dtype, batched = aux
+		return cls(fn, shape, dtype=dtype, batched=batched, captures=tuple(children))
+
+
+@jax.tree_util.register_pytree_node_class
+class AffineOperator(LinearOperator):
+	"""Parameterized pencil ``A + t·B`` (B defaults to identity).
+
+	Replaces the reference's ``SparseEigenAffineOperator``
+	(`eigen_operators.h:106-137`); ``set_parameter`` returns a *new* operator
+	(functional update — the pytree leaf ``t`` can be a traced scalar, so a
+	whole family of shifted operators shares one compiled program).
+	"""
+
+	def __init__(self, A, B=None, t: float = 0.0):
+		self.A = aslinop(A)
+		self.B = aslinop(B) if B is not None else None
+		self.t = jnp.asarray(t)
+		self.shape = self.A.shape
+		self.dtype = self.A.dtype
+
+	def set_parameter(self, t) -> "AffineOperator":
+		return AffineOperator(self.A, self.B, t)
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		AV = self.A.matmat(V)
+		BV = V if self.B is None else self.B.matmat(V)
+		return AV + self.t.astype(AV.dtype) * BV
+
+	def tree_flatten(self):
+		return (self.A, self.B, self.t), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		A, B, t = children
+		return cls(A, B, t)
+
+
+def is_linear_op(A: Any) -> bool:
+	"""Structural check: square, 2-d, with some way to apply it to a vector."""
+	has_apply = any(hasattr(A, a) for a in ("__matmul__", "matmul", "dot", "matvec"))
+	ok = has_apply and hasattr(A, "shape") and len(A.shape) >= 2
+	return bool(ok and A.shape[0] == A.shape[1])
+
+
+def is_valid_operator(A: Any) -> jnp.dtype:
+	"""Assert the operator protocol and return its element dtype.
+
+	Parity: reference `operators.py:15-23` (the reference restricts to
+	f32/f64; here bf16 is additionally allowed — it is the native MXU dtype).
+	"""
+	assert any(hasattr(A, a) for a in ("__matmul__", "matmul", "dot", "matvec")), (
+		"Invalid operator; must have an overloaded 'matvec' or 'matmul' method"
+	)
+	assert hasattr(A, "shape") and len(A.shape) >= 2, "Operator must be at least two dimensional."
+	assert A.shape[0] == A.shape[1], "This function only works with square, symmetric matrices!"
+	f_dtype = jnp.dtype(A.dtype) if hasattr(A, "dtype") else jnp.asarray(A @ jnp.zeros(A.shape[1])).dtype
+	assert f_dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64), jnp.dtype(jnp.bfloat16)), (
+		"Only bfloat16, 32- or 64-bit floats are supported."
+	)
+	return f_dtype
+
+
+def aslinop(A: Any, dtype=None) -> LinearOperator:
+	"""Coerce arrays / scipy matrices / protocol objects into a LinearOperator."""
+	if isinstance(A, LinearOperator):
+		return A
+	if isinstance(A, (jnp.ndarray, np.ndarray)):
+		A = jnp.asarray(A, dtype=dtype)
+		return DenseOperator(A)
+	# scipy sparse matrices convert to the native sparse pytree operators.
+	try:
+		import scipy.sparse as sps
+
+		if sps.issparse(A):
+			from .sparse import CSROperator
+
+			return CSROperator.from_scipy(A, dtype=dtype)
+	except ImportError:  # pragma: no cover
+		pass
+	if is_linear_op(A):
+		n, m = A.shape[0], A.shape[1]
+		dt = getattr(A, "dtype", None) or dtype
+		if hasattr(A, "matmat") or hasattr(A, "__matmul__"):
+			apply = (lambda V: A.matmat(V)) if hasattr(A, "matmat") else (lambda V: A @ V)
+			return FunctionOperator(apply, (n, m), dtype=dt, batched=True)
+		return FunctionOperator(lambda v: A.matvec(v), (n, m), dtype=dt, batched=False)
+	raise TypeError(f"Cannot interpret {type(A)} as a linear operator")
+
+
+def matmat(A: Any, V: jnp.ndarray) -> jnp.ndarray:
+	"""Apply any operator-like to an (n, k) block."""
+	return aslinop(A).matmat(V)
+
+
+def quad_form(A: Any, V: jnp.ndarray) -> jnp.ndarray:
+	"""Batched quadratic forms ``diag(Vᵀ A V)`` → shape (k,).
+
+	Dispatches to ``A.quad`` when available (e.g. MatrixFunction uses Lanczos
+	quadrature, which is computationally distinct from ``Vᵀ(AV)``; see
+	reference `trace.py:97`).
+	"""
+	if hasattr(A, "quad"):
+		return jnp.atleast_1d(A.quad(V))
+	op = aslinop(A)
+	V = jnp.asarray(V, dtype=op.dtype)
+	V = V[:, None] if V.ndim == 1 else V
+	return jnp.einsum("ij,ij->j", V, op.matmat(V))

@@ -1,0 +1,266 @@
+"""Sparse operators: COO / CSR / BSR pytrees with batched SpMV/SpMM.
+
+Parity: reference ``src/primate/include/eigen_operators.h:58-104``
+(`SparseEigenLinearOperator`, CSC + optional Gram mode).
+
+TPU-first: sparse structure is stored as flat device arrays registered as
+pytrees. The jnp compute path expresses SpMM as gather + multiply +
+`segment_sum`, which XLA fuses well; the BSR layout additionally exposes a
+Pallas kernel (``primate_tpu.ops.spmm_pallas``) that pipelines the nonzero
+blocks through VMEM and contracts each (bm × bn) block against the probe block
+on the MXU — the "speed-of-light nnz/s" path for Lanczos sweeps on graph
+Laplacians. Row-partitioning these arrays across a device mesh gives the
+distributed SpMM (see ``primate_tpu.parallel``).
+
+Indices are padded to fixed lengths (static shapes) — padding rows point at
+row 0 / column 0 with zero data, contributing nothing.
+"""
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import LinearOperator
+
+__all__ = ["COOOperator", "CSROperator", "BSROperator", "GramOperator"]
+
+
+@jax.tree_util.register_pytree_node_class
+class COOOperator(LinearOperator):
+	"""Coordinate-format sparse operator: ``(data, row, col)`` triplets."""
+
+	def __init__(self, data: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray, shape: Tuple[int, int]):
+		self.data = jnp.asarray(data)
+		self.row = jnp.asarray(row, jnp.int32)
+		self.col = jnp.asarray(col, jnp.int32)
+		self.shape = tuple(shape)
+		self.dtype = self.data.dtype
+
+	@classmethod
+	def from_scipy(cls, A, dtype=None) -> "COOOperator":
+		A = A.tocoo()
+		return cls(jnp.asarray(A.data, dtype=dtype), A.row, A.col, A.shape)
+
+	@classmethod
+	def from_dense(cls, A, tol: float = 0.0) -> "COOOperator":
+		A = np.asarray(A)
+		r, c = np.nonzero(np.abs(A) > tol)
+		return cls(jnp.asarray(A[r, c]), r, c, A.shape)
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		prod = self.data[:, None] * V[self.col, :]
+		return jax.ops.segment_sum(prod, self.row, num_segments=self.shape[0])
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		prod = self.data * v[self.row]
+		return jax.ops.segment_sum(prod, self.col, num_segments=self.shape[1])
+
+	def todense(self) -> jnp.ndarray:
+		return jnp.zeros(self.shape, self.dtype).at[self.row, self.col].add(self.data)
+
+	def tree_flatten(self):
+		return (self.data, self.row, self.col), self.shape
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children, shape=aux)
+
+
+@jax.tree_util.register_pytree_node_class
+class CSROperator(LinearOperator):
+	"""Compressed-sparse-row operator.
+
+	Stores ``indptr`` for structure plus an explicit per-nonzero row-id array so
+	SpMM lowers to one gather + one `segment_sum` (no dynamic inner loops — XLA
+	needs static shapes, and `segment_sum` maps onto efficient scatter-adds).
+	"""
+
+	def __init__(self, data: jnp.ndarray, indices: jnp.ndarray, indptr: jnp.ndarray, shape: Tuple[int, int], rowids: Optional[jnp.ndarray] = None):
+		self.data = jnp.asarray(data)
+		self.indices = jnp.asarray(indices, jnp.int32)
+		self.indptr = jnp.asarray(indptr, jnp.int32)
+		self.shape = tuple(shape)
+		self.dtype = self.data.dtype
+		if rowids is None:
+			counts = np.diff(np.asarray(self.indptr))
+			rowids = np.repeat(np.arange(shape[0]), counts)
+		self.rowids = jnp.asarray(rowids, jnp.int32)
+
+	@property
+	def nnz(self) -> int:
+		return self.data.shape[0]
+
+	@classmethod
+	def from_scipy(cls, A, dtype=None) -> "CSROperator":
+		A = A.tocsr()
+		return cls(jnp.asarray(A.data, dtype=dtype), A.indices, A.indptr, A.shape)
+
+	@classmethod
+	def from_dense(cls, A, tol: float = 0.0) -> "CSROperator":
+		import scipy.sparse as sps
+
+		return cls.from_scipy(sps.csr_matrix(np.asarray(A)))
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		prod = self.data[:, None] * V[self.indices, :]
+		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0])
+
+	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		prod = self.data * v[self.indices]
+		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0])
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		prod = self.data * v[self.rowids]
+		return jax.ops.segment_sum(prod, self.indices, num_segments=self.shape[1])
+
+	def todense(self) -> jnp.ndarray:
+		return jnp.zeros(self.shape, self.dtype).at[self.rowids, self.indices].add(self.data)
+
+	def tobsr(self, blocksize: Tuple[int, int] = (8, 128)) -> "BSROperator":
+		import scipy.sparse as sps
+
+		A = sps.csr_matrix(
+			(np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape
+		)
+		return BSROperator.from_scipy(A.tobsr(blocksize=blocksize))
+
+	def tree_flatten(self):
+		return (self.data, self.indices, self.indptr, self.rowids), self.shape
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		data, indices, indptr, rowids = children
+		return cls(data, indices, indptr, aux, rowids=rowids)
+
+
+@jax.tree_util.register_pytree_node_class
+class BSROperator(LinearOperator):
+	"""Block-sparse-row operator: nonzeros stored as dense (bm × bn) tiles.
+
+	The natural TPU sparse format — each stored block contracts against the
+	probe block as a small MXU matmul. ``matmat`` uses the Pallas SpMM kernel on
+	TPU (grid over nonzero blocks with scalar-prefetched indices, output tiles
+	revisited in row order) and falls back to gather+einsum+segment_sum
+	elsewhere.
+	"""
+
+	def __init__(
+		self,
+		blocks: jnp.ndarray,  # (nnzb, bm, bn)
+		indices: jnp.ndarray,  # (nnzb,) block-column ids
+		indptr: jnp.ndarray,  # (n_brow + 1,)
+		shape: Tuple[int, int],
+		rowids: Optional[jnp.ndarray] = None,
+		use_pallas: Optional[bool] = None,
+	):
+		self.blocks = jnp.asarray(blocks)
+		self.indices = jnp.asarray(indices, jnp.int32)
+		self.indptr = jnp.asarray(indptr, jnp.int32)
+		self.shape = tuple(shape)
+		self.dtype = self.blocks.dtype
+		if rowids is None:
+			counts = np.diff(np.asarray(self.indptr))
+			rowids = np.repeat(np.arange(len(counts)), counts)
+		self.rowids = jnp.asarray(rowids, jnp.int32)
+		self.use_pallas = use_pallas
+
+	@property
+	def blocksize(self) -> Tuple[int, int]:
+		return tuple(self.blocks.shape[1:])
+
+	@property
+	def nnz(self) -> int:
+		return int(np.prod(self.blocks.shape))
+
+	@classmethod
+	def from_scipy(cls, A, blocksize: Optional[Tuple[int, int]] = None, dtype=None) -> "BSROperator":
+		import scipy.sparse as sps
+
+		if not sps.issparse(A):
+			A = sps.csr_matrix(np.asarray(A))
+		A = A.tobsr(blocksize=blocksize) if blocksize is not None else A.tobsr()
+		return cls(jnp.asarray(A.data, dtype=dtype), A.indices, A.indptr, A.shape)
+
+	@classmethod
+	def from_dense(cls, A, blocksize: Tuple[int, int] = (8, 128)) -> "BSROperator":
+		return cls.from_scipy(np.asarray(A), blocksize=blocksize)
+
+	def _matmat_jnp(self, V: jnp.ndarray) -> jnp.ndarray:
+		bm, bn = self.blocksize
+		k = V.shape[1]
+		Vb = V.reshape(-1, bn, k)  # (n_bcol, bn, k)
+		gathered = Vb[self.indices]  # (nnzb, bn, k)
+		prod = jnp.einsum("zij,zjk->zik", self.blocks, gathered, preferred_element_type=jnp.float32)
+		n_brow = self.indptr.shape[0] - 1
+		Y = jax.ops.segment_sum(prod, self.rowids, num_segments=n_brow)
+		return Y.reshape(self.shape[0], k).astype(self.dtype)
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		use_pallas = self.use_pallas
+		if use_pallas is None:
+			use_pallas = jax.default_backend() == "tpu"
+		if use_pallas:
+			try:
+				from ..ops.spmm_pallas import bsr_matmat
+
+				return bsr_matmat(self, V)
+			except (ImportError, NotImplementedError):
+				pass
+		return self._matmat_jnp(V)
+
+	def todense(self) -> jnp.ndarray:
+		bm, bn = self.blocksize
+		n_brow = self.indptr.shape[0] - 1
+		out = jnp.zeros((n_brow, self.shape[1] // bn, bm, bn), self.dtype)
+		out = out.at[self.rowids, self.indices].add(self.blocks)
+		return out.transpose(0, 2, 1, 3).reshape(self.shape)
+
+	def tree_flatten(self):
+		return (self.blocks, self.indices, self.indptr, self.rowids), (self.shape, self.use_pallas)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		blocks, indices, indptr, rowids = children
+		shape, use_pallas = aux
+		return cls(blocks, indices, indptr, shape, rowids=rowids, use_pallas=use_pallas)
+
+
+@jax.tree_util.register_pytree_node_class
+class GramOperator(LinearOperator):
+	"""Gram-mode operator ``AᵀA`` (or ``AAᵀ``) without forming the product.
+
+	Parity: the ``gram`` template flag of the reference's sparse operator
+	(`eigen_operators.h:58,69-75`) — spectral sums of rectangular data matrices
+	(Schatten norms, effective rank) via two matvecs per application.
+	"""
+
+	def __init__(self, A, transpose_first: bool = True):
+		from .base import aslinop
+
+		self.A = aslinop(A)
+		self.transpose_first = transpose_first
+		n = self.A.shape[1] if transpose_first else self.A.shape[0]
+		self.shape = (n, n)
+		self.dtype = self.A.dtype
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		if self.transpose_first:  # AᵀA v
+			AV = self.A.matmat(V) if self.A.shape[0] != self.A.shape[1] else self.A.matmat(V)
+			return _rmatmat(self.A, AV)
+		return self.A.matmat(_rmatmat(self.A, V))
+
+	def tree_flatten(self):
+		return (self.A,), self.transpose_first
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(children[0], transpose_first=aux)
+
+
+def _rmatmat(op: LinearOperator, V: jnp.ndarray) -> jnp.ndarray:
+	"""Apply the adjoint to a block (vmapped rmatvec fallback)."""
+	if hasattr(op, "A") and isinstance(getattr(op, "A", None), jnp.ndarray):
+		return op.A.T @ V
+	return jax.vmap(op.rmatvec, in_axes=1, out_axes=1)(V)

@@ -1,0 +1,192 @@
+"""Structured and spectral operators: MatrixFunction, Toeplitz, normalize_unit.
+
+Parity: reference ``src/primate/operators.py:36-193`` (`MatrixFunction`,
+`matrix_function`, `Toeplitz`, `normalize_unit`).
+
+TPU-first: `MatrixFunction.matvec`/`quad` are fully batched — one fused block
+Lanczos sweep (a `lax.scan` of GEMMs) plus one batched tridiagonal eigensolve
+covers **all** probe columns, replacing the reference's serial per-column loop
+(`operators.py:145-150`). Both methods are jittable and differentiable, and
+compose with the stochastic estimators (``hutch(MatrixFunction(A, "log"))`` is
+stochastic Lanczos quadrature for logdet as a single device program).
+"""
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..special import param_callable
+from ..tridiag import eigh_tridiag
+from ..integrate import quadrature
+from .base import LinearOperator, aslinop, is_linear_op
+
+__all__ = ["MatrixFunction", "matrix_function", "Toeplitz", "ScaledOperator", "normalize_unit"]
+
+
+@jax.tree_util.register_pytree_node_class
+class MatrixFunction(LinearOperator):
+	r"""Implicit matrix function ``f(A) = U f(Λ) Uᵀ`` as a linear operator.
+
+	``matvec`` approximates ``x ↦ f(A)x`` by a degree-``deg`` Krylov expansion:
+	``‖x‖ · Q · Y · (f(θ) ∘ Y[0,:])ᵀ`` where ``T = YᵀΘY`` is the Lanczos
+	tridiagonal (reference `operators.py:102-124`); ``quad`` estimates
+	``x ↦ xᵀ f(A) x`` by Gauss quadrature on the Jacobi matrix
+	(`operators.py:126-151`). Both accept blocks of columns and run batched.
+
+	Parameters:
+		A: array / sparse / LinearOperator to lift.
+		fun: spectral function (builtin name or jnp-traceable callable).
+		deg: Krylov expansion degree.
+		orth: re-orthogonalization count (<0 or >deg means full).
+		dtype: computation dtype (defaults to A's dtype).
+		kwargs: forwarded to the builtin-function factory (e.g. ``t`` for exp).
+	"""
+
+	def __init__(self, A, fun: Union[str, Callable, None] = None, deg: int = 20, orth: int = 3, dtype=None, **kwargs):
+		assert is_linear_op(A) or isinstance(A, (jnp.ndarray, np.ndarray)), (
+			"Invalid operator `A`; must be dim=2 symmetric operator with defined matvec"
+		)
+		assert deg >= 2, "Degree must be >= 2"
+		self._A = aslinop(A, dtype=dtype)
+		self.shape = self._A.shape
+		self.dtype = jnp.dtype(dtype) if dtype is not None else self._A.dtype
+		self.fun = param_callable(fun, **kwargs) if (fun is None or isinstance(fun, str)) else fun
+		assert callable(self.fun), "Function must be callable."
+		self._deg = int(min(deg, self.shape[0]))
+		self._orth = self._deg if (orth < 0 or orth > self._deg) else int(orth)
+		self._rtol = kwargs.get("rtol", 1e-8)
+
+	@property
+	def degree(self) -> int:
+		return self._deg
+
+	@property
+	def operator(self) -> LinearOperator:
+		return self._A
+
+	def _lanczos(self, X: jnp.ndarray, ncv: int):
+		from ..lanczos import lanczos_block
+
+		return lanczos_block(self._A.matmat, X, deg=self._deg, ncv=ncv, orth=self._orth, rtol=self._rtol)
+
+	def _matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+		X = jnp.asarray(X, dtype=self.dtype)
+		x_norm = jnp.linalg.norm(X, axis=0)  # (b,)
+		out = self._lanczos(X, ncv=self._deg)
+		a = out.alphas.T  # (b, deg)
+		e = out.betas[: self._deg - 1].T  # (b, deg-1)
+		rw, Y = eigh_tridiag(a, e)  # (b, deg), (b, deg, deg)
+		# coeffs of f(T) e₁ in the Lanczos basis: Y (f(θ) ∘ Y[0,:])ᵀ
+		w = jnp.atleast_2d(self.fun(rw)) * Y[:, 0, :]  # (b, deg)
+		c = jnp.einsum("bij,bj->bi", Y, w)  # (b, deg)
+		# out.Q: (deg, n, b) — slot t holds q_t (ncv == deg never wraps).
+		y = jnp.einsum("knb,bk->nb", out.Q.astype(c.dtype), c)
+		return (x_norm[None, :] * y).astype(self.dtype)
+
+	def quad(self, X: jnp.ndarray) -> jnp.ndarray:
+		"""Batched Lanczos-quadrature estimates of ``diag(Xᵀ f(A) X)`` → (b,)."""
+		X = jnp.asarray(X, dtype=self.dtype)
+		X = X[:, None] if X.ndim == 1 else X
+		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
+		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
+		out = self._lanczos(X, ncv=ncv)
+		nodes, weights = quadrature(out.alphas.T, out.betas[: self._deg - 1].T, deg=self._deg, quad="gw")
+		vals = jnp.sum(jnp.atleast_2d(self.fun(nodes)) * weights, axis=-1)
+		return (vals * x_norm_sq).astype(self.dtype)
+
+	def tree_flatten(self):
+		return (self._A,), (self.fun, self._deg, self._orth, self._rtol, self.dtype)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		fun, deg, orth, rtol, dtype = aux
+		obj = object.__new__(cls)
+		obj._A = children[0]
+		obj.shape = obj._A.shape
+		obj.dtype = dtype
+		obj.fun = fun
+		obj._deg, obj._orth, obj._rtol = deg, orth, rtol
+		return obj
+
+
+def matrix_function(A, fun: Union[str, Callable, None] = None, v: Optional[jnp.ndarray] = None, deg: int = 20, **kwargs):
+	"""Convenience constructor: the operator ``f(A)``, or ``f(A) v`` if ``v`` given.
+
+	Parity: reference `operators.py:155-161`.
+	"""
+	M = MatrixFunction(A, fun=fun, deg=deg, **kwargs)
+	return M if v is None else M @ jnp.asarray(v)
+
+
+@jax.tree_util.register_pytree_node_class
+class Toeplitz(LinearOperator):
+	"""Matrix-free Toeplitz/circulant operator via FFT circulant embedding.
+
+	O(n log n) matvec, O(n) storage; the batched matmat FFTs all probe columns
+	at once. Parity: reference `operators.py:165-183`.
+	"""
+
+	def __init__(self, c: jnp.ndarray, r: Optional[jnp.ndarray] = None, dtype=None):
+		self.c = jnp.asarray(c, dtype=dtype)
+		self.r = jnp.asarray(c if r is None else r, dtype=dtype)
+		n = self.c.shape[0]
+		d = jnp.concatenate([self.c, jnp.zeros(1, self.c.dtype), jnp.flip(self.r[1:])])
+		self._dfft = jnp.real(jnp.fft.fft(d))
+		self.shape = (n, n)
+		self.dtype = self.c.dtype
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		n = self.shape[0]
+		Z = jnp.zeros((2 * n,) + V.shape[1:], V.dtype).at[:n].set(V)
+		Y = jnp.fft.ifft(self._dfft[(...,) + (None,) * (V.ndim - 1)] * jnp.fft.fft(Z, axis=0), axis=0)
+		return jnp.real(Y[:n]).astype(self.dtype)
+
+	def tree_flatten(self):
+		return (self.c, self.r), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(children[0], children[1])
+
+
+@jax.tree_util.register_pytree_node_class
+class ScaledOperator(LinearOperator):
+	"""``s · (A + t·I)`` — the shift-and-scale used for spectrum normalization."""
+
+	def __init__(self, A, t=0.0, s=1.0):
+		self.A = aslinop(A)
+		self.t = jnp.asarray(t)
+		self.s = jnp.asarray(s)
+		self.shape = self.A.shape
+		self.dtype = self.A.dtype
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		AV = self.A.matmat(V)
+		return (self.s * (AV + self.t * V)).astype(AV.dtype)
+
+	def tree_flatten(self):
+		return (self.A, self.t, self.s), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+def normalize_unit(A, interval: tuple = (-1, 1), deg: int = 64, seed=None) -> ScaledOperator:
+	"""Shift/scale ``A`` so its spectrum lands in ``[-1, 1]``: ``(A + αI) / (2α)``.
+
+	α is the largest-magnitude eigenvalue, estimated matrix-free by a
+	high-orth Lanczos sweep (Rayleigh-Ritz extremes) — the reference calls
+	ARPACK ``eigsh`` (`operators.py:186-193`); on TPU the Krylov estimate runs
+	on-device with no host solver. A 1% safety inflation guards the Ritz
+	underestimate.
+	"""
+	from ..lanczos import rayleigh_ritz
+
+	op = aslinop(A)
+	k = int(min(deg, op.shape[0]))
+	rw = rayleigh_ritz(op, deg=k, orth=-1, seed=seed)
+	alpha = 1.01 * jnp.max(jnp.abs(rw))
+	return ScaledOperator(op, t=alpha, s=1.0 / (2.0 * alpha))

@@ -1,0 +1,207 @@
+"""Isotropic probe generation and random test-matrix fixtures (TPU-native).
+
+Parity: reference ``src/primate/random.py`` (isotropic / Isotropic / symmetric / haar).
+
+Design notes (TPU-first):
+  * All randomness is **stateless threefry**: the jittable core is
+    :func:`sample_isotropic`, which maps ``(key, shape) -> array`` and is safe to
+    call inside `lax.while_loop` / `lax.scan` bodies (keys are folded per batch).
+    This replaces the reference's per-thread spawned `np.random.Generator`s
+    (`random.py:100-142`) — on TPU, probe generation happens on-device and is
+    deterministic across shardings by construction.
+  * Columns are the probe vectors (shape ``(n, nv)``), matching the reference's
+    Fortran-ordered column convention, so probes feed straight into SpMM/GEMM.
+  * ``sphere`` probes are scaled to norm ``sqrt(n)`` per column — the same
+    normalization as the reference (`random.py:36-41`) so that
+    ``E[v vᵀ] = I`` holds for all three distributions.
+"""
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+	"sample_isotropic",
+	"isotropic",
+	"Isotropic",
+	"symmetric",
+	"haar",
+	"as_key",
+]
+
+_ISO_DISTRIBUTIONS = {
+	"rademacher": "rademacher",
+	"normal": "normal",
+	"sphere": "sphere",
+	"signs": "rademacher",
+	"gaussian": "normal",
+}
+
+
+def as_key(seed: Union[int, np.random.Generator, jax.Array, None] = None) -> jax.Array:
+	"""Coerce a seed-like object into a JAX PRNG key.
+
+	Accepts an int, an existing JAX key, a numpy Generator (an int is drawn from
+	it, so `seed=np.random.default_rng(1234)` behaves reproducibly), or None
+	(fresh OS entropy).
+	"""
+	if seed is None:
+		return jax.random.key(np.random.SeedSequence().generate_state(1)[0].item())
+	if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
+		return seed
+	if isinstance(seed, np.random.Generator):
+		return jax.random.key(int(seed.integers(0, 2**63 - 1)))
+	if isinstance(seed, np.random.SeedSequence):
+		return jax.random.key(seed.generate_state(1)[0].item())
+	return jax.random.key(int(seed))
+
+
+def sample_isotropic(
+	key: jax.Array,
+	shape: Union[int, tuple],
+	pdf: str = "rademacher",
+	dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+	"""Draw isotropic random vectors (columns) — pure and jittable.
+
+	Parameters:
+		key: JAX PRNG key.
+		shape: output shape; an int ``n`` is promoted to ``(n, 1)``.
+		pdf: one of "rademacher"/"signs", "normal"/"gaussian", "sphere".
+		dtype: element type (defaults to the canonical float dtype).
+
+	Returns:
+		Array of the given shape whose columns satisfy ``E[v vᵀ] = I``.
+	"""
+	assert pdf in _ISO_DISTRIBUTIONS, f"Invalid distribution '{pdf}' supplied."
+	pdf = _ISO_DISTRIBUTIONS[pdf]
+	shape = (shape, 1) if isinstance(shape, int) else tuple(shape)
+	dtype = dtype or jnp.asarray(0.0).dtype
+	if pdf == "rademacher":
+		return jax.random.rademacher(key, shape, dtype=dtype)
+	W = jax.random.normal(key, shape, dtype=dtype)
+	if pdf == "sphere":
+		# Uniform on the sphere of radius sqrt(n); columns are the vectors.
+		c = jnp.sqrt(jnp.sum(W * W, axis=0, keepdims=True))
+		W = W * (jnp.sqrt(W.shape[0]).astype(dtype) / c)
+	return W
+
+
+class Isotropic:
+	"""Stateful isotropic sampler (host-facing convenience).
+
+	Each call to :meth:`__call__` advances an internal counter and folds it into
+	the base key, so successive calls yield independent (but reproducible)
+	batches. The jittable core is :func:`sample_isotropic`; use that (with
+	explicitly managed keys) inside device loops.
+
+	Replaces the reference's thread-pool RNG filler (`random.py:100-142`) — on
+	TPU, parallel generation is the default.
+	"""
+
+	def __init__(
+		self,
+		size: Optional[tuple] = None,
+		pdf: str = "rademacher",
+		seed: Union[int, np.random.Generator, jax.Array, None] = None,
+		dtype: Optional[jnp.dtype] = None,
+	):
+		assert pdf in _ISO_DISTRIBUTIONS, f"Invalid distribution '{pdf}' supplied."
+		self.pdf = _ISO_DISTRIBUTIONS[pdf]
+		self.key = as_key(seed)
+		self.dtype = dtype
+		self.shape = size
+		self._counter = 0
+
+	def __call__(self, size: Union[int, tuple, None] = None) -> jnp.ndarray:
+		size = size if size is not None else self.shape
+		assert size is not None, "A sample shape must be provided."
+		subkey = jax.random.fold_in(self.key, self._counter)
+		self._counter += 1
+		return sample_isotropic(subkey, size, pdf=self.pdf, dtype=self.dtype)
+
+	def fill(self) -> jnp.ndarray:
+		"""Sample an array of the configured shape (API parity with the reference)."""
+		self.values = self(self.shape)
+		return self.values
+
+
+def isotropic(
+	size: Union[int, tuple, None] = None,
+	pdf: str = "rademacher",
+	seed: Union[int, np.random.Generator, jax.Array, None] = None,
+) -> Union[jnp.ndarray, Callable]:
+	"""Generate random vectors from an isotropic distribution.
+
+	If ``size`` is None, returns a stateful sampler ``f(size) -> array``; else
+	returns an array of shape ``size`` (an int is promoted to ``(size, 1)``).
+
+	Parity: reference `random.py:47-97`.
+	"""
+	sampler = Isotropic(pdf=pdf, seed=seed)
+
+	def _isotropic(size: Union[int, tuple]) -> jnp.ndarray:
+		return sampler(size)
+
+	return _isotropic if size is None else _isotropic(size)
+
+
+def symmetric(
+	n: int,
+	dist: str = "normal",
+	pd: bool = False,
+	ew: Optional[np.ndarray] = None,
+	seed: Union[int, np.random.Generator, jax.Array, None] = None,
+	dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+	"""Random symmetric ``n x n`` matrix with prescribed eigenvalues ``ew``.
+
+	The orthogonal change-of-basis is drawn by QR-factorizing a random Gaussian
+	matrix. If ``ew`` is None, eigenvalues are uniform in ``[0, 1]`` (``pd=True``)
+	or ``[-1, 1]``. Parity: reference `random.py:145-180` (test fixture — ground
+	truth for trace/diagonal/eigenvalue assertions is exact by construction).
+	"""
+	key = as_key(seed)
+	k_m, k_ew = jax.random.split(key)
+	dtype = dtype or jnp.asarray(0.0).dtype
+	if dist == "uniform":
+		M = jax.random.uniform(k_m, (n, n), dtype=dtype)
+	elif dist == "normal":
+		M = jax.random.normal(k_m, (n, n), dtype=dtype)
+	else:
+		raise ValueError(f"Invalid distribution {dist} supplied")
+	Q, _ = jnp.linalg.qr(M)
+	if ew is None:
+		ew = jax.random.uniform(k_ew, (n,), dtype=dtype, minval=0.0 if pd else -1.0, maxval=1.0)
+	ew = jnp.atleast_1d(jnp.asarray(ew, dtype=dtype))
+	A = (Q * ew[None, :]) @ Q.T
+	return (A + A.T) / 2
+
+
+def haar(
+	n: int,
+	ew: Optional[np.ndarray] = None,
+	seed: Union[int, np.random.Generator, jax.Array, None] = None,
+	dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+	"""Random matrix with prescribed eigenvalues via a Haar-distributed basis.
+
+	Samples ``U`` uniformly from the orthogonal group O(n) (QR of a Gaussian
+	matrix with the sign correction of Mezzadri 2006) and returns
+	``U diag(ew) Uᵀ``. Parity: reference `random.py:183-201`.
+	"""
+	key = as_key(seed)
+	k_m, k_ew = jax.random.split(key)
+	dtype = dtype or jnp.asarray(0.0).dtype
+	M = jax.random.normal(k_m, (n, n), dtype=dtype)
+	Q, R = jnp.linalg.qr(M)
+	# Sign correction makes the QR-sampled Q exactly Haar-distributed.
+	d = jnp.sign(jnp.diagonal(R))
+	U = Q * jnp.where(d == 0, 1.0, d)[None, :]
+	if ew is None:
+		ew = jax.random.uniform(k_ew, (n,), dtype=dtype, minval=-1.0, maxval=1.0)
+	ew = jnp.atleast_1d(jnp.asarray(ew, dtype=dtype))
+	ev = jnp.zeros(n, dtype=dtype).at[: ew.shape[0]].set(ew)
+	return (U * ev[None, :]) @ U.T

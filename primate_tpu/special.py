@@ -1,0 +1,108 @@
+"""Spectral function gallery: builtin ``f`` for matrix functions ``f(A)``.
+
+Parity: reference ``src/primate/special.py`` (builtin registry, softsign,
+smoothstep, exp, step, param_callable).
+
+Every builtin is a pure `jnp` function, so it traces into the fused estimator
+programs (applied to quadrature nodes / Ritz values inside `jit`). Composing
+these with the trace estimators yields logdet ("log"), tr(A⁻¹) ("inv"),
+Estrada/heat-kernel ("exp"), numerical rank ("numrank"), Schatten norms
+("sqrt"/"abs"), and eigenvalue counts ("smoothstep").
+"""
+
+from typing import Any, Callable, Optional, Union
+
+import jax.numpy as jnp
+
+__all__ = ["param_callable", "softsign", "smoothstep", "exp", "step", "identity", "BUILTIN_MATRIX_FUNCTIONS"]
+
+BUILTIN_MATRIX_FUNCTIONS = ["identity", "abs", "sqrt", "log", "inv", "exp", "smoothstep", "numrank", "softsign"]
+
+
+def identity(x: Any) -> Any:
+	return x
+
+
+def softsign(x: Optional[jnp.ndarray] = None, q: int = 1) -> Union[Callable, jnp.ndarray]:
+	"""Smooth uniform approximation to sign(x) on [-1, 1].
+
+	Degree-``q`` polynomial approximant (eq. (60) of "Stability of the Lanczos
+	Method for Matrix Function Approximation"); converges to sgn(x) as q → ∞.
+	"""
+	import numpy as np
+
+	I = np.arange(q + 1)
+	J = np.append([1.0], np.cumprod([(2 * j - 1) / (2 * j) for j in np.arange(1, q + 1)]))
+	Ic, Jc = jnp.asarray(I), jnp.asarray(J)
+
+	def _softsign(x):
+		x = jnp.clip(jnp.asarray(x), -1.0, 1.0)
+		xt = jnp.atleast_1d(x)[..., None]  # (..., q+1) broadcast over terms
+		return jnp.sum(xt * (1 - xt**2) ** Ic * Jc, axis=-1)
+
+	return _softsign(x) if x is not None else _softsign
+
+
+def smoothstep(
+	x: Optional[jnp.ndarray] = None, a: float = 0.0, b: float = 1.0, deg: int = 3
+) -> Union[Callable, jnp.ndarray]:
+	"""Cubic Hermite step: 0 below ``a``, 1 above ``b``, smooth in between."""
+	assert (deg % 2) == 1, "Degree must be odd"
+	d = (b - a) if a != b else 1.0
+
+	def _smoothstep(x):
+		y = jnp.clip((jnp.asarray(x) - a) / d, 0.0, 1.0)
+		return 3 * y**2 - 2 * y**3
+
+	return _smoothstep(x) if x is not None else _smoothstep
+
+
+def exp(x: Optional[jnp.ndarray] = None, t: float = 1.0) -> Union[Callable, jnp.ndarray]:
+	"""Exponential ``x ↦ exp(t·x)`` (heat kernel / Estrada index weight)."""
+
+	def _exp(x):
+		return jnp.exp(t * jnp.asarray(x))
+
+	return _exp(x) if x is not None else _exp
+
+
+def step(x: Optional[jnp.ndarray] = None, c: float = 0.0, nonnegative: bool = False) -> Union[Callable, jnp.ndarray]:
+	"""Hard threshold ``x ↦ 1[x ≥ c]`` (optionally on |x|) — numerical-rank weight."""
+
+	def _step(x):
+		x = jnp.asarray(x)
+		x = jnp.abs(x) if nonnegative else x
+		return jnp.where(x < c, 0.0, 1.0)
+
+	return _step(x) if x is not None else _step
+
+
+def param_callable(fun: Union[str, Callable, None], **kwargs) -> Callable:
+	"""Resolve a builtin function name (or passthrough callable) to a jnp callable.
+
+	Parity: reference `special.py:78-107`, including the eps-clamp on "log".
+	"""
+	if fun is None or fun == "identity":
+		return identity
+	if callable(fun):
+		return fun
+	assert isinstance(fun, str), "Matrix function must be a string or callable."
+	fun = fun.lower()
+	if fun == "abs":
+		return jnp.abs
+	elif fun == "sqrt":
+		return jnp.sqrt
+	elif fun == "log":
+		# Clamp at machine eps so logdet-style quadratures never see log(<=0).
+		return lambda x: jnp.log(jnp.maximum(x, jnp.finfo(jnp.asarray(x).dtype).eps))
+	elif fun == "inv":
+		return jnp.reciprocal
+	elif fun == "exp":
+		return exp(t=kwargs.pop("t", 1.0))
+	elif fun == "smoothstep":
+		return smoothstep(a=kwargs.pop("a", 0.0), b=kwargs.pop("b", 1.0))
+	elif fun == "softsign":
+		return softsign(q=kwargs.pop("q", 10))
+	elif fun == "numrank":
+		return step(c=kwargs.pop("threshold", 1e-6), nonnegative=True)
+	raise ValueError(f"Unknown function: {fun}.")

@@ -1,0 +1,327 @@
+"""Stochastic trace estimators: Girard-Hutchinson, Hutch++, XTrace.
+
+Parity: reference ``src/primate/trace.py`` (`hutch`, `hutchpp`, `xtrace`).
+
+TPU-first design:
+  * **hutch** compiles to ONE device program: a `lax.while_loop` whose
+    condition evaluates the composed convergence criterion on-device and whose
+    body draws a threefry probe batch, applies the operator as a single
+    GEMM/SpMM, and merges the quadratic forms into a Welford covariance state.
+    No host round-trips until the loop exits (the reference re-enters Python
+    every batch, `trace.py:107-116`). A host-stepped path (one jitted step per
+    batch) is used only when a per-batch ``callback`` is requested.
+  * **hutchpp** is one fused program: sketch, QR-deflate, and both trace terms.
+  * **xtrace** replaces the reference's serial per-column `qr_insert` +
+    rank-one triangular updates (`trace.py:296-301`) with **block** QR append
+    (CGS2 + local QR — all GEMMs) and a block triangular-inverse update; the
+    leave-one-out exchangeability identities (`trace.py:185-227`) are kept
+    mathematically verbatim as batched einsums. The reference's
+    "converge |= ..." self-OR quirk (`trace.py:273-275`) is deliberately fixed:
+    a user criterion ORs with the m == n exactness stop.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .estimators import (
+	ConvergenceCriterion,
+	CountCriterion,
+	EstimatorResult,
+	EstSnapshot,
+	MeanEstimator,
+	convergence_criterion,
+	default_trace_criterion,
+)
+from .linalg import qr_append, update_trinv_block
+from .operators import aslinop, is_valid_operator, quad_form
+from .random import as_key, sample_isotropic
+from .stats import CovState, cov_matrix, cov_update, make_cov_state
+
+__all__ = ["hutch", "hutchpp", "xtrace"]
+
+
+class _HutchCarry(NamedTuple):
+	it: jnp.ndarray  # () int32 — batches executed
+	cov: CovState  # scalar-sample Welford state
+	delta: jnp.ndarray  # (1,) last mean movement
+	values: Optional[jnp.ndarray]  # (maxiter*batch,) recorded samples or None
+
+
+def _carry_snapshot(c: _HutchCarry) -> EstSnapshot:
+	var = cov_matrix(c.cov, ddof=1)[0, 0]
+	return EstSnapshot(n=c.cov.n, estimate=c.cov.mu, delta=c.delta, var=var, values=c.values)
+
+
+@partial(jax.jit, static_argnames=("n", "batch", "pdf", "maxiter", "record"))
+def _hutch_fused(A, criterion, key, *, n: int, batch: int, pdf: str, maxiter: int, record: bool):
+	"""The fused adaptive Girard-Hutchinson program (see module docstring)."""
+	dtype = A.dtype
+	acc = jnp.promote_types(dtype, jnp.float32)
+	init = _HutchCarry(
+		it=jnp.zeros((), jnp.int32),
+		cov=make_cov_state(1, acc),
+		delta=jnp.full(1, jnp.inf, acc),
+		values=jnp.full(maxiter * batch, jnp.nan, acc) if record else None,
+	)
+
+	def cond(c: _HutchCarry):
+		return jnp.logical_and(c.it < maxiter, jnp.logical_not(criterion.check(_carry_snapshot(c))))
+
+	def body(c: _HutchCarry):
+		k = jax.random.fold_in(key, c.it)
+		V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=dtype)
+		s = quad_form(A, V).astype(acc)  # (batch,)
+		new_cov = cov_update(c.cov, s[:, None])
+		delta = new_cov.mu - c.cov.mu
+		values = None
+		if record:
+			values = lax.dynamic_update_slice(c.values, s, (c.it * batch,))
+		return _HutchCarry(it=c.it + 1, cov=new_cov, delta=delta, values=values)
+
+	final = lax.while_loop(cond, body, init)
+	return final
+
+
+@partial(jax.jit, static_argnames=("n", "batch", "pdf"))
+def _hutch_step(A, key, it, *, n: int, batch: int, pdf: str):
+	"""One probe batch -> quadratic-form samples (host-stepped callback path)."""
+	k = jax.random.fold_in(key, it)
+	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=A.dtype)
+	return quad_form(A, V)
+
+
+def hutch(
+	A,
+	batch: int = 32,
+	pdf: Union[str, Callable] = "rademacher",
+	converge: Union[str, ConvergenceCriterion] = "default",
+	seed=None,
+	full: bool = False,
+	callback: Optional[Callable] = None,
+	maxiter: int = 1024,
+	**kwargs,
+) -> Union[float, tuple]:
+	r"""Estimate ``tr(A)`` for symmetric ``A`` via the Girard-Hutchinson estimator.
+
+	Monte-Carlo average of isotropic quadratic forms ``vᵀAv``; unbiased for any
+	isotropic probe distribution. Composes with :class:`MatrixFunction` to give
+	stochastic Lanczos quadrature for ``tr(f(A))`` (logdet, Estrada, ...), in
+	which case the operator's batched ``quad`` is used directly.
+
+	Parameters mirror the reference (`trace.py:34-116`): ``batch`` probes per
+	iteration, ``pdf`` in {rademacher, normal, sphere}, ``converge`` a criterion
+	name/instance (default: 200 samples OR 95% CI within ±1.0), ``seed`` any
+	int / numpy Generator / JAX key, ``full`` to also return an
+	:class:`EstimatorResult`, ``callback`` invoked per batch, ``maxiter`` an
+	upper bound on batches (needed for the statically-shaped record buffer).
+	"""
+	is_valid_operator(A)
+	op = A if hasattr(A, "quad") else aslinop(A)
+	N = op.shape[0]
+	record = kwargs.pop("record", False)
+
+	if converge == "default":
+		criterion = default_trace_criterion()
+	else:
+		criterion = convergence_criterion(converge, **kwargs)
+
+	if int(np.prod(op.shape)) == 0:
+		return 0.0 if not full else (0.0, EstimatorResult(MeanEstimator(covariance=True), criterion))
+
+	key = as_key(seed)
+	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
+
+	if callback is None:
+		carry = _hutch_fused(op, criterion, key, n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record)
+		estimator = MeanEstimator.from_state(carry.cov, delta=carry.delta, values=carry.values)
+		estimate = float(np.asarray(carry.cov.mu)[0]) if int(carry.cov.n) > 0 else np.nan
+		if not full:
+			return estimate
+		result = EstimatorResult(
+			estimator=estimator,
+			criterion=criterion,
+			estimate=estimate,
+			message=criterion.message(estimator),
+			nit=int(carry.cov.n),
+		)
+		return estimate, result
+
+	# Host-stepped path: jitted batch step + per-batch callback.
+	estimator = MeanEstimator(covariance=True, record=record)
+	result = EstimatorResult(estimator, criterion)
+	it = 0
+	while not bool(criterion(estimator)) and it < maxiter:
+		samples = _hutch_step(op, key, it, n=N, batch=int(batch), pdf=pdf)
+		estimator.update(samples)
+		result.estimate = estimator.estimate
+		result.nit = estimator.n_samples
+		callback(result)
+		it += 1
+	result.message = criterion.message(estimator)
+	result.estimate = estimator.estimate
+	return (estimator.estimate, result) if full else estimator.estimate
+
+
+@partial(jax.jit, static_argnames=("n", "nb", "pdf", "mode"))
+def _hutchpp_program(A, key, *, n: int, nb: int, pdf: str, mode: str):
+	"""Fused Hutch++: low-rank sketch trace + Girard-Hutchinson on the deflation."""
+	dtype = A.dtype
+	k1, k2 = jax.random.split(key)
+	W = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=dtype)
+	Y = A.matmat(W) if hasattr(A, "matmat") else A @ W
+	Q, _ = jnp.linalg.qr(Y, mode="reduced")
+	if mode == "full":
+		AQ = A.matmat(Q) if hasattr(A, "matmat") else A @ Q
+		rng_ests = jnp.einsum("ij,ij->j", AQ, Q)
+	else:
+		rng_ests = quad_form(A, Q)
+	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=dtype)
+	G = G - Q @ (Q.T @ G)
+	AG = A.matmat(G) if hasattr(A, "matmat") else A @ G
+	defl_ests = jnp.einsum("ij,ij->j", AG, G)
+	est = jnp.sum(rng_ests) + jnp.sum(defl_ests) / nb
+	return est, rng_ests, defl_ests
+
+
+def hutchpp(
+	A,
+	m: Optional[int] = None,
+	batch: int = 32,
+	mode: str = "reduced",
+	pdf: Union[str, Callable] = "rademacher",
+	seed=None,
+	full: bool = False,
+) -> Union[float, tuple]:
+	"""Hutch++ trace estimator: rank-``nb`` deflation + residual Hutchinson.
+
+	Uses ``2·nb`` operator applications, ``nb = m`` (or ``N // 3``) rounded up
+	to a multiple of 3 (reference `trace.py:119-182`). O(1/m) error vs
+	Hutchinson's O(1/√m) on PSD matrices. Runs as one fused device program.
+	"""
+	is_valid_operator(A)
+	op = A if hasattr(A, "quad") else aslinop(A)
+	N = op.shape[0]
+	if int(np.prod(op.shape)) == 0:
+		return 0.0 if not full else (0.0, EstimatorResult())
+	nb = (N // 3) if m is None else int(m)
+	nb += nb % 3
+	est, rng_ests, defl_ests = _hutchpp_program(op, as_key(seed), n=N, nb=nb, pdf=pdf, mode=mode)
+	est = float(est)
+	if not full:
+		return est
+	result = EstimatorResult()
+	result.estimate = est
+	result.nit = 2 * nb
+	result.samples = np.concatenate([np.asarray(rng_ests), np.asarray(defl_ests)])
+	return est, result
+
+
+def _colwise_dot(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+	"""diag(XᵀY) as a column-wise contraction → shape (m, 1)."""
+	return jnp.einsum("ij,ij->j", X, Y)[:, None]
+
+
+@jax.jit
+def _xtrace_estimates(W, Z, Q, R, R_inv, sphere: jnp.ndarray):
+	"""Epperly's leave-one-out trace identities, batched over all m probes.
+
+	Mathematically identical to reference `trace.py:185-227`; evaluated as a
+	fixed set of (m × m) GEMMs + column-wise reductions on-device.
+	"""
+	n, m = W.shape
+	W_proj = Q.T @ W
+	S = R_inv.T / jnp.linalg.norm(R_inv, axis=1)[None, :]
+
+	col_norm_S = jnp.linalg.norm(S, axis=0)
+	dSW = _colwise_dot(S, W_proj)
+	c = n - m + 1
+	sphere_scale = c / (
+		n - jnp.linalg.norm(W_proj, axis=0)[:, None] ** 2 + (dSW * col_norm_S[:, None]) ** 2
+	)
+	scale = jnp.where(sphere, sphere_scale, jnp.ones((m, 1), W.dtype))
+
+	H = Q.T @ Z
+	HW = H @ W_proj
+	T = Z.T @ W
+	dSHS = _colwise_dot(S, H @ S)
+	dTW = _colwise_dot(T, W_proj)
+	dWHW = _colwise_dot(W_proj, HW)
+	dSRmHW = _colwise_dot(S, R - HW)
+	dTmHRS = _colwise_dot(T - H.T @ W_proj, S)
+
+	tr_ests = jnp.trace(H) * jnp.ones((m, 1), W.dtype) - dSHS
+	tr_ests += (-dTW + dWHW + dSW * dSRmHW + jnp.abs(dSW) ** 2 * dSHS + dTmHRS * dSW) * scale
+	return tr_ests[:, 0]
+
+
+def xtrace(
+	A,
+	batch: int = 32,
+	pdf: Union[str, Callable] = "sphere",
+	converge: Union[str, ConvergenceCriterion] = "default",
+	seed=None,
+	full: bool = False,
+	callback: Optional[Callable] = None,
+	**kwargs,
+) -> Union[float, tuple]:
+	"""XTrace: exchangeable leave-one-out trace estimator (Epperly et al.).
+
+	Grows an orthogonal test subspace in blocks of ``batch`` columns and
+	recomputes the m leave-one-out estimates each round; exact (to rounding)
+	once m == n. Default stop: m == n samples; a user criterion ORs with that
+	bound. Parity: reference `trace.py:233-315`.
+	"""
+	is_valid_operator(A)
+	op = A if hasattr(A, "quad") else aslinop(A)
+	n = op.shape[0]
+	assert batch >= 1, "Batch size must be positive."
+	record = kwargs.pop("record", False)
+	callback = callback if callable(callback) else (lambda result: None)
+
+	criterion = CountCriterion(count=n)
+	if converge != "default":
+		criterion = criterion | convergence_criterion(converge, **kwargs)
+
+	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
+	sphere_flag = jnp.asarray(pdf == "sphere")
+	key = as_key(seed)
+
+	W = Z = Q = R = R_inv = None
+	estimator = MeanEstimator(record=record)
+	result = EstimatorResult()
+	it = 0
+	while not bool(criterion(estimator)):
+		m_cur = 0 if W is None else W.shape[1]
+		ns = min(n - m_cur, int(batch))
+		if ns <= 0:
+			break
+		Nnew = sample_isotropic(jax.random.fold_in(key, it), (n, ns), pdf=pdf, dtype=op.dtype)
+		Ynew = apply_op(Nnew)
+		if Q is None:
+			Q, R = qr_append(None, None, Ynew)
+			R_inv = update_trinv_block(jnp.zeros((0, 0), R.dtype), jnp.zeros((0, ns), R.dtype), R)
+			W, Z = Nnew, apply_op(Q)
+		else:
+			Q, R = qr_append(Q, R, Ynew)
+			B, C = R[:m_cur, m_cur:], R[m_cur:, m_cur:]
+			R_inv = update_trinv_block(R_inv, B, C)
+			W = jnp.concatenate([W, Nnew], axis=1)
+			Z = jnp.concatenate([Z, apply_op(Q[:, -ns:])], axis=1)
+
+		t_samples = _xtrace_estimates(W, Z, Q, R, R_inv, sphere_flag)
+		estimator = MeanEstimator(record=record)
+		estimator.update(t_samples)
+		result.estimate = estimator.estimate
+		result.nit = estimator.n_samples
+		callback(result)
+		it += 1
+
+	result.estimator = estimator
+	result.estimate = estimator.estimate
+	result.criterion = criterion
+	return (result.estimate, result) if full else result.estimate
