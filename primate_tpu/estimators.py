@@ -198,7 +198,7 @@ class NotCriterion(ConvergenceCriterion):
 class CountCriterion(ConvergenceCriterion):
 	"""TRUE once at least ``count`` samples have been seen."""
 
-	def __init__(self, count: int):
+	def __init__(self, count: int = 200):
 		self.count = count
 
 	def check(self, snap: EstSnapshot):

@@ -133,7 +133,10 @@ class Toeplitz(LinearOperator):
 		self.r = jnp.asarray(c if r is None else r, dtype=dtype)
 		n = self.c.shape[0]
 		d = jnp.concatenate([self.c, jnp.zeros(1, self.c.dtype), jnp.flip(self.r[1:])])
-		self._dfft = jnp.real(jnp.fft.fft(d))
+		# Keep the complex circulant spectrum: the reference drops the imaginary
+		# part (`operators.py:176`), which is only valid for symmetric Toeplitz
+		# (palindromic embedding). The general case needs the full spectrum.
+		self._dfft = jnp.fft.fft(d)
 		self.shape = (n, n)
 		self.dtype = self.c.dtype
 

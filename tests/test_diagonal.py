@@ -1,0 +1,59 @@
+"""Diagonal estimator tests (mirrors reference `tests/test_diagonal.py`)."""
+
+import numpy as np
+import primate_tpu as pt
+
+
+def test_diag_converges():
+	rng = np.random.default_rng(1234)
+	n = 25
+	A = pt.symmetric(n, pd=True, seed=rng)
+	d_true = np.diag(np.asarray(A))
+	d, info = pt.diag(A, seed=rng, full=True, converge="tolerance", atol=1e-3, maxiter=3000)
+	assert np.asarray(d).shape == (n,)
+	# criterion satisfied at stop
+	assert bool(info.criterion(info.estimator))
+	assert np.abs(np.asarray(d) - d_true).max() < 0.5
+
+
+def test_diag_count_criterion():
+	rng = np.random.default_rng(4)
+	n = 20
+	A = pt.symmetric(n, pd=True, seed=rng)
+	d, info = pt.diag(A, seed=rng, converge="count", count=64, full=True)
+	assert info.nit >= 64
+
+
+def test_diag_callback_path_matches_fused():
+	rng = np.random.default_rng(10)
+	n = 16
+	A = pt.symmetric(n, pd=True, seed=rng)
+	d1 = pt.diag(A, seed=77, converge="count", count=32)
+	calls = []
+	d2 = pt.diag(A, seed=77, converge="count", count=32, callback=lambda r: calls.append(1))
+	assert len(calls) > 0
+	assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-10)
+
+
+def test_xdiag_error_decreases_with_budget():
+	"""Convergence-rate regression: OLS slope of log-error vs log-budget < -0.10
+	(reference `tests/test_diagonal.py:15-34`)."""
+	rng = np.random.default_rng(1234)
+	n = 40
+	A = pt.symmetric(n, pd=True, seed=rng)
+	d_true = np.diag(np.asarray(A))
+	budgets = np.array([8, 16, 32, 64, 80])
+	errs = []
+	for m in budgets:
+		d = pt.xdiag(A, m=int(m), seed=1234)
+		errs.append(np.linalg.norm(d - d_true))
+	slope = np.polyfit(np.log(budgets), np.log(np.asarray(errs) + 1e-12), 1)[0]
+	assert slope < -0.10, f"error does not decrease with budget: slope={slope}, errs={errs}"
+
+
+def test_xdiag_exact_at_full_budget():
+	rng = np.random.default_rng(2)
+	n = 24
+	A = pt.symmetric(n, pd=True, seed=rng)
+	d = pt.xdiag(A, m=2 * n, seed=5)
+	assert np.abs(d - np.diag(np.asarray(A))).max() < 1e-1

@@ -1,0 +1,159 @@
+"""Estimator/criteria framework tests (mirrors reference `tests/test_estimators.py`)."""
+
+import numpy as np
+import jax.numpy as jnp
+import primate_tpu as pt
+from primate_tpu.estimators import (
+	ConfidenceCriterion,
+	ControlVariableEstimator,
+	CountCriterion,
+	KneeCriterion,
+	MeanEstimator,
+	ToleranceCriterion,
+	convergence_criterion,
+)
+
+
+def test_mean_estimator_matches_numpy():
+	rng = np.random.default_rng(1234)
+	x = rng.normal(size=100)
+	est = MeanEstimator()
+	for chunk in np.array_split(x, 7):
+		est.update(chunk)
+	assert np.isclose(est.estimate, x.mean(), atol=1e-12)
+	assert len(est) == 100
+
+
+def test_mean_estimator_covariance_matches_numpy():
+	rng = np.random.default_rng(5)
+	x = rng.normal(size=200)
+	est = MeanEstimator(covariance=True)
+	for chunk in np.array_split(x, 11):
+		est.update(chunk)
+	assert np.isclose(est.estimate, x.mean(), atol=1e-12)
+	assert np.isclose(est.converged_variance, np.var(x, ddof=1), atol=1e-10)
+
+
+def test_mean_estimator_record():
+	est = MeanEstimator(record=True)
+	est.update(np.arange(10.0))
+	assert len(est.values) == 10
+	assert np.allclose(est.values, np.arange(10.0))
+
+
+def test_count_criterion():
+	est = MeanEstimator()
+	cc = CountCriterion(5)
+	assert not bool(cc(est))
+	est.update(np.ones(5))
+	assert bool(cc(est))
+
+
+def test_tolerance_criterion():
+	est = MeanEstimator()
+	tc = ToleranceCriterion(atol=1e-3, rtol=0.0)
+	est.update(np.ones(3))
+	assert not bool(tc(est))  # first delta is large
+	est.update(np.ones(500))  # mean barely moves now
+	assert bool(tc(est))
+
+
+def test_confidence_criterion_behavior():
+	rng = np.random.default_rng(1234)
+	est = MeanEstimator(covariance=True)
+	cc = ConfidenceCriterion(confidence=0.95, atol=0.05, rtol=0.0)
+	assert not bool(cc(est))
+	est.update(rng.normal(size=2))
+	assert not bool(cc(est))  # < 3 samples: never converged
+	for _ in range(50):
+		est.update(rng.normal(size=100, scale=0.1))
+	assert bool(cc(est))
+
+
+def test_confidence_interval_coverage():
+	"""Empirical coverage of the 95% CLT interval ≈ 95% (±5%) over 400 trials."""
+	rng = np.random.default_rng(1234)
+	n_trials, n_samples, mu = 400, 40, 2.0
+	covered = 0
+	cc = ConfidenceCriterion(confidence=0.95)
+	for _ in range(n_trials):
+		x = rng.normal(loc=mu, size=n_samples)
+		est = MeanEstimator(covariance=True)
+		est.update(x)
+		moe, _ = cc._error(est.snapshot())
+		covered += abs(est.estimate - mu) <= float(moe)
+	coverage = covered / n_trials
+	assert 0.90 <= coverage <= 1.0, f"coverage={coverage}"
+
+
+def test_knee_criterion():
+	est = MeanEstimator(record=True)
+	kc = KneeCriterion(S=1.0)
+	assert not bool(kc(est))  # no values yet
+	# A sequence whose cumulative mean flattens out should trigger a knee.
+	rng = np.random.default_rng(0)
+	est.update(10.0 + rng.normal(size=5))
+	for _ in range(40):
+		est.update(10.0 + 0.001 * rng.normal(size=5))
+	assert bool(kc(est))
+
+
+def test_criteria_composition_semantics():
+	est = MeanEstimator()
+	est.update(np.ones(7))
+	both = CountCriterion(5) & CountCriterion(10)
+	either = CountCriterion(5) | CountCriterion(10)
+	neg = ~CountCriterion(5)
+	assert not bool(both(est)) and bool(either(est)) and not bool(neg(est))
+	est.update(np.ones(5))
+	assert bool(both(est))
+
+
+def test_criteria_messages():
+	est = MeanEstimator(covariance=True)
+	est.update(np.random.default_rng(0).normal(size=10))
+	for crit in (CountCriterion(5), ToleranceCriterion(), ConfidenceCriterion()):
+		assert isinstance(crit.message(est), str) and len(crit.message(est)) > 0
+	comp = CountCriterion(5) | ConfidenceCriterion()
+	assert "|" in comp.message(est)
+
+
+def test_convergence_criterion_factory():
+	cc = convergence_criterion("count", count=7, unused_kwarg=1)
+	assert isinstance(cc, CountCriterion)
+	cc2 = convergence_criterion(cc)
+	assert cc2 is cc
+	for name in ("count", "tolerance", "confidence", "knee"):
+		assert convergence_criterion(name) is not None
+
+
+def test_control_variable_estimator_beats_plain_mean():
+	"""CV-corrected estimates have lower error than the plain mean in most trials
+	(reference `tests/test_estimators.py`)."""
+	rng = np.random.default_rng(1234)
+	mu_y, wins = 1.0, 0
+	n_trials = 60
+	for _ in range(n_trials):
+		z = rng.normal(size=300)
+		y = 0.5 + z  # target, true mean 0.5... control variate z with E[z]=0
+		cve = ControlVariableEstimator(ecv=0.0)
+		cve.update(np.stack([y, z], axis=1))
+		plain_err = abs(y.mean() - 0.5)
+		cv_err = abs(cve.estimate - 0.5)
+		wins += cv_err <= plain_err
+	assert wins >= int(0.8 * n_trials), f"control variate won only {wins}/{n_trials}"
+
+
+def test_estimator_snapshot_is_jittable():
+	import jax
+
+	est = MeanEstimator(covariance=True)
+	est.update(np.random.default_rng(1).normal(size=50))
+	snap = est.snapshot()
+	crit = CountCriterion(10) | ConfidenceCriterion(atol=10.0)
+
+	@jax.jit
+	def check(c, s):
+		return c.check(s)
+
+	assert bool(check(crit, snap)) == bool(crit(est))

@@ -1,0 +1,80 @@
+"""Lanczos tests: spectrum recovery, Rayleigh-Ritz, batching equivalence.
+
+Mirrors reference `tests/test_lanczos.py` and extends with the TPU-specific
+single-probe vs batched-block equivalence checks (SURVEY §4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import primate_tpu as pt
+
+
+def test_lanczos_full_reorth_recovers_spectrum():
+	rng = np.random.default_rng(1234)
+	n = 30
+	ew = rng.uniform(size=n, low=-1.0, high=1.0)
+	A = pt.symmetric(n, ew=ew, seed=rng)
+	a, b = pt.lanczos(A, deg=n, orth=n, seed=rng)
+	rw = np.asarray(pt.eigvalsh_tridiag(a, b))
+	assert np.allclose(np.sort(rw), np.sort(ew), atol=1e-10)
+
+
+def test_rayleigh_ritz_extremes():
+	rng = np.random.default_rng(1234)
+	n = 50
+	ew = rng.uniform(size=n, low=0.0, high=1.0)
+	A = pt.symmetric(n, ew=ew, pd=True, seed=rng)
+	rw = np.asarray(pt.rayleigh_ritz(A, deg=n, orth=-1, seed=rng))
+	assert np.isclose(rw.min(), ew.min(), atol=1e-2)
+	assert np.isclose(rw.max(), ew.max(), atol=1e-2)
+
+
+def test_lanczos_basis_orthonormal():
+	rng = np.random.default_rng(5)
+	n = 24
+	A = pt.symmetric(n, pd=True, seed=rng)
+	(a, b), Q = pt.lanczos(A, deg=n, orth=n, return_basis=True, seed=rng)
+	Q = np.asarray(Q)  # (n, deg)
+	G = Q.T @ Q
+	assert np.allclose(G, np.eye(n), atol=1e-8)
+	# Q tridiagonalizes A: Qᵀ A Q should equal T(a, b)
+	T = Q.T @ np.asarray(A) @ Q
+	assert np.allclose(np.diag(T), np.asarray(a), atol=1e-8)
+	assert np.allclose(np.diag(T, 1), np.asarray(b), atol=1e-8)
+
+
+def test_lanczos_batched_equals_single():
+	"""One fused block sweep must reproduce per-probe serial sweeps."""
+	rng = np.random.default_rng(7)
+	n, nv, deg = 20, 4, 12
+	A = pt.symmetric(n, pd=True, seed=rng)
+	V0 = rng.normal(size=(n, nv))
+	ab_batched = pt.lanczos(A, v0=V0, deg=deg, orth=deg)
+	for j in range(nv):
+		a_j, b_j = pt.lanczos(A, v0=V0[:, j], deg=deg, orth=deg)
+		assert np.allclose(np.asarray(ab_batched[0][:, j]), np.asarray(a_j), atol=1e-10)
+		assert np.allclose(np.asarray(ab_batched[1][:, j]), np.asarray(b_j), atol=1e-10)
+
+
+def test_lanczos_early_exit_invariant_subspace():
+	"""Starting inside an invariant subspace must terminate cleanly (β → 0)."""
+	n = 16
+	ew = np.zeros(n)
+	ew[:3] = [1.0, 2.0, 3.0]
+	U = np.linalg.qr(np.random.default_rng(0).normal(size=(n, n)))[0]
+	A = U @ np.diag(ew) @ U.T
+	v0 = U[:, :3] @ np.ones(3)  # lives in the rank-3 invariant subspace
+	a, b = pt.lanczos(jnp.asarray(A), v0=v0, deg=10, orth=10, rtol=1e-7)
+	# After ~3 steps the recurrence must deflate: trailing alphas are zero.
+	assert np.allclose(np.asarray(a)[4:], 0.0, atol=1e-8)
+	rw = np.sort(np.asarray(pt.eigvalsh_tridiag(a, b)))
+	assert np.allclose(rw[-3:], [1.0, 2.0, 3.0], atol=1e-8)
+
+
+def test_lanczos_no_reorth_still_tridiagonalizes():
+	rng = np.random.default_rng(11)
+	n = 12
+	A = pt.symmetric(n, pd=True, seed=rng)
+	a, b = pt.lanczos(A, deg=6, orth=0, seed=rng)
+	assert np.asarray(a).shape == (6,) and np.asarray(b).shape == (5,)
+	assert np.all(np.isfinite(np.asarray(a))) and np.all(np.isfinite(np.asarray(b)))

@@ -1,0 +1,145 @@
+"""Operator tests (mirrors reference `tests/test_operator.py` + sparse/protocol).
+
+Key composition identities: MatrixFunction(identity) ≡ A, every builtin f
+matches the dense eigendecomposition reconstruction, quad ≡ diag(VᵀAV).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import primate_tpu as pt
+from primate_tpu.operators import DenseOperator, FunctionOperator, AffineOperator, aslinop, quad_form
+
+
+def _fixture(n=24, seed=1234, pd=True):
+	rng = np.random.default_rng(seed)
+	ew = rng.uniform(size=n, low=1 / n, high=1.0)
+	A = pt.symmetric(n, pd=pd, ew=ew, seed=rng)
+	return np.asarray(A), ew, rng
+
+
+def test_mf_identity_matvec():
+	A, ew, rng = _fixture()
+	n = A.shape[0]
+	M = pt.MatrixFunction(A, deg=n, orth=n)
+	v = rng.normal(size=n)
+	assert np.allclose(np.asarray(M @ v), A @ v, atol=1e-10)
+
+
+def test_mf_matvec_multiple_degrees():
+	"""For a non-polynomial f, the Krylov approximation error decreases with
+	degree and is exact at full degree (identity would be exact at deg ≥ 2,
+	since A x already lies in the Krylov space)."""
+	A, ew, rng = _fixture(n=20)
+	v = rng.normal(size=20)
+	lam, U = np.linalg.eigh(A)
+	exact = U @ np.diag(np.sqrt(np.maximum(lam, 0))) @ U.T @ v
+	errs = []
+	for deg in (3, 8, 20):
+		M = pt.MatrixFunction(A, fun="sqrt", deg=deg, orth=-1)
+		errs.append(np.abs(np.asarray(M @ v) - exact).max())
+	assert errs[-1] <= 1e-8  # full degree is exact
+	assert errs[0] > 10 * errs[-1]  # error decreases with degree
+
+
+def test_mf_quad_matches_dense():
+	A, ew, rng = _fixture()
+	n = A.shape[0]
+	M = pt.MatrixFunction(A, deg=n, orth=n)
+	V = rng.normal(size=(n, 5))
+	q = np.asarray(M.quad(jnp.asarray(V)))
+	true = np.diag(V.T @ A @ V)
+	assert np.allclose(q, true, rtol=1e-8)
+
+
+@pytest.mark.parametrize("fun", ["identity", "abs", "sqrt", "log", "inv", "exp", "numrank", "smoothstep"])
+def test_mf_builtin_functions_match_dense(fun):
+	A, ew, rng = _fixture(n=16)
+	n = A.shape[0]
+	lam, U = np.linalg.eigh(A)
+	from primate_tpu.special import param_callable
+
+	f = param_callable(fun)
+	fA = U @ np.diag(np.asarray(f(jnp.asarray(lam)))) @ U.T
+	M = pt.MatrixFunction(A, fun=fun, deg=n, orth=n)
+	v = rng.normal(size=n)
+	assert np.allclose(np.asarray(M @ v), fA @ v, atol=1e-6), fun
+
+
+def test_mf_batched_matvec_equals_columns():
+	A, _, rng = _fixture(n=18)
+	M = pt.MatrixFunction(A, fun="sqrt", deg=18, orth=-1)
+	X = rng.normal(size=(18, 4))
+	Y = np.asarray(M @ jnp.asarray(X))
+	for j in range(4):
+		assert np.allclose(Y[:, j], np.asarray(M @ jnp.asarray(X[:, j])), atol=1e-10)
+
+
+def test_toeplitz_matches_dense():
+	import scipy.linalg as sla
+
+	rng = np.random.default_rng(2)
+	c = rng.normal(size=10)
+	T = pt.Toeplitz(c)
+	Td = sla.toeplitz(c)
+	V = rng.normal(size=(10, 3))
+	assert np.allclose(np.asarray(T @ jnp.asarray(V)), Td @ V, atol=1e-10)
+	r = rng.normal(size=10)
+	r[0] = c[0]
+	T2 = pt.Toeplitz(c, r)
+	assert np.allclose(np.asarray(T2 @ jnp.asarray(V[:, 0])), sla.toeplitz(c, r) @ V[:, 0], atol=1e-10)
+
+
+def test_normalize_unit_spectrum_in_interval():
+	A, ew, _ = _fixture(n=20)
+	N = pt.normalize_unit(jnp.asarray(A))
+	lam = np.linalg.eigvalsh(np.asarray(N.todense()))
+	assert lam.min() >= -1.0 - 1e-8 and lam.max() <= 1.0 + 1e-8
+
+
+def test_affine_operator():
+	A, _, rng = _fixture(n=12)
+	B = np.asarray(pt.symmetric(12, seed=rng))
+	op = AffineOperator(jnp.asarray(A), jnp.asarray(B), t=0.5)
+	v = rng.normal(size=12)
+	assert np.allclose(np.asarray(op @ jnp.asarray(v)), (A + 0.5 * B) @ v, atol=1e-12)
+	op2 = op.set_parameter(2.0)
+	assert np.allclose(np.asarray(op2 @ jnp.asarray(v)), (A + 2.0 * B) @ v, atol=1e-12)
+	# identity-B default
+	op3 = AffineOperator(jnp.asarray(A), t=1.5)
+	assert np.allclose(np.asarray(op3 @ jnp.asarray(v)), (A + 1.5 * np.eye(12)) @ v, atol=1e-12)
+
+
+def test_function_operator_and_protocol():
+	A, _, rng = _fixture(n=10)
+	op = FunctionOperator(lambda V: jnp.asarray(A) @ V, shape=A.shape, dtype=A.dtype)
+	assert pt.operators.is_linear_op(op)
+	v = rng.normal(size=10)
+	assert np.allclose(np.asarray(op @ jnp.asarray(v)), A @ v)
+	# unbatched matvec-only callables get vmapped
+	op2 = FunctionOperator(lambda x: jnp.asarray(A) @ x, shape=A.shape, dtype=A.dtype, batched=False)
+	V = rng.normal(size=(10, 3))
+	assert np.allclose(np.asarray(op2.matmat(jnp.asarray(V))), A @ V, atol=1e-12)
+
+
+def test_aslinop_and_quad_form():
+	A, _, rng = _fixture(n=10)
+	V = rng.normal(size=(10, 4))
+	expected = np.diag(V.T @ A @ V)
+	for obj in (A, jnp.asarray(A), DenseOperator(jnp.asarray(A))):
+		assert np.allclose(np.asarray(quad_form(obj, jnp.asarray(V))), expected, atol=1e-10)
+	assert aslinop(A).shape == A.shape
+
+
+def test_is_valid_operator_rejects_nonsquare():
+	with pytest.raises(AssertionError):
+		pt.operators.is_valid_operator(jnp.ones((3, 4)))
+
+
+def test_gram_operator():
+	rng = np.random.default_rng(8)
+	X = rng.normal(size=(15, 10))
+	G = pt.operators.GramOperator(jnp.asarray(X))
+	v = rng.normal(size=10)
+	assert G.shape == (10, 10)
+	assert np.allclose(np.asarray(G @ jnp.asarray(v)), X.T @ (X @ v), atol=1e-10)

@@ -1,0 +1,71 @@
+"""Quadrature tests (mirrors reference `tests/test_quadrature.py`)."""
+
+import numpy as np
+import jax
+import primate_tpu as pt
+from primate_tpu.lanczos import lanczos_block
+
+
+def test_gw_quadrature_trace_estimate():
+	"""Mean of per-probe GW quadrature estimates × n approximates tr(A)."""
+	rng = np.random.default_rng(1234)
+	n = 30
+	ew = rng.uniform(size=n, low=0.1, high=1.0)
+	A = pt.symmetric(n, pd=True, ew=ew, seed=rng)
+	nv = 100
+	V0 = rng.choice([-1.0, 1.0], size=(n, nv))
+	out = lanczos_block(lambda V: A @ V, jax.numpy.asarray(V0), deg=n, ncv=n, orth=n, rtol=0.0)
+	nodes, weights = pt.quadrature(out.alphas.T, out.betas[: n - 1].T, quad="gw")
+	ests = n * np.sum(np.asarray(nodes) * np.asarray(weights), axis=-1)
+	tr = float(ew.sum())
+	assert np.abs(ests.mean() - tr) / tr < 0.10
+
+
+def test_fttr_matches_gw_weights():
+	rng = np.random.default_rng(9)
+	n = 16
+	A = pt.symmetric(n, pd=True, seed=rng)
+	a, b = pt.lanczos(A, deg=n, orth=n, seed=rng)
+	ngw, wgw = pt.quadrature(a, b, quad="gw")
+	nft, wft = pt.quadrature(a, b, quad="fttr")
+	i, j = np.argsort(np.asarray(ngw)), np.argsort(np.asarray(nft))
+	assert np.allclose(np.asarray(ngw)[i], np.asarray(nft)[j], atol=1e-10)
+	assert np.allclose(np.asarray(wgw)[i], np.asarray(wft)[j], atol=1e-8)
+
+
+def test_quadrature_weights_sum_to_one():
+	"""For a unit start vector, GW weights are |⟨q₀, uᵢ⟩|² and sum to 1."""
+	rng = np.random.default_rng(3)
+	n = 20
+	A = pt.symmetric(n, pd=True, seed=rng)
+	a, b = pt.lanczos(A, deg=n, orth=n, seed=rng)
+	_, tau = pt.quadrature(a, b, quad="gw")
+	assert np.isclose(np.asarray(tau).sum(), 1.0, atol=1e-10)
+
+
+def test_quadrature_batched():
+	rng = np.random.default_rng(17)
+	n, nv = 12, 3
+	A = pt.symmetric(n, pd=True, seed=rng)
+	V0 = rng.normal(size=(n, nv))
+	a, b = pt.lanczos(A, v0=V0, deg=n, orth=n)
+	nodes, weights = pt.quadrature(np.asarray(a).T, np.asarray(b).T, quad="gw")
+	assert nodes.shape == (nv, n) and weights.shape == (nv, n)
+	for j in range(nv):
+		n_j, w_j = pt.quadrature(np.asarray(a)[:, j], np.asarray(b)[:, j], quad="gw")
+		assert np.allclose(np.asarray(nodes)[j], np.asarray(n_j))
+		assert np.allclose(np.asarray(weights)[j], np.asarray(w_j))
+
+
+def test_quadrature_exact_for_polynomials():
+	"""A degree-d rule integrates f(x)=x^k exactly for k ≤ 2d-1:
+	quadrature of x ↦ x² against ψ(x; A, v) equals vᵀA²v / ‖v‖²."""
+	rng = np.random.default_rng(21)
+	n = 16
+	A = np.asarray(pt.symmetric(n, pd=True, seed=rng))
+	v = rng.normal(size=n)
+	a, b = pt.lanczos(pt.operators.DenseOperator(A), v0=v, deg=6, orth=6)
+	nodes, weights = pt.quadrature(a, b, quad="gw")
+	est = np.sum(np.asarray(nodes) ** 2 * np.asarray(weights)) * (v @ v)
+	true = v @ A @ A @ v
+	assert np.isclose(est, true, rtol=1e-10)

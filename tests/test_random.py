@@ -1,0 +1,79 @@
+"""RNG tests (mirrors reference `tests/test_random.py`)."""
+
+import numpy as np
+import scipy.stats as st
+import primate_tpu as pt
+from primate_tpu.random import sample_isotropic, as_key
+
+
+def test_rademacher_support():
+	W = np.asarray(pt.isotropic(size=(50, 20), pdf="rademacher", seed=1234))
+	assert set(np.unique(W)) <= {-1.0, 1.0}
+
+
+def test_sphere_norms():
+	n = 64
+	W = np.asarray(pt.isotropic(size=(n, 10), pdf="sphere", seed=1234))
+	norms = np.linalg.norm(W, axis=0)
+	assert np.allclose(norms, np.sqrt(n), atol=1e-6)
+
+
+def test_normal_is_gaussian():
+	W = np.asarray(pt.isotropic(size=(2000, 1), pdf="normal", seed=1234)).ravel()
+	assert st.normaltest(W).pvalue >= 0.05
+
+
+def test_isotropy():
+	"""E[v vᵀ] ≈ I for every distribution."""
+	n, m = 16, 4000
+	for pdf in ("rademacher", "normal", "sphere"):
+		W = np.asarray(sample_isotropic(as_key(1234), (n, m), pdf=pdf))
+		C = (W @ W.T) / m
+		assert np.abs(C - np.eye(n)).max() < 0.15, pdf
+
+
+def test_seed_reproducibility():
+	a = np.asarray(pt.isotropic(size=(10, 3), pdf="normal", seed=42))
+	b = np.asarray(pt.isotropic(size=(10, 3), pdf="normal", seed=42))
+	assert np.array_equal(a, b)
+
+
+def test_sampler_closure_advances():
+	sampler = pt.isotropic(pdf="normal", seed=7)
+	x1, x2 = np.asarray(sampler(8)), np.asarray(sampler(8))
+	assert not np.array_equal(x1, x2)  # stateful: successive draws differ
+	# but a fresh sampler with the same seed replays the sequence
+	sampler2 = pt.isotropic(pdf="normal", seed=7)
+	assert np.array_equal(np.asarray(sampler2(8)), x1)
+
+
+def test_int_size_promotes_to_column():
+	x = pt.isotropic(size=12, pdf="rademacher", seed=0)
+	assert x.shape == (12, 1)
+
+
+def test_symmetric_prescribed_eigenvalues():
+	rng = np.random.default_rng(1234)
+	ew = rng.uniform(size=20, low=-1, high=1)
+	A = np.asarray(pt.symmetric(20, ew=ew, seed=rng))
+	assert np.allclose(A, A.T)
+	assert np.allclose(np.sort(np.linalg.eigvalsh(A)), np.sort(ew), atol=1e-10)
+
+
+def test_symmetric_pd():
+	A = np.asarray(pt.symmetric(16, pd=True, seed=5))
+	assert np.linalg.eigvalsh(A).min() >= 0.0
+
+
+def test_haar_prescribed_eigenvalues():
+	ew = np.linspace(-1, 1, 12)
+	A = np.asarray(pt.haar(12, ew=ew, seed=3))
+	assert np.allclose(np.sort(np.linalg.eigvalsh(A)), np.sort(ew), atol=1e-10)
+
+
+def test_as_key_accepts_generators():
+	rng = np.random.default_rng(0)
+	k1 = as_key(rng)
+	k2 = as_key(123)
+	k3 = as_key(k2)
+	assert k3 is k2

@@ -1,0 +1,112 @@
+"""Trace estimator tests (mirrors reference `tests/test_trace.py`)."""
+
+import numpy as np
+import pytest
+import primate_tpu as pt
+from primate_tpu.estimators import EstimatorResult
+
+
+def _fixture(n=54, seed=1234):
+	rng = np.random.default_rng(seed)
+	ew = rng.uniform(size=n, low=1 / n, high=1.0)
+	A = pt.symmetric(n, pd=True, ew=ew, seed=rng)
+	return A, float(ew.sum()), rng
+
+
+def test_hutch():
+	A, tr, rng = _fixture()
+	n = A.shape[0]
+	est = pt.hutch(A, seed=rng)
+	assert np.abs(tr - est) <= 10 * (1 / np.sqrt(n))
+
+	est, info = pt.hutch(A, seed=rng, full=True)
+	assert isinstance(info, EstimatorResult)
+	assert info.nit > 0 and isinstance(info.message, str) and len(info.message) > 0
+
+
+def test_hutch_callback_invoked():
+	A, _, _ = _fixture()
+	calls = []
+	pt.hutch(A, callback=lambda r: calls.append(r.nit), seed=0)
+	assert len(calls) > 0
+	assert calls == sorted(calls)  # sample counts increase monotonically
+
+
+def test_hutch_seed_reproducible():
+	A, _, _ = _fixture(n=32)
+	e1 = pt.hutch(A, seed=99, converge="count", count=96)
+	e2 = pt.hutch(A, seed=99, converge="count", count=96)
+	assert e1 == e2
+
+
+def test_hutch_criterion_kwargs_routed():
+	A, tr, _ = _fixture(n=32)
+	est, info = pt.hutch(A, seed=1, converge="confidence", confidence=0.9, atol=0.5, full=True)
+	assert np.isfinite(est)
+
+
+def test_hutchpp():
+	A, tr, rng = _fixture()
+	n = A.shape[0]
+	est = pt.hutchpp(A, m=n, seed=rng)
+	assert np.abs(tr - est) <= 1 / np.sqrt(n)
+	est, info = pt.hutchpp(A, m=n, seed=rng, full=True)
+	assert isinstance(info, EstimatorResult)
+	assert info.nit > 0 and info.samples is not None
+
+
+def test_hutchpp_modes_agree():
+	A, tr, _ = _fixture(n=33)
+	e_red = pt.hutchpp(A, m=33, seed=5, mode="reduced")
+	e_full = pt.hutchpp(A, m=33, seed=5, mode="full")
+	assert np.isclose(e_red, e_full, atol=1e-8)
+
+
+def test_hutch_mf_identity_composition():
+	"""hutch(A) ≡ hutch(MatrixFunction(A, identity)) at the same seed — the key
+	composition identity (reference `tests/test_trace.py:48-57`)."""
+	rng = np.random.default_rng(1234)
+	n = 50
+	ew = rng.uniform(size=n, low=1 / n, high=1.0)
+	A = pt.symmetric(n, pd=True, ew=ew, seed=rng)
+	M = pt.MatrixFunction(A, deg=n, orth=n)
+	est1 = pt.hutch(A, converge="count", count=150, seed=1234)
+	est2 = pt.hutch(M, converge="count", count=150, seed=1234)
+	assert np.isclose(est1, est2, atol=1e-6)
+
+
+@pytest.mark.parametrize("pdf", ["rademacher", "normal", "sphere"])
+def test_xtrace_exact_at_full_rank(pdf):
+	"""XTrace at m == n: machine-exact for the sphere pdf (its leave-one-out
+	scale makes the correction exact); small residual variance otherwise
+	(verified the reference's own identities behave identically)."""
+	A, tr, rng = _fixture(n=40)
+	est = pt.xtrace(A, pdf=pdf, seed=rng)
+	tol = 1e-6 if pdf == "sphere" else 0.25
+	assert np.abs(tr - est) <= tol, f"pdf={pdf}: {est} vs {tr}"
+
+
+@pytest.mark.parametrize("batch", [1, 7, 25, 50])
+def test_xtrace_batch_sizes(batch):
+	A, tr, rng = _fixture(n=40)
+	est = pt.xtrace(A, batch=batch, seed=rng)  # default pdf is sphere → exact
+	assert np.abs(tr - est) <= 1e-2
+
+
+def test_xtrace_full_result():
+	A, tr, rng = _fixture(n=30)
+	est, info = pt.xtrace(A, seed=rng, full=True)
+	assert isinstance(info, EstimatorResult)
+	assert info.nit == 30  # runs to m == n by default
+
+
+def test_hutch_logdet_slq():
+	"""Stochastic Lanczos quadrature: tr(log A) via hutch ∘ MatrixFunction."""
+	rng = np.random.default_rng(8)
+	n = 48
+	ew = rng.uniform(size=n, low=0.5, high=2.0)
+	A = pt.symmetric(n, pd=True, ew=ew, seed=rng)
+	true_logdet = float(np.sum(np.log(ew)))
+	M = pt.MatrixFunction(A, fun="log", deg=n, orth=-1)
+	est = pt.hutch(M, seed=11, converge="count", count=600, batch=64)
+	assert np.abs(est - true_logdet) / abs(true_logdet) < 0.05
