@@ -181,7 +181,8 @@ class BSROperator(LinearOperator):
 		if not sps.issparse(A):
 			A = sps.csr_matrix(np.asarray(A))
 		A = A.tobsr(blocksize=blocksize) if blocksize is not None else A.tobsr()
-		return cls(jnp.asarray(A.data, dtype=dtype), A.indices, A.indptr, A.shape)
+		data, indices, indptr = _pad_empty_block_rows(np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr))
+		return cls(jnp.asarray(data, dtype=dtype), indices, indptr, A.shape)
 
 	@classmethod
 	def from_dense(cls, A, blocksize: Tuple[int, int] = (8, 128)) -> "BSROperator":
@@ -192,7 +193,8 @@ class BSROperator(LinearOperator):
 		k = V.shape[1]
 		Vb = V.reshape(-1, bn, k)  # (n_bcol, bn, k)
 		gathered = Vb[self.indices]  # (nnzb, bn, k)
-		prod = jnp.einsum("zij,zjk->zik", self.blocks, gathered, preferred_element_type=jnp.float32)
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		prod = jnp.einsum("zij,zjk->zik", self.blocks, gathered, preferred_element_type=acc)
 		n_brow = self.indptr.shape[0] - 1
 		Y = jax.ops.segment_sum(prod, self.rowids, num_segments=n_brow)
 		return Y.reshape(self.shape[0], k).astype(self.dtype)
@@ -257,6 +259,33 @@ class GramOperator(LinearOperator):
 	@classmethod
 	def tree_unflatten(cls, aux, children):
 		return cls(children[0], transpose_first=aux)
+
+
+def _pad_empty_block_rows(data: np.ndarray, indices: np.ndarray, indptr: np.ndarray):
+	"""Insert one explicit zero block into each empty block-row (host-side).
+
+	The Pallas SpMM kernel writes each output tile only when its block-row is
+	visited; an empty block-row would leave that tile uninitialized. One zero
+	block per empty row guarantees full coverage at negligible cost.
+	"""
+	counts = np.diff(indptr)
+	empty = np.flatnonzero(counts == 0)
+	if empty.size == 0:
+		return data, indices, indptr
+	n_brow = len(counts)
+	bm, bn = data.shape[1:]
+	new_counts = np.where(counts == 0, 1, counts)
+	new_indptr = np.zeros(n_brow + 1, indptr.dtype)
+	np.cumsum(new_counts, out=new_indptr[1:])
+	new_data = np.zeros((new_indptr[-1], bm, bn), data.dtype)
+	new_indices = np.zeros(new_indptr[-1], indices.dtype)
+	# Scatter existing blocks into their (shifted) positions.
+	old_pos = np.arange(data.shape[0])
+	rowids = np.repeat(np.arange(n_brow), counts)
+	dest = new_indptr[rowids] + (old_pos - indptr[rowids])
+	new_data[dest] = data
+	new_indices[dest] = indices
+	return new_data, new_indices, new_indptr
 
 
 def _rmatmat(op: LinearOperator, V: jnp.ndarray) -> jnp.ndarray:
