@@ -1,0 +1,122 @@
+"""Headline benchmark: SLQ logdet on a sparse graph Laplacian (BASELINE config 2).
+
+Estimates ``logdet(L)`` for a 50k-node path-graph Laplacian (+I, SPD, ~150k
+nnz) by stochastic Lanczos quadrature: 64 Rademacher probes, degree-20 Krylov,
+Gauss-Welsch quadrature — the flagship fused program
+``hutch(MatrixFunction(L, "log"))``.
+
+Baseline: the same estimator implemented the reference's way — a host loop of
+serial per-probe Lanczos recurrences over scipy CSR matvecs (the architecture
+of ``src/primate/trace.py`` + ``include/lanczos.h``, with numpy standing in
+for Eigen). Identical probes-count/degree/quadrature, so vs_baseline is an
+apples-to-apples wall-time ratio on this machine.
+
+Prints ONE JSON line: {"metric", "value" (wall seconds), "unit", "vs_baseline"
+(baseline_time / our_time; >1 means faster than the reference architecture)}.
+"""
+
+import json
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+N = 50_000
+DEG = 20
+ORTH = 5
+PROBES = 64
+REPS = 5
+
+
+def build_laplacian(n: int) -> sps.csr_matrix:
+	main = 3.0 * np.ones(n, np.float32)
+	off = -1.0 * np.ones(n - 1, np.float32)
+	return sps.diags([off, main, off], [-1, 0, 1]).tocsr().astype(np.float32)
+
+
+def baseline_slq_logdet(A: sps.csr_matrix, deg: int, orth: int, probes: int, seed: int = 0) -> tuple:
+	"""Reference-architecture SLQ: serial per-probe Lanczos on host CSR matvecs."""
+	n = A.shape[0]
+	rng = np.random.default_rng(seed)
+	t0 = time.perf_counter()
+	total = 0.0
+	for _ in range(probes):
+		v = rng.integers(0, 2, n).astype(np.float32) * 2.0 - 1.0
+		nrm = np.linalg.norm(v)
+		q = v / nrm
+		Q = np.zeros((orth + 2, n), np.float32)
+		Q[0] = q
+		alphas = np.zeros(deg, np.float64)
+		betas = np.zeros(deg, np.float64)
+		beta = 0.0
+		q_prev = np.zeros(n, np.float32)
+		for j in range(deg):
+			w = A @ q - beta * q_prev
+			alpha = float(w @ q)
+			w -= alpha * q
+			for u in Q[: min(j + 1, orth)]:  # windowed MGS re-orth
+				w -= (w @ u) * u
+			beta = float(np.linalg.norm(w))
+			alphas[j], betas[j] = alpha, beta
+			if beta < 1e-10:
+				break
+			q_prev, q = q, w / beta
+			Q[(j + 1) % (orth + 2)] = q
+		T = np.diag(alphas) + np.diag(betas[: deg - 1], 1) + np.diag(betas[: deg - 1], -1)
+		theta, Y = np.linalg.eigh(T)
+		tau = Y[0, :] ** 2
+		total += float(np.sum(np.log(np.maximum(theta, 1e-30)) * tau) * nrm**2)
+	est = total / probes
+	return est, time.perf_counter() - t0
+
+
+def main() -> None:
+	import jax
+	import jax.numpy as jnp
+
+	import primate_tpu as pt
+	from primate_tpu.operators.sparse import DIAOperator
+
+	A = build_laplacian(N)
+
+	# --- ours: one fused device program ----------------------------------
+	# DIA: the TPU-native format for banded Laplacians (stencil matvec).
+	op = DIAOperator.from_scipy(A, dtype=jnp.float32)
+	M = pt.MatrixFunction(op, fun="log", deg=DEG, orth=ORTH, dtype=jnp.float32)
+
+	def run():
+		est = pt.hutch(M, batch=PROBES, converge="count", count=PROBES, seed=42)
+		return est
+
+	est = run()  # warmup/compile
+	times = []
+	for _ in range(REPS):
+		t0 = time.perf_counter()
+		run()
+		times.append(time.perf_counter() - t0)
+	ours = float(np.median(times))
+
+	# --- baseline: reference-architecture host loop ----------------------
+	base_est, base_time = baseline_slq_logdet(A, DEG, ORTH, PROBES)
+
+	# Sanity: both estimators near the exact logdet (eigenvalues are known).
+	k = np.arange(1, N + 1)
+	exact = float(np.sum(np.log(3.0 - 2.0 * np.cos(k * np.pi / (N + 1)))))
+	for name, val in (("ours", est), ("baseline", base_est)):
+		rel = abs(val - exact) / abs(exact)
+		assert rel < 0.05, f"{name} logdet rel err {rel:.3f} (est {val:.1f} vs exact {exact:.1f})"
+
+	print(
+		json.dumps(
+			{
+				"metric": f"slq_logdet_n{N}_deg{DEG}_probes{PROBES}_walltime",
+				"value": round(ours, 5),
+				"unit": "s",
+				"vs_baseline": round(base_time / ours, 2),
+			}
+		)
+	)
+
+
+if __name__ == "__main__":
+	main()

@@ -92,11 +92,17 @@ class DenseOperator(LinearOperator):
 		return self.A
 
 	def tree_flatten(self):
-		return (self.A,), None
+		return (self.A,), (self.shape, self.dtype)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		return cls(children[0])
+		# Rebuild without touching the leaf: unflatten must accept abstract
+		# placeholders (jit lowering, tree_map), so no jnp.asarray / attribute
+		# reads on children here.
+		obj = object.__new__(cls)
+		obj.A = children[0]
+		obj.shape, obj.dtype = aux
+		return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -157,12 +163,14 @@ class AffineOperator(LinearOperator):
 		return AV + self.t.astype(AV.dtype) * BV
 
 	def tree_flatten(self):
-		return (self.A, self.B, self.t), None
+		return (self.A, self.B, self.t), (self.shape, self.dtype)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		A, B, t = children
-		return cls(A, B, t)
+		obj = object.__new__(cls)
+		obj.A, obj.B, obj.t = children
+		obj.shape, obj.dtype = aux
+		return obj
 
 
 def is_linear_op(A: Any) -> bool:

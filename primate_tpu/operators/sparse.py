@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from .base import LinearOperator
 
-__all__ = ["COOOperator", "CSROperator", "BSROperator", "GramOperator"]
+__all__ = ["COOOperator", "CSROperator", "BSROperator", "DIAOperator", "GramOperator"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -61,11 +61,15 @@ class COOOperator(LinearOperator):
 		return jnp.zeros(self.shape, self.dtype).at[self.row, self.col].add(self.data)
 
 	def tree_flatten(self):
-		return (self.data, self.row, self.col), self.shape
+		return (self.data, self.row, self.col), (self.shape, self.dtype)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		return cls(*children, shape=aux)
+		# No jnp ops on children: unflatten must accept abstract placeholders.
+		obj = object.__new__(cls)
+		obj.data, obj.row, obj.col = children
+		obj.shape, obj.dtype = aux
+		return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -124,15 +128,17 @@ class CSROperator(LinearOperator):
 		A = sps.csr_matrix(
 			(np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)), shape=self.shape
 		)
-		return BSROperator.from_scipy(A.tobsr(blocksize=blocksize))
+		return BSROperator.from_scipy(A, blocksize=blocksize)
 
 	def tree_flatten(self):
-		return (self.data, self.indices, self.indptr, self.rowids), self.shape
+		return (self.data, self.indices, self.indptr, self.rowids), (self.shape, self.dtype)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		data, indices, indptr, rowids = children
-		return cls(data, indices, indptr, aux, rowids=rowids)
+		obj = object.__new__(cls)
+		obj.data, obj.indices, obj.indptr, obj.rowids = children
+		obj.shape, obj.dtype = aux
+		return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -158,13 +164,24 @@ class BSROperator(LinearOperator):
 		self.blocks = jnp.asarray(blocks)
 		self.indices = jnp.asarray(indices, jnp.int32)
 		self.indptr = jnp.asarray(indptr, jnp.int32)
-		self.shape = tuple(shape)
+		self.shape = tuple(shape)  # LOGICAL shape; the block grid may overhang
 		self.dtype = self.blocks.dtype
 		if rowids is None:
 			counts = np.diff(np.asarray(self.indptr))
 			rowids = np.repeat(np.arange(len(counts)), counts)
 		self.rowids = jnp.asarray(rowids, jnp.int32)
 		self.use_pallas = use_pallas
+
+	@property
+	def pshape(self) -> Tuple[int, int]:
+		"""Padded shape: the block grid rounded up to whole (bm × bn) tiles.
+
+		TPU-friendly blocksizes ((8, 128) lanes) rarely divide the logical n;
+		padding rows/cols are zero so matvecs are unaffected — ``matmat`` pads
+		the probe block in and slices the product back out.
+		"""
+		bm, bn = self.blocks.shape[1:]
+		return (-(-self.shape[0] // bm) * bm, -(-self.shape[1] // bn) * bn)
 
 	@property
 	def blocksize(self) -> Tuple[int, int]:
@@ -180,9 +197,18 @@ class BSROperator(LinearOperator):
 
 		if not sps.issparse(A):
 			A = sps.csr_matrix(np.asarray(A))
+		shape = A.shape
+		if blocksize is not None:
+			# Zero-pad the matrix to whole tiles so TPU-native blocksizes
+			# ((8,128), ...) work for any n; the logical shape is kept.
+			bm, bn = blocksize
+			padded = (-(-shape[0] // bm) * bm, -(-shape[1] // bn) * bn)
+			if padded != shape:
+				A = sps.csr_matrix(A)
+				A.resize(padded)
 		A = A.tobsr(blocksize=blocksize) if blocksize is not None else A.tobsr()
 		data, indices, indptr = _pad_empty_block_rows(np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr))
-		return cls(jnp.asarray(data, dtype=dtype), indices, indptr, A.shape)
+		return cls(jnp.asarray(data, dtype=dtype), indices, indptr, shape)
 
 	@classmethod
 	def from_dense(cls, A, blocksize: Tuple[int, int] = (8, 128)) -> "BSROperator":
@@ -191,13 +217,16 @@ class BSROperator(LinearOperator):
 	def _matmat_jnp(self, V: jnp.ndarray) -> jnp.ndarray:
 		bm, bn = self.blocksize
 		k = V.shape[1]
+		np_r, np_c = self.pshape
+		if V.shape[0] != np_c:
+			V = jnp.pad(V, ((0, np_c - V.shape[0]), (0, 0)))
 		Vb = V.reshape(-1, bn, k)  # (n_bcol, bn, k)
 		gathered = Vb[self.indices]  # (nnzb, bn, k)
 		acc = jnp.promote_types(self.dtype, jnp.float32)
 		prod = jnp.einsum("zij,zjk->zik", self.blocks, gathered, preferred_element_type=acc)
 		n_brow = self.indptr.shape[0] - 1
 		Y = jax.ops.segment_sum(prod, self.rowids, num_segments=n_brow)
-		return Y.reshape(self.shape[0], k).astype(self.dtype)
+		return Y.reshape(np_r, k)[: self.shape[0]].astype(self.dtype)
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		use_pallas = self.use_pallas
@@ -214,19 +243,125 @@ class BSROperator(LinearOperator):
 
 	def todense(self) -> jnp.ndarray:
 		bm, bn = self.blocksize
-		n_brow = self.indptr.shape[0] - 1
-		out = jnp.zeros((n_brow, self.shape[1] // bn, bm, bn), self.dtype)
+		np_r, np_c = self.pshape
+		out = jnp.zeros((np_r // bm, np_c // bn, bm, bn), self.dtype)
 		out = out.at[self.rowids, self.indices].add(self.blocks)
-		return out.transpose(0, 2, 1, 3).reshape(self.shape)
+		return out.transpose(0, 2, 1, 3).reshape(np_r, np_c)[: self.shape[0], : self.shape[1]]
 
 	def tree_flatten(self):
-		return (self.blocks, self.indices, self.indptr, self.rowids), (self.shape, self.use_pallas)
+		return (self.blocks, self.indices, self.indptr, self.rowids), (self.shape, self.dtype, self.use_pallas)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		blocks, indices, indptr, rowids = children
-		shape, use_pallas = aux
-		return cls(blocks, indices, indptr, shape, rowids=rowids, use_pallas=use_pallas)
+		obj = object.__new__(cls)
+		obj.blocks, obj.indices, obj.indptr, obj.rowids = children
+		obj.shape, obj.dtype, obj.use_pallas = aux
+		return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class DIAOperator(LinearOperator):
+	"""Diagonal/banded (DIA) operator: the speed-of-light format for stencils.
+
+	Graph/mesh Laplacians (the reference's flagship sparse workloads) are
+	banded after natural or RCM ordering; storing them as dense BSR tiles
+	inflates memory ~bm·bn/band-fold. DIA stores one length-n vector per
+	nonzero diagonal and the matvec is a pure VPU shift-multiply-add with
+	**zero gathers** — arithmetic intensity is bounded only by HBM streaming
+	of V, which is the actual speed-of-light for SpMV on TPU.
+
+	Convention (row-aligned): ``band[k][i] = A[i, i + offsets[k]]``, so
+	``out[i] += band[k][i] · v[i + offsets[k]]``. Offsets are static aux data,
+	making every slice static under jit.
+	"""
+
+	def __init__(self, bands: jnp.ndarray, offsets: Tuple[int, ...], shape: Tuple[int, int]):
+		self.bands = jnp.asarray(bands)  # (n_diags, n)
+		self.offsets = tuple(int(o) for o in offsets)
+		self.shape = tuple(shape)
+		self.dtype = self.bands.dtype
+
+	@classmethod
+	def from_scipy(cls, A, dtype=None) -> "DIAOperator":
+		A = A.todia()
+		n = A.shape[0]
+		offsets = tuple(int(o) for o in A.offsets)
+		# scipy stores column-aligned (data[k][j] = A[j-off, j]); shift to
+		# row-aligned and zero the out-of-range tail of each band.
+		bands = np.zeros((len(offsets), n), A.data.dtype)
+		for k, off in enumerate(offsets):
+			src = A.data[k]
+			if off >= 0:
+				m = n - off
+				bands[k, :m] = src[off : off + m]
+			else:
+				m = n + off
+				bands[k, -off : -off + m] = src[:m]
+		return cls(jnp.asarray(bands, dtype=dtype), offsets, A.shape)
+
+	@classmethod
+	def from_dense(cls, A, tol: float = 0.0) -> "DIAOperator":
+		import scipy.sparse as sps
+
+		return cls.from_scipy(sps.dia_matrix(np.asarray(A)))
+
+	@property
+	def nnz(self) -> int:
+		return int(np.prod(self.bands.shape))
+
+	def _matmat_jnp(self, V: jnp.ndarray) -> jnp.ndarray:
+		n = self.shape[0]
+		moff = max((abs(o) for o in self.offsets), default=0)
+		Vp = jnp.pad(V, ((moff, moff), (0, 0))) if moff else V
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		out = jnp.zeros((n, V.shape[1]), acc)
+		for k, off in enumerate(self.offsets):
+			out = out + self.bands[k, :, None].astype(acc) * Vp[moff + off : moff + off + n]
+		return out.astype(self.dtype)
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		from ..ops.dia_pallas import TILE
+
+		moff = max((abs(o) for o in self.offsets), default=0)
+		use_pallas = jax.default_backend() == "tpu" and moff <= TILE
+		if use_pallas:
+			from ..ops.dia_pallas import dia_matmat
+
+			return dia_matmat(self, V)
+		return self._matmat_jnp(V)
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		# Aᵀ has band'_{-d}[i] = band_d[i - d]; estimation targets are
+		# symmetric so the default is rarely exercised — keep it exact anyway.
+		n = self.shape[0]
+		moff = max((abs(o) for o in self.offsets), default=0)
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		out = jnp.zeros(n + 2 * moff, acc)
+		for k, off in enumerate(self.offsets):
+			out = out.at[moff + off : moff + off + n].add(self.bands[k].astype(acc) * v.astype(acc))
+		return out[moff : moff + n].astype(self.dtype)
+
+	def todense(self) -> jnp.ndarray:
+		n = self.shape[0]
+		out = jnp.zeros(self.shape, self.dtype)
+		idx = jnp.arange(n)
+		for k, off in enumerate(self.offsets):
+			valid = (idx + off >= 0) & (idx + off < n)
+			rows = jnp.where(valid, idx, 0)
+			cols = jnp.where(valid, idx + off, 0)
+			vals = jnp.where(valid, self.bands[k], 0)
+			out = out.at[rows, cols].add(vals)
+		return out
+
+	def tree_flatten(self):
+		return (self.bands,), (self.offsets, self.shape, self.dtype)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.bands = children[0]
+		obj.offsets, obj.shape, obj.dtype = aux
+		return obj
 
 
 @jax.tree_util.register_pytree_node_class

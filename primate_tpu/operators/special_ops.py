@@ -147,11 +147,17 @@ class Toeplitz(LinearOperator):
 		return jnp.real(Y[:n]).astype(self.dtype)
 
 	def tree_flatten(self):
-		return (self.c, self.r), None
+		# _dfft is data, not derived state: recomputing it in unflatten would
+		# re-trace an FFT into every transformed program (and break on
+		# abstract placeholder leaves during jit lowering).
+		return (self.c, self.r, self._dfft), (self.shape, self.dtype)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		return cls(children[0], children[1])
+		obj = object.__new__(cls)
+		obj.c, obj.r, obj._dfft = children
+		obj.shape, obj.dtype = aux
+		return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -170,11 +176,14 @@ class ScaledOperator(LinearOperator):
 		return (self.s * (AV + self.t * V)).astype(AV.dtype)
 
 	def tree_flatten(self):
-		return (self.A, self.t, self.s), None
+		return (self.A, self.t, self.s), (self.shape, self.dtype)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		return cls(*children)
+		obj = object.__new__(cls)
+		obj.A, obj.t, obj.s = children
+		obj.shape, obj.dtype = aux
+		return obj
 
 
 def normalize_unit(A, interval: tuple = (-1, 1), deg: int = 64, seed=None) -> ScaledOperator:

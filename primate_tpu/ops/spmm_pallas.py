@@ -111,17 +111,15 @@ def bsr_matmat(op, V: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndar
 		interpret = jax.default_backend() != "tpu"
 	blocks, rowids, colids = op.blocks, op.rowids, op.indices
 	n, m = op.shape
-	bm, bn = op.blocksize
-	if n % bm != 0 or m % bn != 0:
-		raise NotImplementedError("BSR Pallas kernel requires blocksize to divide the operator shape.")
+	np_r, np_c = op.pshape  # block grid padded to whole tiles
 	V = jnp.asarray(V)
 	single = V.ndim == 1
 	if single:
 		V = V[:, None]
 	k = V.shape[1]
 	k_pad = max(_round_up(k, 128), 128)
-	if k_pad != k:
-		V = jnp.pad(V, ((0, 0), (0, k_pad - k)))
-	out = bsr_matmat_pallas(blocks, rowids, colids, V, n_out=n, interpret=bool(interpret))
+	if k_pad != k or V.shape[0] != np_c:
+		V = jnp.pad(V, ((0, np_c - V.shape[0]), (0, k_pad - k)))
+	out = bsr_matmat_pallas(blocks, rowids, colids, V, n_out=np_r, interpret=bool(interpret))
 	out = out[:n, :k].astype(op.dtype)
 	return out[:, 0] if single else out

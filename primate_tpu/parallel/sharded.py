@@ -1,0 +1,367 @@
+"""Row/block-partitioned operators over a device mesh.
+
+The distributed analog of the reference's single-address-space Eigen matvec
+(``src/primate/include/eigen_operators.h:17-137``) — here each matvec is a
+local SpMM on every chip plus an ICI collective for the vector segments
+(SURVEY §5.7-5.8, BASELINE.json north star).
+
+Two communication schemes for sparse operators:
+
+  * ``comm="allgather"`` — probes stay replicated; each chip multiplies its
+    row block against the full probe block. General (any sparsity pattern);
+    one all-gather of the output rows per matvec, inserted by the out-spec.
+  * ``comm="halo"`` — probes are row-sharded like the operator; each chip
+    exchanges only its neighbor segments via two ring `ppermute`s (the
+    ring-attention analog) and contracts against the 3-segment extended
+    block. Valid when every stored block's column falls within the owning
+    chip's ±1 neighbor range — the usual case for banded/mesh Laplacians
+    after bandwidth-reducing (RCM) ordering. Falls back to all-gather when
+    the pattern is wider (``comm="auto"``).
+
+Dense operators need no explicit collectives at all: the array is laid out
+with a `NamedSharding` and XLA's SPMD partitioner inserts the optimal
+collective schedule for ``A @ V`` (the idiomatic JAX path).
+
+All sharded operators are pytrees, so the fused estimator programs (`hutch`,
+`diag`, `MatrixFunction.quad`, ...) run on them unchanged — the adaptive
+`lax.while_loop` stays on-device and its convergence reductions become
+cross-chip `psum`s automatically.
+"""
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..operators.base import LinearOperator, aslinop
+from ..operators.sparse import BSROperator, CSROperator
+
+__all__ = ["ShardedDenseOperator", "ShardedBSROperator", "shard_operator"]
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedDenseOperator(LinearOperator):
+	"""Dense operator laid out row-sharded on a mesh; GSPMD handles the rest.
+
+	The matvec is a plain ``A @ V`` — with ``A`` sharded ``P(op, None)`` and
+	``V`` replicated, XLA partitions the GEMM so each chip computes its row
+	block on its local MXU and the row-sharded product flows downstream
+	without any host involvement.
+	"""
+
+	def __init__(self, A: jnp.ndarray, mesh: Mesh, op_axis: str = "op", _pre_sharded: bool = False):
+		self.mesh = mesh
+		self.op_axis = op_axis
+		if not _pre_sharded:
+			A = jax.device_put(jnp.asarray(A), NamedSharding(mesh, P(op_axis, None)))
+		self.A = A
+		self.shape = tuple(A.shape)
+		self.dtype = A.dtype
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		return self.A @ V
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		return self.A.T @ v
+
+	def todense(self) -> jnp.ndarray:
+		return self.A
+
+	def tree_flatten(self):
+		return (self.A,), (self.mesh, self.op_axis, self.shape, self.dtype)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.A = children[0]
+		obj.mesh, obj.op_axis, obj.shape, obj.dtype = aux
+		return obj
+
+
+def _partition_bsr_host(
+	blocks: np.ndarray,
+	indices: np.ndarray,
+	indptr: np.ndarray,
+	ndev: int,
+	halo_col: bool,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, bool]:
+	"""Split BSR block-rows into ``ndev`` equal contiguous chunks (host-side).
+
+	Returns stacked per-device arrays ``(ndev, nnzb_max, ...)`` with every
+	local block-row covered by at least one (possibly zero) block, rows padded
+	to ``bpd = ceil(n_brow / ndev)`` per device, and a flag telling whether the
+	pattern satisfies the ±1-neighbor halo condition.
+	"""
+	n_brow = len(indptr) - 1
+	counts = np.diff(indptr)
+	rowids = np.repeat(np.arange(n_brow), counts)
+	bpd = -(-n_brow // ndev)
+	bm, bn = blocks.shape[1:]
+	n_brow_pad = bpd * ndev
+
+	halo_ok = True
+	dev_blocks, dev_rowids, dev_colids = [], [], []
+	for d in range(ndev):
+		lo, hi = d * bpd, (d + 1) * bpd
+		sel = (rowids >= lo) & (rowids < hi)
+		rb, cb, bl = rowids[sel] - lo, indices[sel], blocks[sel]
+		if halo_col:
+			halo_ok &= bool(np.all((cb >= (d - 1) * bpd) & (cb < (d + 2) * bpd))) if cb.size else True
+		# Cover every local row (incl. rows past n_brow on the last device).
+		missing = np.setdiff1d(np.arange(bpd), rb)
+		if missing.size:
+			pad_col = min(d * bpd, n_brow_pad - 1) if halo_col else 0
+			rb = np.concatenate([rb, missing])
+			cb = np.concatenate([cb, np.full(missing.size, pad_col, cb.dtype if cb.size else np.int32)])
+			bl = np.concatenate([bl, np.zeros((missing.size, bm, bn), blocks.dtype)])
+			order = np.argsort(rb, kind="stable")
+			rb, cb, bl = rb[order], cb[order], bl[order]
+		dev_blocks.append(bl)
+		dev_rowids.append(rb)
+		dev_colids.append(cb)
+
+	nnzb_max = max(b.shape[0] for b in dev_blocks)
+	for d in range(ndev):
+		pad = nnzb_max - dev_blocks[d].shape[0]
+		if pad:
+			pad_col = min(d * bpd, n_brow_pad - 1) if halo_col else 0
+			dev_blocks[d] = np.concatenate([dev_blocks[d], np.zeros((pad, bm, bn), blocks.dtype)])
+			dev_rowids[d] = np.concatenate([dev_rowids[d], np.full(pad, bpd - 1, np.int32)])
+			dev_colids[d] = np.concatenate([dev_colids[d], np.full(pad, pad_col, np.int32)])
+
+	return (
+		np.stack(dev_blocks).astype(blocks.dtype),
+		np.stack(dev_rowids).astype(np.int32),
+		np.stack(dev_colids).astype(np.int32),
+		bpd,
+		halo_ok,
+	)
+
+
+def _local_bsr_mm(blocks, rowids, colids, V, *, n_brow_loc: int, use_pallas: bool):
+	"""Per-chip SpMM of the local row block against a gatherable V segment."""
+	bm, bn = blocks.shape[1:]
+	k = V.shape[1]
+	acc = jnp.promote_types(blocks.dtype, jnp.float32)
+	if use_pallas:
+		from ..ops.spmm_pallas import bsr_matmat_pallas
+
+		k_pad = max(-(-k // 128) * 128, 128)
+		Vp = jnp.pad(V, ((0, 0), (0, k_pad - k))) if k_pad != k else V
+		out = bsr_matmat_pallas(blocks, rowids, colids, Vp, n_out=n_brow_loc * bm)
+		return out[:, :k].astype(blocks.dtype)
+	Vb = V.reshape(-1, bn, k)
+	prod = jnp.einsum("zij,zjk->zik", blocks, Vb[colids], preferred_element_type=acc)
+	Y = jax.ops.segment_sum(prod, rowids, num_segments=n_brow_loc)
+	return Y.reshape(n_brow_loc * bm, k).astype(blocks.dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+class ShardedBSROperator(LinearOperator):
+	"""Block-sparse operator row-partitioned across the ``op`` mesh axis.
+
+	Storage: per-device block lists stacked along a leading device axis and
+	laid out with ``P(op)``, so each chip holds exactly its contiguous band of
+	block-rows. ``matmat`` is a `shard_map`: local (Pallas) SpMM + the
+	communication scheme chosen at partition time (see module docstring).
+	"""
+
+	def __init__(
+		self,
+		blocks: jnp.ndarray,  # (ndev, nnzb_max, bm, bn)
+		rowids: jnp.ndarray,  # (ndev, nnzb_max) local block-row ids
+		colids: jnp.ndarray,  # (ndev, nnzb_max) global (allgather) / halo-window cols
+		shape: Tuple[int, int],
+		mesh: Mesh,
+		op_axis: str = "op",
+		probe_axis: Optional[str] = None,
+		comm: str = "allgather",
+		bpd: int = 0,
+		use_pallas: Optional[bool] = None,
+	):
+		self.blocks, self.rowids, self.colids = blocks, rowids, colids
+		self.shape = tuple(shape)
+		self.dtype = blocks.dtype
+		self.mesh = mesh
+		self.op_axis = op_axis
+		self.probe_axis = probe_axis
+		self.comm = comm
+		self.bpd = int(bpd)
+		self.use_pallas = use_pallas
+
+	# -- construction -----------------------------------------------------
+	@classmethod
+	def from_bsr(
+		cls,
+		A,
+		mesh: Mesh,
+		op_axis: str = "op",
+		probe_axis: Optional[str] = None,
+		comm: str = "auto",
+		blocksize: Optional[Tuple[int, int]] = None,
+		dtype=None,
+		use_pallas: Optional[bool] = None,
+	) -> "ShardedBSROperator":
+		"""Partition a BSR operator / scipy sparse matrix across ``mesh[op_axis]``."""
+		if not isinstance(A, BSROperator):
+			A = BSROperator.from_scipy(A, blocksize=blocksize, dtype=dtype)
+		blocks = np.asarray(A.blocks)
+		indices = np.asarray(A.indices)
+		indptr = np.asarray(A.indptr)
+		bm, bn = blocks.shape[1:]
+		ndev = mesh.shape[op_axis]
+
+		want_halo = comm in ("auto", "halo") and bm == bn
+		st_blocks, st_rowids, st_colids, bpd, halo_ok = _partition_bsr_host(
+			blocks, indices, indptr, ndev, halo_col=want_halo
+		)
+		if want_halo and halo_ok:
+			mode = "halo"
+			# Remap global block-cols into the 3-segment halo window
+			# [left | mine | right): local col = global col - (d-1)*bpd.
+			shift = (np.arange(ndev)[:, None] - 1) * bpd
+			st_colids = (st_colids - shift).astype(np.int32)
+		else:
+			if comm == "halo" and not halo_ok:
+				raise ValueError(
+					"comm='halo' requires every stored block within ±1 neighbor's rows; "
+					"reorder the matrix (e.g. RCM) or use comm='allgather'."
+				)
+			if want_halo:  # auto fell through: re-partition with global cols
+				st_blocks, st_rowids, st_colids, bpd, _ = _partition_bsr_host(
+					blocks, indices, indptr, ndev, halo_col=False
+				)
+			mode = "allgather"
+
+		spec = NamedSharding(mesh, P(op_axis))
+		return cls(
+			jax.device_put(jnp.asarray(st_blocks, dtype=dtype), spec),
+			jax.device_put(jnp.asarray(st_rowids), spec),
+			jax.device_put(jnp.asarray(st_colids), spec),
+			A.shape,
+			mesh,
+			op_axis,
+			probe_axis,
+			comm=mode,
+			bpd=bpd,
+			use_pallas=use_pallas,
+		)
+
+	# -- apply --------------------------------------------------------------
+	@property
+	def blocksize(self) -> Tuple[int, int]:
+		return tuple(self.blocks.shape[2:])
+
+	@property
+	def _n_row_pad(self) -> int:
+		return self.bpd * self.mesh.shape[self.op_axis] * self.blocksize[0]
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		n, k = self.shape[0], V.shape[1]
+		bm, bn = self.blocksize
+		np_c = -(-self.shape[1] // bn) * bn  # column grid padded to whole tiles
+		use_pallas = self.use_pallas
+		if use_pallas is None:
+			use_pallas = jax.default_backend() == "tpu"
+		op_ax, pr_ax = self.op_axis, self.probe_axis
+		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		local = partial(_local_bsr_mm, n_brow_loc=self.bpd, use_pallas=use_pallas)
+
+		if self.comm == "halo":
+			n_pad = self._n_row_pad
+			Vp = jnp.pad(V, ((0, n_pad - V.shape[0]), (0, 0))) if V.shape[0] != n_pad else V
+			ndev = self.mesh.shape[op_ax]
+			fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+			bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+			def shard_fn(blocks, rowids, colids, Vl):
+				blocks, rowids, colids = blocks[0], rowids[0], colids[0]
+				# Ring exchange of the two neighbor segments; the local
+				# contraction overlaps with the transfers in XLA's schedule.
+				V_left = lax.ppermute(Vl, op_ax, fwd)  # from left neighbor
+				V_right = lax.ppermute(Vl, op_ax, bwd)  # from right neighbor
+				V_ext = jnp.concatenate([V_left, Vl, V_right], axis=0)
+				return local(blocks, rowids, colids, V_ext)
+
+			out = jax.shard_map(
+				shard_fn,
+				mesh=self.mesh,
+				in_specs=(P(op_ax), P(op_ax), P(op_ax), P(op_ax, pr)),
+				out_specs=P(op_ax, pr),
+			)(self.blocks, self.rowids, self.colids, Vp)
+			return out[:n]
+
+		def shard_fn(blocks, rowids, colids, Vfull):
+			blocks, rowids, colids = blocks[0], rowids[0], colids[0]
+			return local(blocks, rowids, colids, Vfull)
+
+		Vp = jnp.pad(V, ((0, np_c - V.shape[0]), (0, 0))) if V.shape[0] != np_c else V
+		out = jax.shard_map(
+			shard_fn,
+			mesh=self.mesh,
+			in_specs=(P(op_ax), P(op_ax), P(op_ax), P(None, pr)),
+			out_specs=P(op_ax, pr),
+		)(self.blocks, self.rowids, self.colids, Vp)
+		return out[:n]
+
+	def todense(self) -> np.ndarray:
+		"""Host-side reconstruction (tests / small operators only)."""
+		blocks = np.asarray(self.blocks)
+		rowids = np.asarray(self.rowids)
+		colids = np.asarray(self.colids)
+		ndev, _, bm, bn = blocks.shape
+		n_pad = self._n_row_pad
+		out = np.zeros((n_pad, n_pad + (2 * self.bpd * bm if self.comm == "halo" else 0)))
+		for d in range(ndev):
+			for b in range(blocks.shape[1]):
+				r = d * self.bpd + rowids[d, b]
+				c = colids[d, b] + ((d - 1) * self.bpd if self.comm == "halo" else 0)
+				if 0 <= c * bn and (c + 1) * bn <= out.shape[1]:
+					out[r * bm : (r + 1) * bm, c * bn : (c + 1) * bn] += blocks[d, b]
+		return out[: self.shape[0], : self.shape[1]]
+
+	def tree_flatten(self):
+		children = (self.blocks, self.rowids, self.colids)
+		aux = (self.shape, self.dtype, self.mesh, self.op_axis, self.probe_axis, self.comm, self.bpd, self.use_pallas)
+		return children, aux
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.blocks, obj.rowids, obj.colids = children
+		obj.shape, obj.dtype, obj.mesh, obj.op_axis, obj.probe_axis, obj.comm, obj.bpd, obj.use_pallas = aux
+		return obj
+
+
+def shard_operator(
+	A,
+	mesh: Mesh,
+	op_axis: str = "op",
+	probe_axis: Optional[str] = None,
+	comm: str = "auto",
+	**kwargs,
+) -> LinearOperator:
+	"""Partition any supported operator across a mesh axis.
+
+	Dense arrays → :class:`ShardedDenseOperator`; BSR/CSR/scipy sparse →
+	:class:`ShardedBSROperator` (CSR is re-blocked first — block-sparse is the
+	TPU-native sparse layout).
+	"""
+	import scipy.sparse as sps
+
+	if isinstance(A, (jnp.ndarray, np.ndarray)) and getattr(A, "ndim", 0) == 2:
+		return ShardedDenseOperator(jnp.asarray(A), mesh, op_axis)
+	if isinstance(A, BSROperator):
+		return ShardedBSROperator.from_bsr(A, mesh, op_axis, probe_axis, comm, **kwargs)
+	if isinstance(A, CSROperator):
+		return ShardedBSROperator.from_bsr(A.tobsr(kwargs.pop("blocksize", (8, 8))), mesh, op_axis, probe_axis, comm, **kwargs)
+	if sps.issparse(A):
+		return ShardedBSROperator.from_bsr(A, mesh, op_axis, probe_axis, comm, **kwargs)
+	op = aslinop(A)
+	if hasattr(op, "A") and isinstance(op.A, jnp.ndarray):
+		return ShardedDenseOperator(op.A, mesh, op_axis)
+	raise TypeError(f"Cannot shard operator of type {type(A)}")

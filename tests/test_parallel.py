@@ -1,0 +1,125 @@
+"""Sharded-operator tests on the virtual 8-device CPU mesh.
+
+Mirrors SURVEY §4's plan: 1-chip vs N-chip sharded-SpMV tolerance equivalence
+and determinism across shardings (same seed → same estimate), the JAX way of
+testing "multi-node without a real cluster".
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.sparse as sps
+
+import primate_tpu as pt
+from primate_tpu.operators.sparse import BSROperator
+from primate_tpu.parallel import make_mesh, shard_operator, ShardedBSROperator, ShardedDenseOperator
+
+
+def _laplacian(n: int) -> sps.csr_matrix:
+	"""1-D path-graph Laplacian + I: banded, SPD, the halo-friendly fixture."""
+	main = 2.0 * np.ones(n) + 1.0
+	off = -1.0 * np.ones(n - 1)
+	return sps.diags([off, main, off], [-1, 0, 1]).tocsr()
+
+
+def _random_sym_sparse(n: int, seed: int) -> sps.csr_matrix:
+	rng = np.random.default_rng(seed)
+	A = sps.random(n, n, density=0.06, random_state=rng, format="csr")
+	return (A + A.T).tocsr()
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+	assert jax.device_count() >= 8, "conftest must force 8 virtual CPU devices"
+	return make_mesh((8, 1), ("op", "probe"))
+
+
+def test_mesh_shapes(mesh8):
+	assert mesh8.shape["op"] == 8 and mesh8.shape["probe"] == 1
+
+
+def test_sharded_dense_matmat(mesh8):
+	A = np.asarray(pt.symmetric(96, seed=0))
+	op = shard_operator(jnp.asarray(A), mesh8)
+	assert isinstance(op, ShardedDenseOperator)
+	V = np.random.default_rng(1).normal(size=(96, 5))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V)
+
+
+@pytest.mark.parametrize("comm", ["allgather", "halo"])
+def test_sharded_bsr_banded(mesh8, comm):
+	n = 128
+	A = _laplacian(n)
+	op = shard_operator(A, mesh8, comm=comm, blocksize=(8, 8))
+	assert isinstance(op, ShardedBSROperator)
+	assert op.comm == comm
+	V = np.random.default_rng(2).normal(size=(n, 7))
+	got = np.asarray(op.matmat(jnp.asarray(V)))
+	assert np.allclose(got, A @ V, atol=1e-10)
+	assert np.allclose(op.todense(), A.toarray())
+
+
+def test_sharded_bsr_general_pattern_falls_back(mesh8):
+	# Random pattern is wider than ±1 neighbors → auto picks allgather.
+	A = _random_sym_sparse(128, seed=3)
+	op = shard_operator(A, mesh8, comm="auto", blocksize=(8, 8))
+	assert op.comm == "allgather"
+	V = np.random.default_rng(4).normal(size=(128, 4))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-10)
+
+
+def test_halo_requested_but_invalid_raises(mesh8):
+	A = _random_sym_sparse(128, seed=5)
+	with pytest.raises(ValueError, match="halo"):
+		shard_operator(A, mesh8, comm="halo", blocksize=(8, 8))
+
+
+def test_uneven_rows_padding(mesh8):
+	# 9 block-rows over 8 devices: padding rows must contribute nothing.
+	n = 72  # 9 blocks of 8
+	A = _laplacian(n)
+	op = shard_operator(A, mesh8, comm="halo", blocksize=(8, 8))
+	V = np.random.default_rng(6).normal(size=(n, 3))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-10)
+
+
+def test_hutch_on_sharded_matches_unsharded(mesh8):
+	"""Same seed ⇒ identical estimate whether the operator is sharded or not."""
+	n = 96
+	A = _laplacian(n)
+	dense = jnp.asarray(A.toarray())
+	sharded = shard_operator(A, mesh8, comm="halo", blocksize=(8, 8))
+	est_ref = pt.hutch(dense, seed=11, converge="count", count=256)
+	est_shd = pt.hutch(sharded, seed=11, converge="count", count=256)
+	assert np.isclose(est_ref, est_shd, rtol=1e-8)
+	assert abs(est_shd - A.diagonal().sum()) < 10 / np.sqrt(n) * 3
+
+
+def test_lanczos_on_sharded(mesh8):
+	n = 96
+	A = _laplacian(n)
+	sharded = shard_operator(A, mesh8, comm="halo", blocksize=(8, 8))
+	ew_true = np.linalg.eigvalsh(A.toarray())
+	rw = pt.rayleigh_ritz(sharded, deg=n, orth=n, seed=7)
+	assert np.allclose(np.sort(np.asarray(rw)), ew_true, atol=1e-8)
+
+
+def test_probe_axis_sharding():
+	mesh = make_mesh((4, 2), ("op", "probe"))
+	n = 64
+	A = _laplacian(n)
+	op = shard_operator(A, mesh, probe_axis="probe", comm="halo", blocksize=(8, 8))
+	V = np.random.default_rng(8).normal(size=(n, 6))  # 6 probes over 2-way axis
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-10)
+
+
+def test_matrix_function_on_sharded(mesh8):
+	"""SLQ logdet on a sharded Laplacian — config-2 shape end to end."""
+	n = 96
+	A = _laplacian(n)
+	sharded = shard_operator(A, mesh8, comm="halo", blocksize=(8, 8))
+	M = pt.MatrixFunction(sharded, fun="log", deg=40, orth=40)
+	est = pt.hutch(M, seed=13, converge="count", count=312, batch=8)
+	true_logdet = np.linalg.slogdet(A.toarray())[1]
+	assert abs(est - true_logdet) / abs(true_logdet) < 0.05
