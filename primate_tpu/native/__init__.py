@@ -1,0 +1,118 @@
+"""Native (C++) sparse-prep runtime: device-layout conversion off the compute path.
+
+Role parity with the reference's native layer (`src/primate/include/*.h`,
+meson-built): on TPU all *compute* lives in XLA/Pallas, so the native code's
+job is the **data loader** — turning huge host CSR matrices into device-ready
+tiled BSR / banded DIA layouts in one pass, without scipy's intermediate
+copies. Compiled lazily with the system toolchain (g++ -O3) into a cached
+shared library and bound via ctypes; every entry point has a scipy/numpy
+fallback, so the package works without a compiler.
+"""
+
+import ctypes
+import subprocess
+import sysconfig
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["available", "csr_to_bsr_arrays", "csr_to_dia_arrays"]
+
+_HERE = Path(__file__).parent
+_SRC = _HERE / "sparse_prep.cpp"
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> Optional[ctypes.CDLL]:
+	so = _HERE / "_sparse_prep.so"
+	if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+		cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so)]
+		try:
+			subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+		except (OSError, subprocess.SubprocessError):
+			return None
+	lib = ctypes.CDLL(str(so))
+	lib.bsr_count.restype = ctypes.c_int64
+	lib.bsr_count.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, _i64p]
+	for suf, fp in (("f32", _f32p), ("f64", _f64p)):
+		fn = getattr(lib, f"bsr_fill_{suf}")
+		fn.restype = None
+		fn.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, fp, _i64p, fp, _i32p, _i64p]
+		fn = getattr(lib, f"dia_fill_{suf}")
+		fn.restype = None
+		fn.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, fp, ctypes.c_int64, _i64p, fp]
+	lib.dia_count.restype = ctypes.c_int64
+	lib.dia_count.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, _i64p]
+	return lib
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+	global _LIB, _TRIED
+	if not _TRIED:
+		_TRIED = True
+		_LIB = _build()
+	return _LIB
+
+
+def available() -> bool:
+	"""True when the native library compiled (or was cached) successfully."""
+	return _lib() is not None
+
+
+def _as_csr_parts(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+	import scipy.sparse as sps
+
+	A = sps.csr_matrix(A)
+	A.sum_duplicates()
+	data = np.ascontiguousarray(A.data)
+	if data.dtype not in (np.float32, np.float64):
+		data = data.astype(np.float64)
+	return (
+		data,
+		np.ascontiguousarray(A.indices, np.int32),
+		np.ascontiguousarray(A.indptr, np.int64),
+		A.shape,
+	)
+
+
+def csr_to_bsr_arrays(A, bm: int, bn: int):
+	"""CSR/scipy-sparse → (blocks (nnzb,bm,bn), colids, indptr_b) on the padded grid.
+
+	Single-pass native conversion with empty-row coverage blocks; None when
+	the native library is unavailable (callers fall back to scipy tobsr).
+	"""
+	lib = _lib()
+	if lib is None:
+		return None
+	data, indices, indptr, (n, m) = _as_csr_parts(A)
+	n_brow = -(-n // bm)
+	counts = np.zeros(n_brow, np.int64)
+	nnzb = lib.bsr_count(n, m, bm, bn, indptr, indices, counts)
+	blocks = np.zeros((nnzb, bm, bn), data.dtype)
+	colids = np.zeros(nnzb, np.int32)
+	indptr_b = np.zeros(n_brow + 1, np.int64)
+	fill = lib.bsr_fill_f32 if data.dtype == np.float32 else lib.bsr_fill_f64
+	fill(n, m, bm, bn, indptr, indices, data, counts, blocks, colids, indptr_b)
+	return blocks, colids, indptr_b
+
+
+def csr_to_dia_arrays(A):
+	"""CSR/scipy-sparse → (offsets tuple, row-aligned bands (n_d, n)); None w/o native."""
+	lib = _lib()
+	if lib is None:
+		return None
+	data, indices, indptr, (n, m) = _as_csr_parts(A)
+	offsets_buf = np.zeros(n + m - 1, np.int64)
+	n_d = lib.dia_count(n, m, indptr, indices, offsets_buf)
+	offsets = np.ascontiguousarray(offsets_buf[:n_d])
+	bands = np.zeros((n_d, n), data.dtype)
+	fill = lib.dia_fill_f32 if data.dtype == np.float32 else lib.dia_fill_f64
+	fill(n, m, indptr, indices, data, n_d, offsets, bands)
+	return tuple(int(o) for o in offsets), bands

@@ -192,12 +192,23 @@ class BSROperator(LinearOperator):
 		return int(np.prod(self.blocks.shape))
 
 	@classmethod
-	def from_scipy(cls, A, blocksize: Optional[Tuple[int, int]] = None, dtype=None) -> "BSROperator":
+	def from_scipy(cls, A, blocksize: Optional[Tuple[int, int]] = None, dtype=None, engine: str = "auto") -> "BSROperator":
 		import scipy.sparse as sps
 
 		if not sps.issparse(A):
 			A = sps.csr_matrix(np.asarray(A))
 		shape = A.shape
+		if blocksize is not None and engine in ("auto", "native"):
+			# Native single-pass CSR→BSR (padded grid + coverage, no scipy
+			# resize/tobsr copies); silently falls back when not compiled.
+			from ..native import csr_to_bsr_arrays
+
+			parts = csr_to_bsr_arrays(A, *blocksize)
+			if parts is not None:
+				blocks, colids, indptr_b = parts
+				return cls(jnp.asarray(blocks, dtype=dtype), colids, indptr_b, shape)
+			if engine == "native":
+				raise RuntimeError("native sparse-prep library unavailable (no C++ toolchain?)")
 		if blocksize is not None:
 			# Zero-pad the matrix to whole tiles so TPU-native blocksizes
 			# ((8,128), ...) work for any n; the logical shape is kept.
@@ -282,7 +293,16 @@ class DIAOperator(LinearOperator):
 		self.dtype = self.bands.dtype
 
 	@classmethod
-	def from_scipy(cls, A, dtype=None) -> "DIAOperator":
+	def from_scipy(cls, A, dtype=None, engine: str = "auto") -> "DIAOperator":
+		if engine in ("auto", "native"):
+			from ..native import csr_to_dia_arrays
+
+			parts = csr_to_dia_arrays(A)
+			if parts is not None:
+				offsets, bands = parts
+				return cls(jnp.asarray(bands, dtype=dtype), offsets, A.shape)
+			if engine == "native":
+				raise RuntimeError("native sparse-prep library unavailable (no C++ toolchain?)")
 		A = A.todia()
 		n = A.shape[0]
 		offsets = tuple(int(o) for o in A.offsets)

@@ -1,0 +1,140 @@
+"""Convergence / spectral-density figures (matplotlib).
+
+Parity: reference ``src/primate/plotting.py:7-169`` (`figure_csm`,
+`figure_jacobi`, `figure_sequence`, `figure_error`) — same four figures and
+semantics, rendered with matplotlib (bokeh is the reference's choice, not a
+library capability; the estimator-facing API is identical). Excluded from the
+numeric compute path; imports lazily so headless installs never pay for it.
+"""
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+__all__ = ["figure_csm", "figure_jacobi", "figure_sequence", "figure_error"]
+
+
+def _sample_values(estimator) -> np.ndarray:
+	"""Extract the recorded per-sample values from an estimator or a sequence."""
+	if hasattr(estimator, "values"):
+		vals = estimator.values
+		assert vals is not None, (
+			"Estimator does not have values attached! Did you pass 'record=True' to the estimation call?"
+		)
+		return np.ravel(np.asarray(vals))
+	return np.asarray(estimator, dtype=float).ravel()
+
+
+def figure_csm(values: np.ndarray, ax=None, **kwargs):
+	"""Cumulative spectral density: step CDF of the eigenvalues + rug marks.
+
+	Parity: reference `plotting.py:7-29`.
+	"""
+	import matplotlib.pyplot as plt
+
+	values = np.sort(np.asarray(values).ravel())
+	if ax is None:
+		_, ax = plt.subplots(figsize=kwargs.pop("figsize", (4.5, 3.2)))
+	m = 1.0 / len(values)
+	csm = np.searchsorted(values, values, side="right") * m
+	ax.fill_between(np.append(values, values[-1]), 0, np.append(csm, 1.0), step="post", alpha=0.15)
+	ax.step(np.append(values, values[-1]), np.append(csm, 1.0), where="post", lw=1.2)
+	ax.plot(values, np.zeros_like(values), "x", color="red", ms=5, label="Eigenvalues")
+	ax.set_title("Cumulative spectral density")
+	ax.set_xlabel("Spectrum")
+	ax.set_ylabel(r"$\mathbf{1}(\lambda \leq x)$")
+	ax.legend(loc="upper left", fontsize=8)
+	return ax
+
+
+def figure_jacobi(deg: int = 4, alpha: float = 0, beta: float = 0, ax=None):
+	"""The first ``deg`` Jacobi polynomials on [-1, 1].
+
+	Parity: reference `plotting.py:36-60`.
+	"""
+	import matplotlib.pyplot as plt
+	import scipy.special as spc
+
+	assert deg <= 10
+	if ax is None:
+		_, ax = plt.subplots(figsize=(4.5, 3.6))
+	dom = np.linspace(-1, 1, 1500)
+	for d in range(deg):
+		ax.plot(dom, spc.eval_jacobi(d, alpha, beta, dom), lw=1.5, label=f"d={d}")
+	ax.set_title(rf"Jacobi polynomials ($\alpha$={alpha:.1f}, $\beta$={beta:.1f})")
+	ax.legend(loc="lower right", fontsize=8)
+	return ax
+
+
+def figure_sequence(estimator: Union[object, Sequence], mu: Optional[float] = None, ax=None, **kwargs):
+	"""Per-sample variates + running mean, with an optional true-value line.
+
+	Parity: reference `plotting.py:63-95`.
+	"""
+	import matplotlib.pyplot as plt
+
+	sample_vals = _sample_values(estimator)
+	valid = ~np.isnan(sample_vals)
+	n_samples = int(np.sum(valid))
+	idx = np.arange(1, n_samples + 1)
+	avgs = np.cumsum(sample_vals[valid]) / idx
+
+	if ax is None:
+		_, ax = plt.subplots(figsize=kwargs.pop("figsize", (5, 3.6)))
+	ax.scatter(idx, sample_vals[valid], s=8, color="gray", label="samples")
+	if mu is not None:
+		ax.axhline(mu, color="red", lw=1.0)
+	ax.plot(idx, avgs, color="black", lw=1.5, label="estimator")
+	ax.set_title("Monte Carlo sample variates")
+	ax.set_xlabel("Sample index")
+	ax.set_ylabel("Estimates")
+	ax.legend(loc="upper left", fontsize=8)
+	return ax
+
+
+def figure_error(
+	estimator: Union[object, Sequence],
+	mu: Optional[float] = None,
+	threshold: Optional[float] = None,
+	absolute: bool = True,
+	title: str = "Estimator accuracy",
+	ax=None,
+	**kwargs,
+):
+	"""Error of the running mean vs sample count: true error (``mu`` given) or
+	the CLT confidence-interval bound (``mu`` absent).
+
+	Parity: reference `plotting.py:117-169`.
+	"""
+	import matplotlib.pyplot as plt
+
+	from .estimators import ConfidenceCriterion, MeanEstimator
+
+	sample_vals = _sample_values(estimator)
+	valid = ~np.isnan(sample_vals)
+	idx = np.arange(1, int(np.sum(valid)) + 1)
+	avgs = np.cumsum(sample_vals[valid]) / idx
+
+	if mu is not None:
+		cum_error = np.abs(mu - avgs) if absolute else np.abs((mu - avgs) / mu)
+	else:
+		est = MeanEstimator(covariance=True)
+		cc = ConfidenceCriterion(confidence=0.95)
+		cum_error = []
+		for sample in sample_vals[valid]:
+			est.update(np.asarray([sample]))
+			moe, rerr = cc._error(est.snapshot())
+			cum_error.append(float(moe) if absolute else float(rerr))
+		cum_error = np.asarray(cum_error)
+
+	if ax is None:
+		_, ax = plt.subplots(figsize=kwargs.pop("figsize", (5, 3.6)))
+	ax.plot(idx, cum_error, color="black", lw=1.2)
+	if threshold is not None:
+		ax.axhline(threshold, color="darkgray", ls="--", lw=1.0)
+	y_label = ("Abs. error" if absolute else "Rel. error") + (" (true)" if mu is not None else " (CI bound)")
+	ax.set_title(title)
+	ax.set_xlabel("Sample index")
+	ax.set_ylabel(y_label)
+	ax.set_xlim(0, len(idx))
+	return ax
