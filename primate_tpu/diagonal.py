@@ -102,6 +102,7 @@ def diag(
 
 	if callback is None and not record:
 		carry = _diag_fused(op, criterion, key, n=N, pdf=pdf, maxiter=int(maxiter))
+		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
 		estimate = np.asarray(carry.mean.mu)
 		if not full:

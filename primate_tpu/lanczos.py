@@ -65,7 +65,7 @@ def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_bas
 	return deg, orth, ncv
 
 
-@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes"))
+@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis"))
 def lanczos_block(
 	matmat: Callable[[jnp.ndarray], jnp.ndarray],
 	V0: jnp.ndarray,
@@ -74,22 +74,36 @@ def lanczos_block(
 	orth: int = 0,
 	rtol: float = 1e-8,
 	reorth_passes: int = 2,
+	return_basis: bool = True,
 ) -> LanczosOutput:
 	"""Run ``deg`` Lanczos steps on a block of probes ``V0 (n, nv)`` — pure/jittable.
 
 	``matmat`` applies the symmetric operator to an ``(n, nv)`` block. Each scan
 	step costs one ``matmat`` plus O(ncv) batched inner products. See module
 	docstring for the design rationale.
+
+	Performance notes (the scan step is HBM-bound — every full-array op is a
+	~n·nv pass):
+	  * with ``return_basis=False`` and ``orth == 0`` no basis window is
+	    carried at all — the quadrature path (`MatrixFunction.quad`) only needs
+	    (α, β), and skipping the window removes the dominant carry traffic;
+	  * early-exit freezing relies on zero-propagation instead of full-array
+	    selects: once β ≈ 0, the guarded divide makes q_next ≈ 0 and the
+	    recurrence self-extinguishes (matmat(0) = 0), so only the tiny (nv,)
+	    α/β outputs need masking. The basis window (when kept) still masks its
+	    slot writes so early-exit columns retain their last valid vectors
+	    (reference zero-fill semantics, `lanczos.h:139-141`).
 	"""
 	n, nv = V0.shape
 	dtype = V0.dtype
 	acc_dtype = jnp.promote_types(dtype, jnp.float32)  # f32 accumulation for bf16 storage
+	keep_window = return_basis or orth > 0
 
 	norm0 = jnp.sqrt(jnp.sum(V0.astype(acc_dtype) ** 2, axis=0))
 	q0 = (V0 / jnp.where(norm0 > 0, norm0, 1).astype(dtype)).astype(dtype)
 	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
 
-	Q_win = jnp.zeros((ncv, n, nv), dtype).at[0].set(q0)
+	Q_win = jnp.zeros((ncv, n, nv), dtype).at[0].set(q0) if keep_window else jnp.zeros((0,), dtype)
 	carry0 = (
 		jnp.zeros((n, nv), dtype),  # q_prev
 		q0,  # q_cur
@@ -122,21 +136,20 @@ def lanczos_block(
 		alpha_out = jnp.where(done, 0.0, alpha_j)
 		beta_out = jnp.where(done, 0.0, beta_next)
 
-		q_next = (v / jnp.where(beta_next > 0, beta_next, 1)[None, :]).astype(dtype)
-		advance = ~(done | newly_done) & (j + 1 < deg)
-		q_next = jnp.where(advance[None, :], q_next, 0).astype(dtype)
-		slot = (j + 1) % ncv
-		old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
-		new_slot = jnp.where(advance[None, :], q_next, old_slot)
-		Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
+		# Guarded divide: once β vanishes, q_next ≈ 0 and the recurrence
+		# self-extinguishes — no full-array freeze selects needed.
+		q_next = (v / jnp.where(beta_next > residual_tol, beta_next, jnp.inf)[None, :]).astype(dtype)
+		if keep_window:
+			advance = ~(done | newly_done) & (j + 1 < deg)
+			slot = (j + 1) % ncv
+			old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
+			new_slot = jnp.where(advance[None, :], q_next, old_slot)
+			Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
 
-		q_prev_n = jnp.where(advance[None, :], q_cur, q_prev)
-		q_cur_n = jnp.where(advance[None, :], q_next, q_cur)
-		beta_n = jnp.where(advance, beta_next, beta_j)
-		return (q_prev_n, q_cur_n, Q_win, beta_n, done | newly_done), (alpha_out, beta_out)
+		return (q_cur, q_next, Q_win, beta_next, done | newly_done), (alpha_out, beta_out)
 
 	(_, _, Q_win, _, _), (alphas, betas) = lax.scan(step, carry0, jnp.arange(deg))
-	return LanczosOutput(alphas=alphas, betas=betas, Q=Q_win)
+	return LanczosOutput(alphas=alphas, betas=betas, Q=Q_win if keep_window else None)
 
 
 def lanczos(

@@ -66,10 +66,12 @@ class MatrixFunction(LinearOperator):
 	def operator(self) -> LinearOperator:
 		return self._A
 
-	def _lanczos(self, X: jnp.ndarray, ncv: int):
+	def _lanczos(self, X: jnp.ndarray, ncv: int, return_basis: bool = True):
 		from ..lanczos import lanczos_block
 
-		return lanczos_block(self._A.matmat, X, deg=self._deg, ncv=ncv, orth=self._orth, rtol=self._rtol)
+		return lanczos_block(
+			self._A.matmat, X, deg=self._deg, ncv=ncv, orth=self._orth, rtol=self._rtol, return_basis=return_basis
+		)
 
 	def _matmat(self, X: jnp.ndarray) -> jnp.ndarray:
 		X = jnp.asarray(X, dtype=self.dtype)
@@ -91,7 +93,7 @@ class MatrixFunction(LinearOperator):
 		X = X[:, None] if X.ndim == 1 else X
 		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
-		out = self._lanczos(X, ncv=ncv)
+		out = self._lanczos(X, ncv=ncv, return_basis=False)  # quadrature needs only (α, β)
 		nodes, weights = quadrature(out.alphas.T, out.betas[: self._deg - 1].T, deg=self._deg, quad="gw")
 		vals = jnp.sum(jnp.atleast_2d(self.fun(nodes)) * weights, axis=-1)
 		return (vals * x_norm_sq).astype(self.dtype)

@@ -17,6 +17,7 @@ from .mesh import make_mesh, mesh_devices, initialize_distributed
 from .sharded import (
 	ShardedDenseOperator,
 	ShardedBSROperator,
+	ShardedDIAOperator,
 	shard_operator,
 )
 
@@ -26,5 +27,6 @@ __all__ = [
 	"initialize_distributed",
 	"ShardedDenseOperator",
 	"ShardedBSROperator",
+	"ShardedDIAOperator",
 	"shard_operator",
 ]

@@ -38,9 +38,9 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..operators.base import LinearOperator, aslinop
-from ..operators.sparse import BSROperator, CSROperator
+from ..operators.sparse import BSROperator, CSROperator, DIAOperator
 
-__all__ = ["ShardedDenseOperator", "ShardedBSROperator", "shard_operator"]
+__all__ = ["ShardedDenseOperator", "ShardedBSROperator", "ShardedDIAOperator", "shard_operator"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -337,6 +337,108 @@ class ShardedBSROperator(LinearOperator):
 		return obj
 
 
+@jax.tree_util.register_pytree_node_class
+class ShardedDIAOperator(LinearOperator):
+	"""Banded (DIA) operator row-partitioned with minimal halo exchange.
+
+	The cleanest distributed SpMV on TPU: bands are row-sharded, probes are
+	row-sharded, and each matvec exchanges only ``moff = max|offset|`` boundary
+	rows with each ring neighbor via `ppermute` — traffic O(moff·k) per chip
+	regardless of n, overlapped with the local stencil by XLA's scheduler.
+	Requires ``moff ≤ rows-per-chip`` (±1-neighbor halo).
+	"""
+
+	def __init__(
+		self,
+		bands: jnp.ndarray,  # (n_d, n_pad) row-aligned, row axis sharded P(op)
+		offsets: Tuple[int, ...],
+		shape: Tuple[int, int],
+		mesh: Mesh,
+		op_axis: str = "op",
+		probe_axis: Optional[str] = None,
+	):
+		self.bands = bands
+		self.offsets = tuple(int(o) for o in offsets)
+		self.shape = tuple(shape)
+		self.dtype = bands.dtype
+		self.mesh = mesh
+		self.op_axis = op_axis
+		self.probe_axis = probe_axis
+
+	@classmethod
+	def from_dia(
+		cls,
+		A,
+		mesh: Mesh,
+		op_axis: str = "op",
+		probe_axis: Optional[str] = None,
+		dtype=None,
+	) -> "ShardedDIAOperator":
+		if not isinstance(A, DIAOperator):
+			A = DIAOperator.from_scipy(A, dtype=dtype)
+		n = A.shape[0]
+		ndev = mesh.shape[op_axis]
+		n_loc = -(-n // ndev)
+		n_pad = n_loc * ndev
+		moff = max((abs(o) for o in A.offsets), default=0)
+		if moff > n_loc:
+			raise ValueError(
+				f"halo width {moff} exceeds rows-per-chip {n_loc}; use fewer chips or reorder (RCM) to shrink the band."
+			)
+		bands = jnp.pad(A.bands, ((0, 0), (0, n_pad - n))) if n_pad != n else A.bands
+		bands = jax.device_put(jnp.asarray(bands, dtype=dtype), NamedSharding(mesh, P(None, op_axis)))
+		return cls(bands, A.offsets, A.shape, mesh, op_axis, probe_axis)
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		n = self.shape[0]
+		ndev = self.mesh.shape[self.op_axis]
+		n_pad = self.bands.shape[1]
+		n_loc = n_pad // ndev
+		moff = max((abs(o) for o in self.offsets), default=0)
+		op_ax, pr_ax = self.op_axis, self.probe_axis
+		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		offsets = self.offsets
+		fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+		bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+		def shard_fn(bands_loc, Vl):
+			acc = jnp.promote_types(bands_loc.dtype, jnp.float32)
+			if moff:
+				# Exchange only the boundary rows: tail→right, head→left.
+				tail_from_left = lax.ppermute(Vl[-moff:], op_ax, fwd)
+				head_from_right = lax.ppermute(Vl[:moff], op_ax, bwd)
+				V_ext = jnp.concatenate([tail_from_left, Vl, head_from_right], axis=0)
+			else:
+				V_ext = Vl
+			out = jnp.zeros((n_loc, Vl.shape[1]), acc)
+			for d, off in enumerate(offsets):
+				out = out + bands_loc[d, :, None].astype(acc) * V_ext[moff + off : moff + off + n_loc]
+			return out.astype(bands_loc.dtype)
+
+		Vp = jnp.pad(V, ((0, n_pad - V.shape[0]), (0, 0))) if V.shape[0] != n_pad else V
+		out = jax.shard_map(
+			shard_fn,
+			mesh=self.mesh,
+			in_specs=(P(None, op_ax), P(op_ax, pr)),
+			out_specs=P(op_ax, pr),
+		)(self.bands, Vp)
+		return out[:n]
+
+	def todense(self) -> np.ndarray:
+		op = DIAOperator(np.asarray(self.bands)[:, : self.shape[0]], self.offsets, self.shape)
+		return np.asarray(op.todense())
+
+	def tree_flatten(self):
+		return (self.bands,), (self.offsets, self.shape, self.dtype, self.mesh, self.op_axis, self.probe_axis)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.bands = children[0]
+		obj.offsets, obj.shape, obj.dtype, obj.mesh, obj.op_axis, obj.probe_axis = aux
+		return obj
+
+
 def shard_operator(
 	A,
 	mesh: Mesh,
@@ -355,11 +457,15 @@ def shard_operator(
 
 	if isinstance(A, (jnp.ndarray, np.ndarray)) and getattr(A, "ndim", 0) == 2:
 		return ShardedDenseOperator(jnp.asarray(A), mesh, op_axis)
+	if isinstance(A, DIAOperator):
+		return ShardedDIAOperator.from_dia(A, mesh, op_axis, probe_axis, **kwargs)
 	if isinstance(A, BSROperator):
 		return ShardedBSROperator.from_bsr(A, mesh, op_axis, probe_axis, comm, **kwargs)
 	if isinstance(A, CSROperator):
 		return ShardedBSROperator.from_bsr(A.tobsr(kwargs.pop("blocksize", (8, 8))), mesh, op_axis, probe_axis, comm, **kwargs)
 	if sps.issparse(A):
+		if getattr(A, "format", None) == "dia":
+			return ShardedDIAOperator.from_dia(A, mesh, op_axis, probe_axis, **kwargs)
 		return ShardedBSROperator.from_bsr(A, mesh, op_axis, probe_axis, comm, **kwargs)
 	op = aslinop(A)
 	if hasattr(op, "A") and isinstance(op.A, jnp.ndarray):

@@ -138,6 +138,10 @@ def hutch(
 
 	if callback is None:
 		carry = _hutch_fused(op, criterion, key, n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record)
+		# ONE device→host transfer for the whole final carry: every later read
+		# is host numpy (each separate pull costs a full round trip, which
+		# dominates wall time on remote-attached accelerators).
+		carry = jax.device_get(carry)
 		estimator = MeanEstimator.from_state(carry.cov, delta=carry.delta, values=carry.values)
 		estimate = float(np.asarray(carry.cov.mu)[0]) if int(carry.cov.n) > 0 else np.nan
 		if not full:
