@@ -74,3 +74,19 @@ __all__ = [
 	"xdiag",
 	"xtrace",
 ]
+
+
+def get_include() -> str:
+	"""Directory containing primate_tpu's native C headers (``sparse_prep.h``).
+
+	Parity: reference ``primate.get_include()`` (`__init__.py:17-38`), which
+	exposes its C++ operator headers to downstream extensions. Here the
+	*compute* extension point is the operator protocol (any jittable callable);
+	the header covers the host-side sparse-prep C ABI for external data
+	loaders::
+
+	    Extension('ext', ..., include_dirs=[primate_tpu.get_include()])
+	"""
+	import os
+
+	return os.path.join(os.path.dirname(__file__), "native")

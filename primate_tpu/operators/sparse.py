@@ -240,9 +240,11 @@ class BSROperator(LinearOperator):
 		return Y.reshape(np_r, k)[: self.shape[0]].astype(self.dtype)
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		from ..ops.spmm_pallas import MAX_PREFETCH_BLOCKS
+
 		use_pallas = self.use_pallas
 		if use_pallas is None:
-			use_pallas = jax.default_backend() == "tpu"
+			use_pallas = jax.default_backend() == "tpu" and self.blocks.shape[0] <= MAX_PREFETCH_BLOCKS
 		if use_pallas:
 			try:
 				from ..ops.spmm_pallas import bsr_matmat

@@ -36,7 +36,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["bsr_matmat", "bsr_matmat_pallas"]
+__all__ = ["bsr_matmat", "bsr_matmat_pallas", "MAX_PREFETCH_BLOCKS"]
+
+# The row/col id arrays are scalar-prefetched into SMEM (so the pipeline can
+# compute DMA addresses ahead of each step); SMEM is tiny, so cap the kernel
+# at ~16k stored blocks (2 × 4B × 16k = 128 KB) — larger operators take the
+# XLA gather+segment_sum path, which is within ~10% of the kernel anyway.
+MAX_PREFETCH_BLOCKS = 16_384
 
 
 def _round_up(x: int, m: int) -> int:

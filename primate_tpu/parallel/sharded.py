@@ -264,9 +264,11 @@ class ShardedBSROperator(LinearOperator):
 		n, k = self.shape[0], V.shape[1]
 		bm, bn = self.blocksize
 		np_c = -(-self.shape[1] // bn) * bn  # column grid padded to whole tiles
+		from ..ops.spmm_pallas import MAX_PREFETCH_BLOCKS
+
 		use_pallas = self.use_pallas
 		if use_pallas is None:
-			use_pallas = jax.default_backend() == "tpu"
+			use_pallas = jax.default_backend() == "tpu" and self.blocks.shape[1] <= MAX_PREFETCH_BLOCKS
 		op_ax, pr_ax = self.op_axis, self.probe_axis
 		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
 		local = partial(_local_bsr_mm, n_brow_loc=self.bpd, use_pallas=use_pallas)
