@@ -52,7 +52,8 @@ class LanczosOutput(NamedTuple):
 
 	alphas: jnp.ndarray
 	betas: jnp.ndarray
-	Q: jnp.ndarray
+	Q: Optional[jnp.ndarray]
+	y: Optional[jnp.ndarray] = None  # Σ_t coeffs[t]·q_t when coeffs given (2-pass f(A)v)
 
 
 def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_basis: bool) -> Tuple[int, int, int]:
@@ -75,6 +76,7 @@ def lanczos_block(
 	rtol: float = 1e-8,
 	reorth_passes: int = 2,
 	return_basis: bool = True,
+	coeffs: Optional[jnp.ndarray] = None,
 ) -> LanczosOutput:
 	"""Run ``deg`` Lanczos steps on a block of probes ``V0 (n, nv)`` — pure/jittable.
 
@@ -93,6 +95,11 @@ def lanczos_block(
 	    α/β outputs need masking. The basis window (when kept) still masks its
 	    slot writes so early-exit columns retain their last valid vectors
 	    (reference zero-fill semantics, `lanczos.h:139-141`).
+
+	With ``coeffs (deg, nv)`` the sweep additionally accumulates
+	``y = Σ_t coeffs[t]·q_t`` in O(n·nv) memory — the second pass of two-pass
+	Lanczos ``f(A)v``, which never materializes the (deg, n, nv) basis.
+	Early-exit columns stop contributing automatically (q_t → 0).
 	"""
 	n, nv = V0.shape
 	dtype = V0.dtype
@@ -104,12 +111,14 @@ def lanczos_block(
 	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
 
 	Q_win = jnp.zeros((ncv, n, nv), dtype).at[0].set(q0) if keep_window else jnp.zeros((0,), dtype)
+	y0 = jnp.zeros((n, nv), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
 	carry0 = (
 		jnp.zeros((n, nv), dtype),  # q_prev
 		q0,  # q_cur
 		Q_win,
 		jnp.zeros(nv, acc_dtype),  # beta_j (coupling into the current step)
 		jnp.zeros(nv, bool),  # done
+		y0,
 	)
 
 	# Re-orth window validity: slot s at step j holds q_t with age (j - s) mod ncv;
@@ -117,7 +126,9 @@ def lanczos_block(
 	slot_ids = jnp.arange(ncv)
 
 	def step(carry, j):
-		q_prev, q_cur, Q_win, beta_j, done = carry
+		q_prev, q_cur, Q_win, beta_j, done, y = carry
+		if coeffs is not None:
+			y = y + coeffs[j][None, :].astype(acc_dtype) * q_cur.astype(acc_dtype)
 		v = matmat(q_cur).astype(acc_dtype)
 		v = v - beta_j[None, :] * q_prev.astype(acc_dtype)
 		alpha_j = jnp.sum(v * q_cur.astype(acc_dtype), axis=0)
@@ -146,10 +157,15 @@ def lanczos_block(
 			new_slot = jnp.where(advance[None, :], q_next, old_slot)
 			Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
 
-		return (q_cur, q_next, Q_win, beta_next, done | newly_done), (alpha_out, beta_out)
+		return (q_cur, q_next, Q_win, beta_next, done | newly_done, y), (alpha_out, beta_out)
 
-	(_, _, Q_win, _, _), (alphas, betas) = lax.scan(step, carry0, jnp.arange(deg))
-	return LanczosOutput(alphas=alphas, betas=betas, Q=Q_win if keep_window else None)
+	(_, _, Q_win, _, _, y_fin), (alphas, betas) = lax.scan(step, carry0, jnp.arange(deg))
+	return LanczosOutput(
+		alphas=alphas,
+		betas=betas,
+		Q=Q_win if keep_window else None,
+		y=y_fin if coeffs is not None else None,
+	)
 
 
 def lanczos(

@@ -44,7 +44,16 @@ class MatrixFunction(LinearOperator):
 		kwargs: forwarded to the builtin-function factory (e.g. ``t`` for exp).
 	"""
 
-	def __init__(self, A, fun: Union[str, Callable, None] = None, deg: int = 20, orth: int = 3, dtype=None, **kwargs):
+	def __init__(
+		self,
+		A,
+		fun: Union[str, Callable, None] = None,
+		deg: int = 20,
+		orth: int = 3,
+		dtype=None,
+		two_pass: Union[bool, str] = "auto",
+		**kwargs,
+	):
 		assert is_linear_op(A) or isinstance(A, (jnp.ndarray, np.ndarray)), (
 			"Invalid operator `A`; must be dim=2 symmetric operator with defined matvec"
 		)
@@ -57,6 +66,7 @@ class MatrixFunction(LinearOperator):
 		self._deg = int(min(deg, self.shape[0]))
 		self._orth = self._deg if (orth < 0 or orth > self._deg) else int(orth)
 		self._rtol = kwargs.get("rtol", 1e-8)
+		self._two_pass = two_pass
 
 	@property
 	def degree(self) -> int:
@@ -66,23 +76,48 @@ class MatrixFunction(LinearOperator):
 	def operator(self) -> LinearOperator:
 		return self._A
 
-	def _lanczos(self, X: jnp.ndarray, ncv: int, return_basis: bool = True):
+	def _lanczos(self, X: jnp.ndarray, ncv: int, return_basis: bool = True, coeffs=None):
 		from ..lanczos import lanczos_block
 
 		return lanczos_block(
-			self._A.matmat, X, deg=self._deg, ncv=ncv, orth=self._orth, rtol=self._rtol, return_basis=return_basis
+			self._A.matmat,
+			X,
+			deg=self._deg,
+			ncv=ncv,
+			orth=self._orth,
+			rtol=self._rtol,
+			return_basis=return_basis,
+			coeffs=coeffs,
 		)
+
+	def _use_two_pass(self, nv: int) -> bool:
+		if isinstance(self._two_pass, bool):
+			return self._two_pass
+		# auto: avoid materializing a (deg, n, nv) basis past ~1 GiB — trade a
+		# second sweep (2× matvecs) for O(n·nv) memory (classic 2-pass f(A)v).
+		itemsize = jnp.dtype(self.dtype).itemsize
+		return self._deg * self.shape[0] * nv * itemsize > (1 << 30)
+
+	def _coeffs(self, out) -> jnp.ndarray:
+		"""Expansion coefficients of f(T)e₁ in the Lanczos basis → (b, deg)."""
+		a = out.alphas.T  # (b, deg)
+		e = out.betas[: self._deg - 1].T  # (b, deg-1)
+		rw, Y = eigh_tridiag(a, e)  # (b, deg), (b, deg, deg)
+		w = jnp.atleast_2d(self.fun(rw)) * Y[:, 0, :]  # f(θ) ∘ Y[0,:]
+		return jnp.einsum("bij,bj->bi", Y, w)
 
 	def _matmat(self, X: jnp.ndarray) -> jnp.ndarray:
 		X = jnp.asarray(X, dtype=self.dtype)
 		x_norm = jnp.linalg.norm(X, axis=0)  # (b,)
+		if self._use_two_pass(X.shape[1]):
+			# Pass 1: coefficients only (no basis); pass 2: re-run the same
+			# deterministic recurrence accumulating y = Σ c_t q_t.
+			out = self._lanczos(X, ncv=max(2, min(self._orth, self._deg)), return_basis=False)
+			c = self._coeffs(out)
+			out2 = self._lanczos(X, ncv=max(2, min(self._orth, self._deg)), return_basis=False, coeffs=c.T)
+			return (x_norm[None, :] * out2.y).astype(self.dtype)
 		out = self._lanczos(X, ncv=self._deg)
-		a = out.alphas.T  # (b, deg)
-		e = out.betas[: self._deg - 1].T  # (b, deg-1)
-		rw, Y = eigh_tridiag(a, e)  # (b, deg), (b, deg, deg)
-		# coeffs of f(T) e₁ in the Lanczos basis: Y (f(θ) ∘ Y[0,:])ᵀ
-		w = jnp.atleast_2d(self.fun(rw)) * Y[:, 0, :]  # (b, deg)
-		c = jnp.einsum("bij,bj->bi", Y, w)  # (b, deg)
+		c = self._coeffs(out)
 		# out.Q: (deg, n, b) — slot t holds q_t (ncv == deg never wraps).
 		y = jnp.einsum("knb,bk->nb", out.Q.astype(c.dtype), c)
 		return (x_norm[None, :] * y).astype(self.dtype)
@@ -99,17 +134,18 @@ class MatrixFunction(LinearOperator):
 		return (vals * x_norm_sq).astype(self.dtype)
 
 	def tree_flatten(self):
-		return (self._A,), (self.fun, self._deg, self._orth, self._rtol, self.dtype)
+		return (self._A,), (self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		fun, deg, orth, rtol, dtype = aux
+		fun, deg, orth, rtol, dtype, two_pass = aux
 		obj = object.__new__(cls)
 		obj._A = children[0]
 		obj.shape = obj._A.shape
 		obj.dtype = dtype
 		obj.fun = fun
 		obj._deg, obj._orth, obj._rtol = deg, orth, rtol
+		obj._two_pass = two_pass
 		return obj
 
 

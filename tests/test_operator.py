@@ -143,3 +143,33 @@ def test_gram_operator():
 	v = rng.normal(size=10)
 	assert G.shape == (10, 10)
 	assert np.allclose(np.asarray(G @ jnp.asarray(v)), X.T @ (X @ v), atol=1e-10)
+
+
+def test_mf_two_pass_matches_basis_path():
+	"""Two-pass f(A)v (O(n·nv) memory) ≡ the basis path to fp tolerance."""
+	A, ew, rng = _fixture(n=40)
+	X = rng.normal(size=(40, 6))
+	for fun, orth in [("identity", 40), ("log", 40), ("exp", 8), (None, 0)]:
+		M1 = pt.MatrixFunction(A, fun=fun, deg=24, orth=orth, two_pass=False)
+		M2 = pt.MatrixFunction(A, fun=fun, deg=24, orth=orth, two_pass=True)
+		y1 = np.asarray(M1.matmat(jnp.asarray(X)))
+		y2 = np.asarray(M2.matmat(jnp.asarray(X)))
+		assert np.allclose(y1, y2, atol=1e-8), (fun, orth, np.abs(y1 - y2).max())
+
+
+def test_mf_two_pass_identity_exact():
+	A, ew, rng = _fixture(n=30)
+	M = pt.MatrixFunction(A, fun="identity", deg=30, orth=30, two_pass=True)
+	v = rng.normal(size=30)
+	assert np.allclose(np.asarray(M @ v), A @ v, atol=1e-8)
+
+
+def test_mf_bf16_storage_f32_coeffs():
+	"""bf16 operator storage: coefficients accumulate in f32, estimates stay sane."""
+	A, ew, rng = _fixture(n=48)
+	Ab = jnp.asarray(A, jnp.bfloat16)
+	est = pt.hutch(Ab, seed=5, converge="count", count=512)
+	assert abs(est - ew.sum()) / ew.sum() < 0.1
+	a, b = pt.lanczos(Ab, deg=48, orth=48)
+	rw = np.sort(np.asarray(pt.eigvalsh_tridiag(jnp.asarray(a, jnp.float64), jnp.asarray(b, jnp.float64))))
+	assert np.abs(rw - np.sort(ew)).max() < 0.05  # bf16 matvec precision
