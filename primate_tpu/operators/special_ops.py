@@ -52,6 +52,7 @@ class MatrixFunction(LinearOperator):
 		orth: int = 3,
 		dtype=None,
 		two_pass: Union[bool, str] = "auto",
+		reorth_passes: int = 2,
 		**kwargs,
 	):
 		assert is_linear_op(A) or isinstance(A, (jnp.ndarray, np.ndarray)), (
@@ -67,6 +68,9 @@ class MatrixFunction(LinearOperator):
 		self._orth = self._deg if (orth < 0 or orth > self._deg) else int(orth)
 		self._rtol = kwargs.get("rtol", 1e-8)
 		self._two_pass = two_pass
+		# CGS passes per re-orth (2 = CGS2, the stable default; 1 halves the
+		# window-GEMM traffic when deg is modest and A is well-conditioned).
+		self._reorth_passes = int(reorth_passes)
 
 	@property
 	def degree(self) -> int:
@@ -86,6 +90,7 @@ class MatrixFunction(LinearOperator):
 			ncv=ncv,
 			orth=self._orth,
 			rtol=self._rtol,
+			reorth_passes=self._reorth_passes,
 			return_basis=return_basis,
 			coeffs=coeffs,
 		)
@@ -134,11 +139,11 @@ class MatrixFunction(LinearOperator):
 		return (vals * x_norm_sq).astype(self.dtype)
 
 	def tree_flatten(self):
-		return (self._A,), (self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass)
+		return (self._A,), (self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass, self._reorth_passes)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		fun, deg, orth, rtol, dtype, two_pass = aux
+		fun, deg, orth, rtol, dtype, two_pass, reorth_passes = aux
 		obj = object.__new__(cls)
 		obj._A = children[0]
 		obj.shape = obj._A.shape
@@ -146,6 +151,7 @@ class MatrixFunction(LinearOperator):
 		obj.fun = fun
 		obj._deg, obj._orth, obj._rtol = deg, orth, rtol
 		obj._two_pass = two_pass
+		obj._reorth_passes = reorth_passes
 		return obj
 
 

@@ -288,18 +288,27 @@ def xtrace(
 	callback = callback if callable(callback) else (lambda result: None)
 
 	criterion = CountCriterion(count=n)
-	if converge != "default":
+	default_stop = converge == "default"
+	if not default_stop:
 		criterion = criterion | convergence_criterion(converge, **kwargs)
 
 	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
 	sphere_flag = jnp.asarray(pdf == "sphere")
 	key = as_key(seed)
 
+	def stopped(estimator) -> bool:
+		# Default stop is pure count — check the host-side counter instead of
+		# evaluating the jnp predicate (each tiny device op costs a round trip
+		# per growth round on remote-attached accelerators).
+		if default_stop:
+			return estimator.n_samples >= n
+		return bool(criterion(estimator))
+
 	W = Z = Q = R = R_inv = None
-	estimator = MeanEstimator(record=record)
+	estimator = MeanEstimator(covariance=True, record=record)
 	result = EstimatorResult()
 	it = 0
-	while not bool(criterion(estimator)):
+	while not stopped(estimator):
 		m_cur = 0 if W is None else W.shape[1]
 		ns = min(n - m_cur, int(batch))
 		if ns <= 0:
@@ -318,7 +327,7 @@ def xtrace(
 			Z = jnp.concatenate([Z, apply_op(Q[:, -ns:])], axis=1)
 
 		t_samples = _xtrace_estimates(W, Z, Q, R, R_inv, sphere_flag)
-		estimator = MeanEstimator(record=record)
+		estimator = MeanEstimator(covariance=True, record=record)
 		estimator.update(t_samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
