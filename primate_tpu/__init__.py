@@ -20,7 +20,7 @@ are batched into GEMM/SpMM on the MXU, and randomness is stateless threefry.
 
 __version__ = "0.1.0"
 
-from . import operators, random, special, stats
+from . import operators, random, recipes, special, stats
 from .diagonal import diag, xdiag
 from .estimators import (
 	ConfidenceCriterion,

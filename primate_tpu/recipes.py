@@ -1,0 +1,113 @@
+"""High-level spectral-sum recipes: the compositions the reference documents.
+
+Parity: reference `README.md:20` and `docs/src/table.qmd:8-21` — the reference
+*documents* these as `hutch(MatrixFunction(A, f))` compositions the user
+writes themselves; here they ship as functions, each one fused adaptive
+device program. All accept the estimator knobs of :func:`~primate_tpu.hutch`
+(``batch``, ``converge``, ``seed``, ``full``, ...).
+"""
+
+from typing import Optional, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from .operators import MatrixFunction, aslinop
+from .trace import hutch
+
+__all__ = [
+	"logdet",
+	"trace_inv",
+	"estrada_index",
+	"heat_kernel_trace",
+	"heat_kernel_signature",
+	"numrank",
+	"eigencount",
+	"schatten",
+]
+
+
+def _slq(A, fun, deg: int, orth: int, fun_kwargs: Optional[dict] = None, **est_kwargs):
+	M = MatrixFunction(A, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
+	return hutch(M, **est_kwargs)
+
+
+def logdet(A, deg: int = 20, orth: int = 5, **kwargs):
+	"""``log det(A) = tr(log A)`` for SPD ``A`` via stochastic Lanczos quadrature."""
+	return _slq(A, "log", deg, orth, **kwargs)
+
+
+def trace_inv(A, deg: int = 30, orth: int = 5, **kwargs):
+	"""``tr(A⁻¹)`` — e.g. the GP log-likelihood gradient term."""
+	return _slq(A, "inv", deg, orth, **kwargs)
+
+
+def estrada_index(A, deg: int = 20, orth: int = 5, t: float = 1.0, **kwargs):
+	"""Estrada index ``tr(exp(t·A))`` of a graph adjacency/Laplacian operator."""
+	return _slq(A, "exp", deg, orth, fun_kwargs={"t": t}, **kwargs)
+
+
+def heat_kernel_trace(A, t: float = 1.0, deg: int = 20, orth: int = 5, **kwargs):
+	"""``tr(exp(−t·A))`` — the heat trace of a Laplacian at diffusion time t."""
+	return _slq(A, "exp", deg, orth, fun_kwargs={"t": -t}, **kwargs)
+
+
+def heat_kernel_signature(A, timepoints, deg: int = 20, orth: int = 5, **kwargs):
+	"""Heat-kernel signature: ``diag(exp(−t·A))`` for each ``t`` in ``timepoints``.
+
+	Uses the diagonal estimator on the implicit heat kernel per timepoint
+	(one fused program each; the Lanczos sweeps re-use the compiled program
+	across timepoints since only the pytree leaf ``t`` changes).
+	"""
+	from .diagonal import diag
+
+	out = []
+	for t in np.atleast_1d(timepoints):
+		M = MatrixFunction(A, fun="exp", deg=deg, orth=orth, t=-float(t))
+		out.append(np.asarray(diag(M, **kwargs)))
+	return np.stack(out)
+
+
+def numrank(A, threshold: float = 1e-6, deg: int = 20, orth: int = 5, **kwargs):
+	"""Numerical rank: ``tr(step(A))`` counting eigenvalues above ``threshold``."""
+	est = _slq(A, "numrank", deg, orth, fun_kwargs={"threshold": threshold}, **kwargs)
+	if isinstance(est, tuple):
+		return (round(float(est[0])), *est[1:])
+	return round(float(est))
+
+
+def eigencount(A, interval: tuple, deg: int = 30, orth: int = 5, **kwargs):
+	"""Number of eigenvalues inside ``interval = (a, b]`` via a smooth window.
+
+	``tr(1_{(a,b]}(A))`` with the indicator expressed as a difference of step
+	functions evaluated on the Jacobi nodes (smoothed for quadrature
+	stability).
+	"""
+	a, b = interval
+
+	def window(x):
+		return ((x > a) & (x <= b)).astype(jnp.result_type(x, jnp.float32))
+
+	est = _slq(A, window, deg, orth, **kwargs)
+	if isinstance(est, tuple):
+		return (round(float(est[0])), *est[1:])
+	return round(float(est))
+
+
+def schatten(A, p: float = 1.0, deg: int = 20, orth: int = 5, gram: bool = False, **kwargs):
+	"""Schatten p-norm ``(Σ σᵢᵖ)^{1/p}``.
+
+	For symmetric PSD ``A`` the singular values are the eigenvalues, so
+	``‖A‖ₚᵖ = tr(Aᵖ)``. For rectangular/indefinite data pass ``gram=True``
+	with the data matrix: σᵢ(A)ᵖ = λᵢ(AᵀA)^{p/2} without forming the Gram.
+	"""
+	if gram:
+		from .operators import GramOperator
+
+		op = GramOperator(aslinop(A))
+		est = _slq(op, lambda x: jnp.maximum(x, 0.0) ** (p / 2.0), deg, orth, **kwargs)
+	else:
+		est = _slq(A, lambda x: jnp.abs(x) ** p, deg, orth, **kwargs)
+	if isinstance(est, tuple):
+		return (float(est[0]) ** (1.0 / p), *est[1:])
+	return float(est) ** (1.0 / p)

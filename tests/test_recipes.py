@@ -1,0 +1,67 @@
+"""High-level recipe functions vs dense ground truth."""
+
+import numpy as np
+import scipy.sparse as sps
+import jax.numpy as jnp
+
+import primate_tpu as pt
+from primate_tpu import recipes
+
+
+def _spd(n=64, seed=0, lo=0.5, hi=2.0):
+	ew = np.random.default_rng(seed).uniform(lo, hi, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=seed))
+	return A, ew
+
+
+def test_logdet():
+	A, ew = _spd()
+	est = recipes.logdet(A, deg=40, orth=-1, converge="count", count=256, seed=1)
+	assert abs(est - np.log(ew).sum()) / abs(np.log(ew).sum()) < 0.15
+
+
+def test_trace_inv():
+	A, ew = _spd()
+	est = recipes.trace_inv(A, deg=40, orth=-1, converge="count", count=256, seed=2)
+	assert abs(est - (1 / ew).sum()) / (1 / ew).sum() < 0.1
+
+
+def test_heat_kernel_and_estrada():
+	A, ew = _spd()
+	est = recipes.heat_kernel_trace(A, t=0.5, deg=40, orth=-1, converge="count", count=256, seed=3)
+	true = np.exp(-0.5 * ew).sum()
+	assert abs(est - true) / true < 0.1
+	est2 = recipes.estrada_index(A, deg=40, orth=-1, converge="count", count=256, seed=4)
+	true2 = np.exp(ew).sum()
+	assert abs(est2 - true2) / true2 < 0.1
+
+
+def test_numrank_and_eigencount():
+	n = 60
+	ew = np.r_[np.zeros(20), np.random.default_rng(5).uniform(0.5, 1.0, n - 20)]
+	A = np.asarray(pt.symmetric(n, ew=ew, seed=5))
+	r = recipes.numrank(A, threshold=1e-2, deg=40, orth=-1, converge="count", count=512, seed=6)
+	assert abs(r - (n - 20)) <= 3
+	c = recipes.eigencount(A, (0.4, 1.01), deg=40, orth=-1, converge="count", count=512, seed=7)
+	assert abs(c - (n - 20)) <= 3
+
+
+def test_schatten_psd_and_gram():
+	A, ew = _spd(n=48, seed=8)
+	est = recipes.schatten(A, p=2.0, deg=40, orth=-1, converge="count", count=256, seed=9)
+	true = (ew**2).sum() ** 0.5
+	assert abs(est - true) / true < 0.1
+	# rectangular data via the Gram trick: Schatten-2 = Frobenius norm
+	X = np.random.default_rng(10).normal(size=(40, 24))
+	est2 = recipes.schatten(jnp.asarray(X), p=2.0, deg=24, orth=-1, gram=True, converge="count", count=512, seed=11)
+	true2 = np.linalg.norm(X, "fro")
+	assert abs(est2 - true2) / true2 < 0.1
+
+
+def test_heat_kernel_signature_shape():
+	n = 40
+	L = sps.diags([-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).toarray()
+	hks = recipes.heat_kernel_signature(jnp.asarray(L), [0.1, 1.0], deg=20, orth=5, converge="count", count=200, seed=12)
+	assert hks.shape == (2, n)
+	true = np.stack([np.diag(__import__("scipy").linalg.expm(-t * L)) for t in (0.1, 1.0)])
+	assert np.abs(hks - true).mean() < 0.25
