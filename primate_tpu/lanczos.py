@@ -216,15 +216,22 @@ def lanczos(
 		single, v0 = True, v0[:, None]
 	assert v0.shape[0] == n, "Invalid starting vector; must match the number of columns of A."
 
-	out = lanczos_block(op.matmat, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes)
+	out = lanczos_block(
+		op.matmat, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes, return_basis=return_basis
+	)
 	a = out.alphas.astype(f_dtype)  # (deg, nv)
 	b = out.betas[: deg - 1].astype(f_dtype)  # (deg-1, nv)
-	# Rearrange basis window slots into natural order q_0..q_{ncv-1}: with
-	# ncv == deg slots never wrap, so this is the identity permutation.
-	Q = jnp.moveaxis(out.Q, 0, -1)  # (n, nv, ncv)
+	Q = None
+	if return_basis:
+		# Rearrange ring-buffer slots into natural order: slot s holds q_t with
+		# t ≡ s (mod ncv), so the last ncv vectors q_{deg-ncv}..q_{deg-1} start
+		# at slot deg % ncv (identity when ncv == deg — slots never wrap).
+		Qw = jnp.roll(out.Q, -(deg % ncv), axis=0) if ncv < deg else out.Q
+		Q = jnp.moveaxis(Qw, 0, -1)  # (n, nv, ncv)
 	if single:
-		a, b, Q = a[:, 0], b[:, 0], Q[:, 0, :]
-	else:
+		a, b = a[:, 0], b[:, 0]
+		Q = Q[:, 0, :] if Q is not None else None
+	elif Q is not None:
 		Q = jnp.moveaxis(Q, 1, 0)  # (nv, n, ncv)
 
 	if sparse_mat:
@@ -235,7 +242,7 @@ def lanczos(
 
 def _tridiag_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 	"""Densify Jacobi coefficients into (.., deg, deg) tridiagonal matrices."""
-	a = jnp.moveaxis(jnp.atleast_2d(a.T), 0, 0)  # (nv, deg) or (1, deg)
+	a = jnp.atleast_2d(a.T)  # (nv, deg) or (1, deg)
 	b = jnp.atleast_2d(b.T)
 	T = jax.vmap(lambda ai, bi: jnp.diag(ai) + jnp.diag(bi, 1) + jnp.diag(bi, -1))(a, b)
 	return T[0] if T.shape[0] == 1 else T
@@ -263,6 +270,10 @@ def rayleigh_ritz(
 	else:
 		a, b = lanczos(A, deg=deg, return_basis=False, **kwargs)
 
+	# Batched probes come back as (deg, nv)/(deg-1, nv); the tridiagonal
+	# eigensolvers take deg on the LAST axis (batch leading).
+	if jnp.ndim(a) == 2:
+		a, b = a.T, b.T
 	if return_eigenvectors:
 		rw, Y = eigh_tridiag(a, b, method=method)
 		return (rw, Y) if not Q_basis else (rw, Y, Q)

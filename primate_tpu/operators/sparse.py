@@ -406,8 +406,7 @@ class GramOperator(LinearOperator):
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		if self.transpose_first:  # AᵀA v
-			AV = self.A.matmat(V) if self.A.shape[0] != self.A.shape[1] else self.A.matmat(V)
-			return _rmatmat(self.A, AV)
+			return _rmatmat(self.A, self.A.matmat(V))
 		return self.A.matmat(_rmatmat(self.A, V))
 
 	def tree_flatten(self):

@@ -215,7 +215,9 @@ class ShardedBSROperator(LinearOperator):
 		bm, bn = blocks.shape[1:]
 		ndev = mesh.shape[op_axis]
 
-		want_halo = comm in ("auto", "halo") and bm == bn
+		if comm == "halo" and (bm != bn or A.shape[0] != A.shape[1]):
+			raise ValueError("comm='halo' requires a square operator with square (bm == bn) blocks.")
+		want_halo = comm in ("auto", "halo") and bm == bn and A.shape[0] == A.shape[1]
 		st_blocks, st_rowids, st_colids, bpd, halo_ok = _partition_bsr_host(
 			blocks, indices, indptr, ndev, halo_col=want_halo
 		)

@@ -213,7 +213,7 @@ def hutchpp(
 	if int(np.prod(op.shape)) == 0:
 		return 0.0 if not full else (0.0, EstimatorResult())
 	nb = (N // 3) if m is None else int(m)
-	nb += nb % 3
+	nb = max(3, nb + (-nb) % 3)  # round UP to a multiple of 3; ≥3 so tiny N can't divide by zero
 	est, rng_ests, defl_ests = _hutchpp_program(op, as_key(seed), n=N, nb=nb, pdf=pdf, mode=mode)
 	est = float(est)
 	if not full:
@@ -293,6 +293,7 @@ def xtrace(
 		criterion = criterion | convergence_criterion(converge, **kwargs)
 
 	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
+	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
 	sphere_flag = jnp.asarray(pdf == "sphere")
 	key = as_key(seed)
 

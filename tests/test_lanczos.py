@@ -78,3 +78,31 @@ def test_lanczos_no_reorth_still_tridiagonalizes():
 	a, b = pt.lanczos(A, deg=6, orth=0, seed=rng)
 	assert np.asarray(a).shape == (6,) and np.asarray(b).shape == (5,)
 	assert np.all(np.isfinite(np.asarray(a))) and np.all(np.isfinite(np.asarray(b)))
+
+
+def test_rayleigh_ritz_batched_probes():
+	"""Block v0 (n, nv): Ritz values must match the per-column results
+	(regression: batched (deg, nv) coefficients need transposing for eigh)."""
+	import jax.numpy as jnp
+
+	A = pt.symmetric(24, pd=True, seed=3)
+	V0 = np.random.default_rng(4).normal(size=(24, 3))
+	rw = np.asarray(pt.rayleigh_ritz(A, deg=24, orth=-1, v0=jnp.asarray(V0)))
+	assert rw.shape == (3, 24)
+	for j in range(3):
+		rw_j = np.asarray(pt.rayleigh_ritz(A, deg=24, orth=-1, v0=jnp.asarray(V0[:, j])))
+		assert np.allclose(np.sort(rw[j]), np.sort(rw_j), atol=1e-8)
+
+
+def test_lanczos_windowed_basis_natural_order():
+	"""With ncv < deg the ring-buffer window must come back in natural order
+	q_{deg-ncv}..q_{deg-1} (regression: rotated slot order)."""
+	import jax.numpy as jnp
+
+	A = pt.symmetric(16, pd=True, seed=5)
+	v0 = np.random.default_rng(6).normal(size=16)
+	# orth=0: the recurrence is independent of the window size, so the full
+	# basis is the ground truth for the windowed run.
+	(_, _), Q_full = pt.lanczos(A, v0=jnp.asarray(v0), deg=10, orth=0, ncv=10, return_basis=True)
+	(_, _), Q_win = pt.lanczos(A, v0=jnp.asarray(v0), deg=10, orth=0, ncv=4, return_basis=True)
+	assert np.allclose(np.asarray(Q_win), np.asarray(Q_full)[:, -4:], atol=1e-10)

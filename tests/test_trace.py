@@ -110,3 +110,12 @@ def test_hutch_logdet_slq():
 	M = pt.MatrixFunction(A, fun="log", deg=n, orth=-1)
 	est = pt.hutch(M, seed=11, converge="count", count=600, batch=64)
 	assert np.abs(est - true_logdet) / abs(true_logdet) < 0.05
+
+
+def test_hutchpp_tiny_and_rounding():
+	"""nb rounds UP to a multiple of 3 and stays ≥3 (no divide-by-zero NaN)."""
+	est = pt.hutchpp(pt.symmetric(2, pd=True, seed=0), seed=1)
+	assert np.isfinite(est)
+	A = pt.symmetric(30, pd=True, seed=2)
+	for m in (1, 4, 5):
+		assert np.isfinite(pt.hutchpp(A, m=m, seed=3))
