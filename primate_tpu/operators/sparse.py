@@ -288,11 +288,12 @@ class DIAOperator(LinearOperator):
 	making every slice static under jit.
 	"""
 
-	def __init__(self, bands: jnp.ndarray, offsets: Tuple[int, ...], shape: Tuple[int, int]):
+	def __init__(self, bands: jnp.ndarray, offsets: Tuple[int, ...], shape: Tuple[int, int], use_pallas: Optional[bool] = None):
 		self.bands = jnp.asarray(bands)  # (n_diags, n)
 		self.offsets = tuple(int(o) for o in offsets)
 		self.shape = tuple(shape)
 		self.dtype = self.bands.dtype
+		self.use_pallas = use_pallas
 
 	@classmethod
 	def from_scipy(cls, A, dtype=None, engine: str = "auto") -> "DIAOperator":
@@ -342,11 +343,12 @@ class DIAOperator(LinearOperator):
 		return out.astype(self.dtype)
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
-		from ..ops.dia_pallas import TILE
-
-		moff = max((abs(o) for o in self.offsets), default=0)
-		use_pallas = jax.default_backend() == "tpu" and moff <= TILE
-		if use_pallas:
+		# Default to the XLA path: the shift-multiply-add DAG fuses into a
+		# near-streaming-bound loop that measured FASTER than the manual-DMA
+		# Pallas stencil on v5 hardware (no DMA serialization). The kernel
+		# stays available (use_pallas=True, lane-aligned probe counts) as the
+		# explicitly-scheduled alternative.
+		if self.use_pallas:
 			from ..ops.dia_pallas import dia_matmat
 
 			return dia_matmat(self, V)
@@ -376,13 +378,13 @@ class DIAOperator(LinearOperator):
 		return out
 
 	def tree_flatten(self):
-		return (self.bands,), (self.offsets, self.shape, self.dtype)
+		return (self.bands,), (self.offsets, self.shape, self.dtype, self.use_pallas)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
 		obj = object.__new__(cls)
 		obj.bands = children[0]
-		obj.offsets, obj.shape, obj.dtype = aux
+		obj.offsets, obj.shape, obj.dtype, obj.use_pallas = aux
 		return obj
 
 

@@ -32,20 +32,21 @@ def test_dia_pallas_matches_jnp():
 	n = 300
 	A = _banded(n, [-7, -1, 0, 1, 7], seed=3)
 	op = DIAOperator.from_scipy(A)
-	V = jnp.asarray(np.random.default_rng(4).normal(size=(n, 5)))
+	V = jnp.asarray(np.random.default_rng(4).normal(size=(n, 128)))  # lane-aligned
 	got = dia_matmat(op, V, interpret=True)
 	want = op._matmat_jnp(V)
 	assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10)
 
 
-def test_dia_pallas_single_vector():
-	n = 100
-	A = _banded(n, [-1, 0, 1], seed=5)
-	op = DIAOperator.from_scipy(A)
-	v = jnp.asarray(np.random.default_rng(6).normal(size=n))
-	got = dia_matmat(op, v, interpret=True)
-	assert got.shape == (n,)
-	assert np.allclose(np.asarray(got), A @ np.asarray(v), atol=1e-10)
+def test_dia_pallas_requires_lane_aligned_probes():
+	import pytest
+
+	op = DIAOperator.from_scipy(_banded(64, [-1, 0, 1], seed=5))
+	with pytest.raises(NotImplementedError, match="128"):
+		dia_matmat(op, jnp.ones((64, 5)), interpret=True)
+	# dispatch silently falls back to the XLA path for partial-lane blocks
+	V = jnp.asarray(np.random.default_rng(6).normal(size=(64, 5)))
+	assert np.allclose(np.asarray(op.matmat(V)), np.asarray(op._matmat_jnp(V)))
 
 
 def test_hutch_on_dia_laplacian():
