@@ -82,7 +82,8 @@ def main() -> None:
 	# --- ours: one fused device program ----------------------------------
 	# DIA: the TPU-native format for banded Laplacians (stencil matvec).
 	op = DIAOperator.from_scipy(A, dtype=jnp.float32)
-	M = pt.MatrixFunction(op, fun="log", deg=DEG, orth=ORTH, dtype=jnp.float32)
+	# reorth_passes=1 matches the baseline's single MGS sweep per step (CGS1 here).
+	M = pt.MatrixFunction(op, fun="log", deg=DEG, orth=ORTH, reorth_passes=1, dtype=jnp.float32)
 
 	def run():
 		est = pt.hutch(M, batch=PROBES, converge="count", count=PROBES, seed=42)

@@ -139,8 +139,12 @@ def lanczos_block(
 			valid = ((age < orth) & (age <= j)).astype(acc_dtype)  # (ncv,)
 			Qw = Q_win.astype(acc_dtype)
 			for _ in range(max(1, reorth_passes)):
-				proj = jnp.einsum("knb,nb->kb", Qw, v) * valid[:, None]
-				v = v - jnp.einsum("knb,kb->nb", Qw, proj)
+				# Broadcast-multiply + axis reductions, NOT dot_general: the
+				# contraction over n with the probe axis as batch lowers to
+				# per-probe GEMVs on the MXU (slow); as elementwise+reduce it
+				# streams the window once per projection on the VPU.
+				proj = jnp.sum(Qw * v[None, :, :], axis=1) * valid[:, None]  # (ncv, b)
+				v = v - jnp.sum(Qw * proj[:, None, :], axis=0)
 
 		beta_next = jnp.sqrt(jnp.sum(v * v, axis=0))
 		newly_done = beta_next < residual_tol
