@@ -1,0 +1,51 @@
+"""Spectral density estimation vs the exact broadened spectrum."""
+
+import numpy as np
+import pytest
+
+import primate_tpu as pt
+from primate_tpu.density import cumulative_spectral_density, spectral_density
+
+
+def _exact_density(ts, ew, sigma):
+	z = (ts[None, :] - ew[:, None]) / sigma
+	return (np.exp(-0.5 * z * z) / (sigma * np.sqrt(2 * np.pi))).mean(axis=0)
+
+
+def test_density_matches_broadened_spectrum():
+	n = 128
+	ew = np.random.default_rng(0).uniform(0.0, 2.0, n)
+	A = pt.symmetric(n, ew=ew, seed=0)
+	ts, phi = spectral_density(A, grid=200, deg=64, nv=32, sigma=0.1, bounds=(-0.5, 2.5), orth=-1, seed=1)
+	exact = _exact_density(ts, ew, 0.1)
+	# L1 distance between densities, normalized by total mass
+	dt = ts[1] - ts[0]
+	l1 = np.abs(phi - exact).sum() * dt
+	assert l1 < 0.12, l1
+	# mass ≈ 1
+	assert abs(phi.sum() * dt - 1.0) < 0.05
+
+
+def test_density_bimodal_spectrum():
+	n = 100
+	ew = np.r_[np.random.default_rng(1).normal(-2.0, 0.1, 50), np.random.default_rng(2).normal(2.0, 0.1, 50)]
+	A = pt.symmetric(n, ew=ew, seed=3)
+	ts, phi = spectral_density(A, grid=300, deg=40, nv=16, sigma=0.15, bounds=(-3.5, 3.5), orth=-1, seed=4)
+	mid = (ts > -1) & (ts < 1)
+	# two modes: density near ±2 far exceeds the gap density
+	assert phi[np.abs(ts + 2) < 0.2].mean() > 10 * phi[mid].mean()
+	assert phi[np.abs(ts - 2) < 0.2].mean() > 10 * phi[mid].mean()
+
+
+def test_cumulative_density_monotone_and_bounded():
+	A = pt.symmetric(64, pd=True, seed=5)
+	ts, csm = cumulative_spectral_density(A, grid=128, deg=48, nv=8, orth=-1, seed=6)
+	assert np.all(np.diff(csm) >= -1e-9)
+	assert 0.9 < csm[-1] < 1.1
+
+
+def test_density_auto_bounds_cover_spectrum():
+	ew = np.random.default_rng(7).uniform(1.0, 3.0, 80)
+	A = pt.symmetric(80, ew=ew, seed=7)
+	ts, phi = spectral_density(A, deg=40, nv=8, orth=-1, seed=8)
+	assert ts[0] <= 1.05 and ts[-1] >= 2.95
