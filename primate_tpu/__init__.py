@@ -38,6 +38,7 @@ from .integrate import quadrature
 from .lanczos import lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
+from .solvers import cg, solve
 from .trace import hutch, hutchpp, xtrace
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 

@@ -1,0 +1,66 @@
+"""Batched CG solver tests, including the full GP log-likelihood composition."""
+
+import numpy as np
+import scipy.sparse as sps
+import jax.numpy as jnp
+
+import primate_tpu as pt
+from primate_tpu.operators.sparse import DIAOperator
+from primate_tpu.solvers import cg, solve
+
+
+def _spd(n=64, seed=0):
+	ew = np.random.default_rng(seed).uniform(0.5, 2.0, n)
+	return np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=seed))
+
+
+def test_cg_single_rhs():
+	A = _spd()
+	b = np.random.default_rng(1).normal(size=64)
+	x = np.asarray(cg(A, b, rtol=1e-10))
+	assert np.allclose(A @ x, b, atol=1e-6)
+
+
+def test_cg_block_rhs_and_full():
+	A = _spd()
+	B = np.random.default_rng(2).normal(size=(64, 5))
+	X, nit, res = cg(A, B, rtol=1e-10, full=True)
+	assert np.allclose(A @ np.asarray(X), B, atol=1e-6)
+	assert res.shape == (5,) and nit <= 640
+
+
+def test_cg_jacobi_preconditioner_on_illconditioned():
+	n = 80
+	d = np.logspace(0, 4, n)
+	A = np.diag(d) + 0.1 * _spd(n, seed=3)
+	A = (A + A.T) / 2
+	b = np.random.default_rng(4).normal(size=n)
+	x_pc, nit_pc, _ = cg(jnp.asarray(A), b, rtol=1e-8, precond="jacobi", full=True)
+	x, nit, _ = cg(jnp.asarray(A), b, rtol=1e-8, full=True)
+	assert np.allclose(A @ np.asarray(x_pc), b, atol=1e-3 * np.linalg.norm(b))
+	assert nit_pc <= nit  # Jacobi helps on a diagonally dominated spectrum
+
+
+def test_cg_on_sparse_dia():
+	n = 256
+	L = sps.diags([-np.ones(n - 1), 3.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1])
+	op = DIAOperator.from_scipy(L)
+	b = np.random.default_rng(5).normal(size=n)
+	x = np.asarray(solve(op, b, rtol=1e-10, precond="jacobi"))
+	assert np.allclose(L @ x, b, atol=1e-6)
+
+
+def test_gp_log_likelihood_composition():
+	"""-2·loglik = logdet(K) + yᵀK⁻¹y + n·log(2π): SLQ + CG end to end."""
+	n = 96
+	ew = np.random.default_rng(6).uniform(0.5, 2.0, n)
+	K = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=6))
+	y = np.random.default_rng(7).normal(size=n)
+
+	ld = pt.recipes.logdet(K, deg=40, orth=-1, converge="count", count=512, seed=8)
+	quad = float(y @ np.asarray(solve(K, y, rtol=1e-10)))
+
+	true_ld = np.linalg.slogdet(K)[1]
+	true_quad = float(y @ np.linalg.solve(K, y))
+	assert abs(ld - true_ld) / abs(true_ld) < 0.1
+	assert abs(quad - true_quad) / abs(true_quad) < 1e-6
