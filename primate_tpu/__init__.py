@@ -20,7 +20,7 @@ are batched into GEMM/SpMM on the MXU, and randomness is stateless threefry.
 
 __version__ = "0.1.0"
 
-from . import operators, random, recipes, special, stats
+from . import kpm, operators, random, recipes, special, stats
 from .density import cumulative_spectral_density, spectral_density
 from .diagonal import diag, xdiag
 from .estimators import (

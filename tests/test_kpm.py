@@ -1,0 +1,63 @@
+"""Kernel Polynomial Method tests vs dense ground truth."""
+
+import numpy as np
+import scipy.sparse as sps
+
+import primate_tpu as pt
+from primate_tpu.kpm import chebyshev_moments, jackson_coefficients, kpm_density, kpm_trace
+
+
+def _spd(n=96, seed=0, lo=0.5, hi=2.0):
+	ew = np.random.default_rng(seed).uniform(lo, hi, n)
+	return np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=seed)), ew
+
+
+def test_moment_identities():
+	A, ew = _spd()
+	n = len(ew)
+	mus, (lo, hi) = chebyshev_moments(A, m=4, nv=64, seed=1)
+	c, r = (hi + lo) / 2, (hi - lo) / 2
+	# tr(T_0) = n exactly (rademacher probes have vᵀv = n); tr(T_1) = tr(Ã)
+	assert abs(mus[0] - n) < 1e-6
+	true_t1 = (ew - c).sum() / r
+	assert abs(mus[1] - true_t1) < 0.15 * n
+
+
+def test_kpm_logdet_matches_dense():
+	A, ew = _spd()
+	est = kpm_trace(A, fun="log", m=96, nv=64, seed=2)
+	true = np.log(ew).sum()
+	assert abs(est - true) / abs(true) < 0.1
+
+
+def test_kpm_trace_identity_is_trace():
+	A, ew = _spd(seed=3)
+	est = kpm_trace(A, fun="identity", m=32, nv=64, seed=4)
+	assert abs(est - ew.sum()) / ew.sum() < 0.1
+
+
+def test_kpm_density_mass_and_location():
+	A, ew = _spd(seed=5, lo=1.0, hi=1.2)  # narrow spectrum
+	ts, phi = kpm_density(A, grid=400, m=128, nv=32, interval=(0.0, 2.0), seed=6)
+	dt = ts[1] - ts[0]
+	assert abs(phi.sum() * dt - 1.0) < 0.1  # unit mass
+	in_band = (ts > 0.9) & (ts < 1.3)
+	assert phi[in_band].sum() * dt > 0.8  # mass concentrated on the band
+
+
+def test_kpm_on_sparse_operator():
+	n = 256
+	L = sps.diags([-np.ones(n - 1), 3.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1])
+	from primate_tpu.operators.sparse import DIAOperator
+
+	op = DIAOperator.from_scipy(L)
+	k = np.arange(1, n + 1)
+	exact = float(np.sum(np.log(3.0 - 2.0 * np.cos(k * np.pi / (n + 1)))))
+	est = kpm_trace(op, fun="log", m=96, nv=64, seed=7)
+	assert abs(est - exact) / abs(exact) < 0.1
+
+
+def test_jackson_coefficients_shape_and_decay():
+	g = np.asarray(jackson_coefficients(50))
+	assert g.shape == (50,)
+	assert abs(g[0] - 1.0) < 1e-6 and g[-1] < 0.01 and np.all(np.diff(g) < 1e-9)
