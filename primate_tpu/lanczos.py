@@ -129,7 +129,8 @@ def lanczos_block(
 		q_prev, q_cur, Q_win, beta_j, done, y = carry
 		if coeffs is not None:
 			y = y + coeffs[j][None, :].astype(acc_dtype) * q_cur.astype(acc_dtype)
-		v = matmat(q_cur).astype(acc_dtype)
+		with jax.named_scope("lanczos_matmat"):  # xprof/trace label (SURVEY §5.1)
+			v = matmat(q_cur).astype(acc_dtype)
 		v = v - beta_j[None, :] * q_prev.astype(acc_dtype)
 		alpha_j = jnp.sum(v * q_cur.astype(acc_dtype), axis=0)
 		v = v - alpha_j[None, :] * q_cur.astype(acc_dtype)
@@ -138,13 +139,14 @@ def lanczos_block(
 			age = (j - slot_ids) % ncv
 			valid = ((age < orth) & (age <= j)).astype(acc_dtype)  # (ncv,)
 			Qw = Q_win.astype(acc_dtype)
-			for _ in range(max(1, reorth_passes)):
-				# Broadcast-multiply + axis reductions, NOT dot_general: the
-				# contraction over n with the probe axis as batch lowers to
-				# per-probe GEMVs on the MXU (slow); as elementwise+reduce it
-				# streams the window once per projection on the VPU.
-				proj = jnp.sum(Qw * v[None, :, :], axis=1) * valid[:, None]  # (ncv, b)
-				v = v - jnp.sum(Qw * proj[:, None, :], axis=0)
+			with jax.named_scope("lanczos_reorth"):  # xprof/trace label (SURVEY §5.1)
+				for _ in range(max(1, reorth_passes)):
+					# Broadcast-multiply + axis reductions, NOT dot_general:
+					# the contraction over n with the probe axis as batch
+					# lowers to per-probe GEMVs on the MXU (slow); as
+					# elementwise+reduce it streams the window on the VPU.
+					proj = jnp.sum(Qw * v[None, :, :], axis=1) * valid[:, None]  # (ncv, b)
+					v = v - jnp.sum(Qw * proj[:, None, :], axis=0)
 
 		beta_next = jnp.sqrt(jnp.sum(v * v, axis=0))
 		newly_done = beta_next < residual_tol
