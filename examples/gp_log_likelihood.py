@@ -1,0 +1,62 @@
+"""Gaussian-process log-marginal likelihood with gradients, end to end.
+
+	-2·log p(y|θ) = logdet K(θ) + yᵀ K(θ)⁻¹ y + n·log 2π
+
+logdet comes from stochastic Lanczos quadrature (one fused device program),
+the quadratic term from batched matrix-free CG, and the whole loss
+differentiates with `jax.grad` for hyperparameter learning — none of which
+the reference library can do (host-serial, no solver, no autodiff).
+
+Run: python examples/gp_log_likelihood.py
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import primate_tpu as pt
+from primate_tpu.random import sample_isotropic
+
+
+def make_kernel(theta: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+	"""RBF kernel matrix + noise: θ = (log lengthscale, log noise)."""
+	ell, noise = jnp.exp(theta)
+	sq = jnp.sum((X[:, None, :] - X[None, :, :]) ** 2, axis=-1)
+	return jnp.exp(-0.5 * sq / ell**2) + (noise + 1e-4) * jnp.eye(X.shape[0])
+
+
+def neg_log_likelihood(theta, X, y, key, deg=24, nv=32):
+	K = make_kernel(theta, X)
+	M = pt.MatrixFunction(K, fun="log", deg=deg, orth=8)
+	V = sample_isotropic(key, (X.shape[0], nv), pdf="rademacher", dtype=K.dtype)
+	logdet = jnp.mean(M.quad(V))
+	alpha = pt.solve(K, y, rtol=1e-8)
+	return 0.5 * (logdet + y @ alpha + X.shape[0] * jnp.log(2 * jnp.pi))
+
+
+def main():
+	n, d = 256, 2
+	rng = np.random.default_rng(0)
+	X = jnp.asarray(rng.uniform(-2, 2, (n, d)), jnp.float32)
+	y = jnp.asarray(np.sin(np.asarray(X).sum(axis=1)) + 0.1 * rng.normal(size=n), jnp.float32)
+
+	theta = jnp.zeros(2)
+	key = jax.random.PRNGKey(1)
+	loss_grad = jax.value_and_grad(neg_log_likelihood)
+
+	for it in range(30):
+		nll, g = loss_grad(theta, X, y, jax.random.fold_in(key, it))
+		g = g / (1.0 + jnp.linalg.norm(g))  # normalized step — grads are O(n)
+		theta = theta - 0.1 * g
+		if it % 5 == 0:
+			print(f"iter {it:2d}  nll={float(nll):9.3f}  theta={np.asarray(theta).round(3)}")
+
+	Kd = np.asarray(make_kernel(theta, X), np.float64)
+	exact = 0.5 * (
+		np.linalg.slogdet(Kd)[1] + np.asarray(y) @ np.linalg.solve(Kd, np.asarray(y)) + n * np.log(2 * np.pi)
+	)
+	print(f"final stochastic nll={float(loss_grad(theta, X, y, key)[0]):.3f}  exact={exact:.3f}")
+
+
+if __name__ == "__main__":
+	main()

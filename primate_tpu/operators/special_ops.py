@@ -129,13 +129,16 @@ class MatrixFunction(LinearOperator):
 
 	def quad(self, X: jnp.ndarray) -> jnp.ndarray:
 		"""Batched Lanczos-quadrature estimates of ``diag(Xᵀ f(A) X)`` → (b,)."""
+		from ..integrate import spectral_quad_form
+
 		X = jnp.asarray(X, dtype=self.dtype)
 		X = X[:, None] if X.ndim == 1 else X
 		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
 		out = self._lanczos(X, ncv=ncv, return_basis=False)  # quadrature needs only (α, β)
-		nodes, weights = quadrature(out.alphas.T, out.betas[: self._deg - 1].T, deg=self._deg, quad="gw")
-		vals = jnp.sum(jnp.atleast_2d(self.fun(nodes)) * weights, axis=-1)
+		# Degeneracy-stable custom-JVP quadrature form: same primal as the
+		# Golub-Welsch rule, Daleckii–Krein derivative (no eigenvector grads).
+		vals = spectral_quad_form(out.alphas.T, out.betas[: self._deg - 1].T, self.fun)
 		return (vals * x_norm_sq).astype(self.dtype)
 
 	def tree_flatten(self):

@@ -105,13 +105,22 @@ def cg(
 		acc = jnp.promote_types(B.dtype, jnp.float32)
 		M_inv_diag = jnp.where(d != 0, 1.0 / d, 1.0).astype(acc)
 
-	state = _cg_loop(op.matmat, B, X0, M_inv_diag, float(rtol), maxiter)
-	X = state.X.astype(B.dtype)
-	X = X[:, 0] if single else X
-	if not full:
-		return X
-	res = np.sqrt(np.maximum(np.asarray(jax.device_get(jnp.sum(state.R * state.R, axis=0))), 0.0))
-	return X, int(state.it), (res[0] if single else res)
+	if full:
+		# Diagnostic path (iterations / residuals) — not differentiable.
+		state = _cg_loop(op.matmat, B, X0, M_inv_diag, float(rtol), maxiter)
+		X = state.X.astype(B.dtype)
+		X = X[:, 0] if single else X
+		res = np.sqrt(np.maximum(np.asarray(jax.device_get(jnp.sum(state.R * state.R, axis=0))), 0.0))
+		return X, int(state.it), (res[0] if single else res)
+
+	# Differentiable path: implicit differentiation via custom_linear_solve —
+	# the VJP of an SPD solve is another solve with the same operator, so
+	# gradients flow through A's pytree leaves and b without unrolling CG.
+	def solve_fn(mv, B_in):
+		return _cg_loop(mv, B_in, jnp.zeros_like(B_in), M_inv_diag, float(rtol), maxiter).X.astype(B_in.dtype)
+
+	X = lax.custom_linear_solve(lambda x: op.matmat(x), B, solve=solve_fn, symmetric=True)
+	return X[:, 0] if single else X
 
 
 def _operator_diagonal(op) -> jnp.ndarray:

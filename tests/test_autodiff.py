@@ -73,3 +73,48 @@ def test_matvec_path_jvp_finite():
 	eps = 1e-5
 	fd = (f(1.0 + eps) - f(1.0 - eps)) / (2 * eps)
 	assert abs(float(tangent) - float(fd)) < 1e-4 * max(1.0, abs(float(fd)))
+
+
+def test_quad_grad_stable_under_clustered_ritz_values():
+	"""RBF-style kernels give (near-)degenerate Ritz values; naive eigh
+	gradients NaN there. The Daleckii-Krein custom JVP must stay finite and
+	match tr(K^-1 dK) (regression for the spectral_quad_form derivative)."""
+	n = 64
+	rng = np.random.default_rng(0)
+	X = rng.uniform(-2, 2, (n, 2))
+	sq = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+
+	def build(theta):
+		return jnp.exp(-0.5 * jnp.asarray(sq) / jnp.exp(theta) ** 2) + 1e-3 * jnp.eye(n)
+
+	def logdet_est(theta):
+		K = build(theta)
+		M = pt.MatrixFunction(K, fun="log", deg=24, orth=8)
+		V = sample_isotropic(jax.random.PRNGKey(1), (n, 64), pdf="rademacher", dtype=jnp.float64)
+		return jnp.mean(M.quad(V))
+
+	g = float(jax.grad(logdet_est)(0.0))
+	assert np.isfinite(g)
+	# ground truth: d/dθ logdet K = tr(K⁻¹ dK/dθ)
+	eps = 1e-5
+	Kp, Km = np.asarray(build(eps), np.float64), np.asarray(build(-eps), np.float64)
+	dK = (Kp - Km) / (2 * eps)
+	K0 = np.asarray(build(0.0), np.float64)
+	true = np.trace(np.linalg.solve(K0, dK))
+	assert abs(g - true) / max(abs(true), 1.0) < 0.15, (g, true)
+
+
+def test_differentiable_solve_grad():
+	"""cg wraps custom_linear_solve: grad of yᵀK⁻¹y matches -yᵀK⁻¹ dK K⁻¹y."""
+	n = 40
+	B = jax.random.normal(jax.random.PRNGKey(2), (n, n), jnp.float64)
+
+	def loss(theta):
+		K = theta * jnp.eye(n) + B @ B.T / n
+		y = jnp.arange(1.0, n + 1.0)
+		return y @ pt.solve(K, y, rtol=1e-12)
+
+	g = float(jax.grad(loss)(1.5))
+	eps = 1e-6
+	fd = (loss(1.5 + eps) - loss(1.5 - eps)) / (2 * eps)
+	assert abs(g - float(fd)) / abs(float(fd)) < 1e-4

@@ -173,3 +173,26 @@ def test_matrix_function_on_sharded(mesh8):
 	est = pt.hutch(M, seed=13, converge="count", count=312, batch=8)
 	true_logdet = np.linalg.slogdet(A.toarray())[1]
 	assert abs(est - true_logdet) / abs(true_logdet) < 0.05
+
+
+def test_all_estimators_on_sharded(mesh8):
+	"""hutchpp / xtrace / diag / xdiag / cg all run on a sharded operator."""
+	from primate_tpu.operators.sparse import DIAOperator
+	from primate_tpu.solvers import solve
+
+	n = 96
+	A = _laplacian(n)
+	op = shard_operator(DIAOperator.from_scipy(A), mesh8)
+	tr_true = float(A.diagonal().sum())
+
+	est = pt.hutchpp(op, m=24, seed=1)
+	assert abs(est - tr_true) / tr_true < 0.1
+	est = pt.xtrace(op, batch=24, seed=2)
+	assert abs(est - tr_true) / tr_true < 0.02
+	d = np.asarray(pt.diag(op, seed=3, converge="count", count=512))
+	assert np.abs(d - A.diagonal()).mean() < 0.6
+	xd = np.asarray(pt.xdiag(op, m=64, seed=4))
+	assert abs(xd.sum() - tr_true) / tr_true < 0.15
+	b = np.random.default_rng(5).normal(size=n)
+	x = np.asarray(solve(op, b, rtol=1e-10))
+	assert np.allclose(A @ x, b, atol=1e-6)
