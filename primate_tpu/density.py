@@ -62,6 +62,7 @@ def spectral_density(
 	op = aslinop(A)
 	n = op.shape[0]
 	deg = int(min(deg, n))
+	orth = deg if (orth < 0 or orth > deg) else int(orth)  # same convention as lanczos()
 	key = as_key(seed)
 	V = sample_isotropic(key, (n, int(nv)), pdf=pdf, dtype=op.dtype)
 

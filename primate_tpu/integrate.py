@@ -40,7 +40,7 @@ def spectral_quad_form(d: jnp.ndarray, e: jnp.ndarray, fun: Callable) -> jnp.nda
 	``d (..., k)``, ``e (..., k-1)`` batched; returns ``(...,)``.
 	"""
 	theta, Y = eigh_tridiag(d, e)
-	return jnp.sum(jnp.atleast_2d(fun(theta)) * Y[..., 0, :] ** 2, axis=-1)
+	return jnp.sum(fun(theta) * Y[..., 0, :] ** 2, axis=-1)
 
 
 @spectral_quad_form.defjvp
@@ -49,7 +49,7 @@ def _spectral_quad_form_jvp(fun, primals, tangents):
 	dd, de = tangents
 	theta, Y = eigh_tridiag(d, e)
 	y0 = Y[..., 0, :]
-	f_theta = jnp.atleast_2d(fun(theta))
+	f_theta = fun(theta)
 	val = jnp.sum(f_theta * y0**2, axis=-1)
 
 	# Elementwise f' via forward-mode on the (vector-valued) spectral function.
@@ -108,9 +108,11 @@ def quadrature(
 		theta, ev = eigh_tridiag(d[..., :deg], e[..., :deg], **kwargs)
 		tau = ev[..., 0, :] ** 2
 	elif quad == "fttr":
-		theta = eigvalsh_tridiag(d, e, **kwargs)
-		tau = fttr_weights(theta, d, e, k=deg)
-		theta = theta[..., :deg]
+		# Truncate the Jacobi matrix BEFORE solving (as the gw branch does):
+		# the degree-deg rule comes from the leading deg×deg submatrix, and
+		# nodes/weights must share its length.
+		theta = eigvalsh_tridiag(d[..., :deg], e[..., :deg], **kwargs)
+		tau = fttr_weights(theta, d[..., :deg], e[..., :deg], k=deg)
 	else:
 		raise ValueError(f"Invalid quadrature method '{quad}' supplied")
 

@@ -160,7 +160,12 @@ def kpm_density(
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	ts = np.linspace(lo, hi, int(grid)) if np.isscalar(grid) else np.asarray(grid)
-	x = np.clip((ts - c) / r, -1 + 1e-9, 1 - 1e-9)
+	# Clamp |x| to cos(π/2m): beyond the expansion's resolution the
+	# 1/√(1−x²) factor only amplifies stochastic moment noise into endpoint
+	# spikes — bounding it at ~2m/π keeps the amplification at the same
+	# order as the kernel's intrinsic broadening.
+	xmax = float(np.cos(np.pi / (2 * m)))
+	x = np.clip((ts - c) / r, -xmax, xmax)
 	g = np.asarray(jackson_coefficients(m))
 	j = np.arange(m)[:, None]
 	Tjx = np.cos(j * np.arccos(x)[None, :])

@@ -10,8 +10,8 @@ fallback, so the package works without a compiler.
 """
 
 import ctypes
+import os
 import subprocess
-import sysconfig
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -32,25 +32,32 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 def _build() -> Optional[ctypes.CDLL]:
 	so = _HERE / "_sparse_prep.so"
-	if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
-		cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so)]
-		try:
+	try:
+		if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+			# Compile to a unique temp file and atomically rename: a killed or
+			# concurrent g++ must never leave a half-written .so at the final
+			# path (other processes would load garbage instead of falling back).
+			tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
+			cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)]
 			subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-		except (OSError, subprocess.SubprocessError):
-			return None
-	lib = ctypes.CDLL(str(so))
-	lib.bsr_count.restype = ctypes.c_int64
-	lib.bsr_count.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, _i64p]
-	for suf, fp in (("f32", _f32p), ("f64", _f64p)):
-		fn = getattr(lib, f"bsr_fill_{suf}")
-		fn.restype = None
-		fn.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, fp, _i64p, fp, _i32p, _i64p]
-		fn = getattr(lib, f"dia_fill_{suf}")
-		fn.restype = None
-		fn.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, fp, ctypes.c_int64, _i64p, fp]
-	lib.dia_count.restype = ctypes.c_int64
-	lib.dia_count.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, _i64p]
-	return lib
+			os.replace(tmp, so)
+		lib = ctypes.CDLL(str(so))
+		lib.bsr_count.restype = ctypes.c_int64
+		lib.bsr_count.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, _i64p]
+		for suf, fp in (("f32", _f32p), ("f64", _f64p)):
+			fn = getattr(lib, f"bsr_fill_{suf}")
+			fn.restype = None
+			fn.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, fp, _i64p, fp, _i32p, _i64p]
+			fn = getattr(lib, f"dia_fill_{suf}")
+			fn.restype = None
+			fn.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, fp, ctypes.c_int64, _i64p, fp]
+		lib.dia_count.restype = ctypes.c_int64
+		lib.dia_count.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, _i64p]
+		return lib
+	except (OSError, AttributeError, subprocess.SubprocessError):
+		# Corrupt/incompatible cached .so, missing symbol, no toolchain, ... —
+		# every caller has a scipy/numpy fallback, so never raise from here.
+		return None
 
 
 def _lib() -> Optional[ctypes.CDLL]:
@@ -71,6 +78,10 @@ def _as_csr_parts(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int
 
 	A = sps.csr_matrix(A)
 	A.sum_duplicates()
+	# Column ids cross the ABI as int32 (indptr is int64, so nnz may exceed
+	# 2^31 — but the column COUNT may not). Guard instead of wrapping.
+	if A.shape[1] >= 2**31:
+		raise OverflowError("native sparse-prep supports < 2^31 columns; use the scipy engine for wider matrices")
 	data = np.ascontiguousarray(A.data)
 	if data.dtype not in (np.float32, np.float64):
 		data = data.astype(np.float64)
@@ -89,7 +100,7 @@ def csr_to_bsr_arrays(A, bm: int, bn: int):
 	the native library is unavailable (callers fall back to scipy tobsr).
 	"""
 	lib = _lib()
-	if lib is None:
+	if lib is None or A.shape[1] >= 2**31:
 		return None
 	data, indices, indptr, (n, m) = _as_csr_parts(A)
 	n_brow = -(-n // bm)
@@ -106,7 +117,7 @@ def csr_to_bsr_arrays(A, bm: int, bn: int):
 def csr_to_dia_arrays(A):
 	"""CSR/scipy-sparse → (offsets tuple, row-aligned bands (n_d, n)); None w/o native."""
 	lib = _lib()
-	if lib is None:
+	if lib is None or A.shape[1] >= 2**31:
 		return None
 	data, indices, indptr, (n, m) = _as_csr_parts(A)
 	offsets_buf = np.zeros(n + m - 1, np.int64)

@@ -92,6 +92,7 @@ def cg(
 	single = B.ndim == 1
 	if single:
 		B = B[:, None]
+	warm_start = X0 is not None
 	X0 = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, dtype=B.dtype).reshape(B.shape)
 	maxiter = int(maxiter) if maxiter is not None else min(10 * n, 10_000)
 
@@ -116,11 +117,24 @@ def cg(
 	# Differentiable path: implicit differentiation via custom_linear_solve —
 	# the VJP of an SPD solve is another solve with the same operator, so
 	# gradients flow through A's pytree leaves and b without unrolling CG.
-	def solve_fn(mv, B_in):
-		return _cg_loop(mv, B_in, jnp.zeros_like(B_in), M_inv_diag, float(rtol), maxiter).X.astype(B_in.dtype)
-
-	X = lax.custom_linear_solve(lambda x: op.matmat(x), B, solve=solve_fn, symmetric=True)
+	# A warm start shifts the system (solve A·ΔX = B − A·X0) so the transpose
+	# solve is unaffected. The program is jitted with the operator as a pytree
+	# argument, so repeated solves against the same operator type hit the
+	# compile cache instead of retracing per call.
+	if warm_start:
+		dX = _cg_program(op, B - op.matmat(X0), M_inv_diag, rtol=float(rtol), maxiter=maxiter)
+		X = (X0 + dX).astype(B.dtype)
+	else:
+		X = _cg_program(op, B, M_inv_diag, rtol=float(rtol), maxiter=maxiter)
 	return X[:, 0] if single else X
+
+
+@partial(jax.jit, static_argnames=("rtol", "maxiter"))
+def _cg_program(op, B, M_inv_diag, *, rtol: float, maxiter: int):
+	def solve_fn(mv, B_in):
+		return _cg_loop(mv, B_in, jnp.zeros_like(B_in), M_inv_diag, rtol, maxiter).X.astype(B_in.dtype)
+
+	return lax.custom_linear_solve(op.matmat, B, solve=solve_fn, symmetric=True)
 
 
 def _operator_diagonal(op) -> jnp.ndarray:
