@@ -285,7 +285,7 @@ def xtrace(
 	n = op.shape[0]
 	assert batch >= 1, "Batch size must be positive."
 	record = kwargs.pop("record", False)
-	callback = callback if callable(callback) else (lambda result: None)
+	user_callback = callback if callable(callback) else None
 
 	criterion = CountCriterion(count=n)
 	default_stop = converge == "default"
@@ -297,23 +297,9 @@ def xtrace(
 	sphere_flag = jnp.asarray(pdf == "sphere")
 	key = as_key(seed)
 
-	def stopped(estimator) -> bool:
-		# Default stop is pure count — check the host-side counter instead of
-		# evaluating the jnp predicate (each tiny device op costs a round trip
-		# per growth round on remote-attached accelerators).
-		if default_stop:
-			return estimator.n_samples >= n
-		return bool(criterion(estimator))
-
-	W = Z = Q = R = R_inv = None
-	estimator = MeanEstimator(covariance=True, record=record)
-	result = EstimatorResult()
-	it = 0
-	while not stopped(estimator):
-		m_cur = 0 if W is None else W.shape[1]
-		ns = min(n - m_cur, int(batch))
-		if ns <= 0:
-			break
+	def grow(state, it: int, ns: int):
+		"""One growth round (all device ops, no host sync)."""
+		W, Z, Q, R, R_inv = state
 		Nnew = sample_isotropic(jax.random.fold_in(key, it), (n, ns), pdf=pdf, dtype=op.dtype)
 		Ynew = apply_op(Nnew)
 		if Q is None:
@@ -321,19 +307,50 @@ def xtrace(
 			R_inv = update_trinv_block(jnp.zeros((0, 0), R.dtype), jnp.zeros((0, ns), R.dtype), R)
 			W, Z = Nnew, apply_op(Q)
 		else:
+			m_cur = W.shape[1]
 			Q, R = qr_append(Q, R, Ynew)
 			B, C = R[:m_cur, m_cur:], R[m_cur:, m_cur:]
 			R_inv = update_trinv_block(R_inv, B, C)
 			W = jnp.concatenate([W, Nnew], axis=1)
 			Z = jnp.concatenate([Z, apply_op(Q[:, -ns:])], axis=1)
+		return (W, Z, Q, R, R_inv)
 
-		t_samples = _xtrace_estimates(W, Z, Q, R, R_inv, sphere_flag)
-		estimator = MeanEstimator(covariance=True, record=record)
+	state = (None,) * 5
+	estimator = MeanEstimator(covariance=True, record=record)
+	result = EstimatorResult()
+
+	if default_stop and user_callback is None:
+		# Fast path: the stop is a pure host-side count and the leave-one-out
+		# estimates are recomputed wholesale every round, so only the FINAL
+		# round's estimates matter — chain all rounds asynchronously on
+		# device and synchronize exactly once at the end (each per-round
+		# sync costs a full round trip on remote-attached accelerators).
+		m_cur, it = 0, 0
+		while m_cur < n:
+			ns = min(n - m_cur, int(batch))
+			state = grow(state, it, ns)
+			m_cur += ns
+			it += 1
+		t_samples = _xtrace_estimates(*state[:5], sphere_flag)
 		estimator.update(t_samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
-		callback(result)
-		it += 1
+	else:
+		it = 0
+		while not bool(criterion(estimator)):
+			m_cur = 0 if state[0] is None else state[0].shape[1]
+			ns = min(n - m_cur, int(batch))
+			if ns <= 0:
+				break
+			state = grow(state, it, ns)
+			t_samples = _xtrace_estimates(*state[:5], sphere_flag)
+			estimator = MeanEstimator(covariance=True, record=record)
+			estimator.update(t_samples)
+			result.estimate = estimator.estimate
+			result.nit = estimator.n_samples
+			if user_callback is not None:
+				user_callback(result)
+			it += 1
 
 	result.estimator = estimator
 	result.estimate = estimator.estimate
