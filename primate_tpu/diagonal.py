@@ -37,10 +37,16 @@ class _DiagCarry(NamedTuple):
 	denom: jnp.ndarray  # (N,) Σ v ∘ v
 	mean: MeanState  # dim-N streaming mean of the ratio estimates
 	delta: jnp.ndarray  # (N,)
+	m2: jnp.ndarray  # (N,) per-dim Welford sum of squared deviations
 
 
 def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
-	return EstSnapshot(n=c.mean.n, estimate=c.mean.mu, delta=c.delta, var=None, values=None)
+	# Scalar variance proxy for CLT-style criteria on a dim-N estimator: the
+	# mean of the per-dim running variances (a full N×N covariance would be
+	# prohibitive and is never needed for a stopping rule).
+	nf = jnp.maximum(c.mean.n - 1, 1)
+	var = jnp.mean(c.m2) / nf
+	return EstSnapshot(n=c.mean.n, estimate=c.mean.mu, delta=c.delta, var=var, values=None)
 
 
 @partial(jax.jit, static_argnames=("n", "pdf", "maxiter"))
@@ -53,6 +59,7 @@ def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int):
 		denom=jnp.zeros(n, acc),
 		mean=make_mean_state(n, acc),
 		delta=jnp.full(n, jnp.inf, acc),
+		m2=jnp.zeros(n, acc),
 	)
 
 	def cond(c):
@@ -67,7 +74,10 @@ def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int):
 		denom = c.denom + v * v
 		est = numer / jnp.where(denom == 0, 1.0, denom)
 		new_mean = mean_update(c.mean, est[None, :])
-		return _DiagCarry(it=c.it + 1, numer=numer, denom=denom, mean=new_mean, delta=new_mean.mu - c.mean.mu)
+		m2 = c.m2 + (est - c.mean.mu) * (est - new_mean.mu)  # elementwise Welford
+		return _DiagCarry(
+			it=c.it + 1, numer=numer, denom=denom, mean=new_mean, delta=new_mean.mu - c.mean.mu, m2=m2
+		)
 
 	return lax.while_loop(cond, body, init)
 
@@ -93,6 +103,7 @@ def diag(
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
+	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
 	criterion = convergence_criterion(converge, **kwargs)
 
 	if int(np.prod(op.shape)) == 0:
@@ -100,7 +111,9 @@ def diag(
 
 	key = as_key(seed)
 
-	if callback is None and not record:
+	from .estimators import is_jittable_criterion
+
+	if callback is None and not record and is_jittable_criterion(criterion):
 		carry = _diag_fused(op, criterion, key, n=N, pdf=pdf, maxiter=int(maxiter))
 		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
@@ -111,7 +124,7 @@ def diag(
 			estimator=estimator,
 			criterion=criterion,
 			estimate=estimate,
-			message=criterion.message(estimator),
+			message=getattr(criterion, "message", lambda e: "")(estimator),
 			nit=int(carry.mean.n),
 		)
 		return estimate, result

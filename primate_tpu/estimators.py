@@ -272,10 +272,17 @@ class ConfidenceCriterion(ConvergenceCriterion):
 		n = snap.n
 		nf = jnp.maximum(n, 1).astype(jnp.float32)
 		std_err = jnp.sqrt(jnp.maximum(snap.var, 0.0).astype(jnp.float32) / nf)
-		score = jnp.where(n < 30, self.t_scores[jnp.clip(n, 0, 29)], self.z)
+		# t-quantile for df = n-1 lives at index n-2 (t_scores[i] has df=i+1).
+		# The reference indexes with n (df = n+1, anti-conservative,
+		# `estimators.py:286`) — a bug consciously not replicated.
+		score = jnp.where(n < 30, self.t_scores[jnp.clip(n - 2, 0, 29)], self.z)
 		moe = score * std_err
 		est_scalar = jnp.atleast_1d(snap.estimate)[0].astype(jnp.float32)
-		rel = jnp.abs(std_err / jnp.where(est_scalar == 0, jnp.inf, est_scalar))
+		# A running mean of exactly 0 means the relative error is UNDEFINED —
+		# treat as infinite so rtol can never trigger spurious convergence.
+		rel = jnp.where(
+			est_scalar == 0, jnp.inf, jnp.abs(std_err / jnp.where(est_scalar == 0, 1.0, est_scalar))
+		)
 		underdet = n < 3
 		return jnp.where(underdet, jnp.inf, moe), jnp.where(underdet, jnp.inf, rel)
 
@@ -356,6 +363,21 @@ class KneeCriterion(ConvergenceCriterion):
 		return obj
 
 
+def is_jittable_criterion(criterion) -> bool:
+	"""True when the criterion flattens to pure array/scalar leaves.
+
+	The built-in criteria are registered pytrees whose ``check`` is a traced
+	predicate, so they ride inside the fused `lax.while_loop`. A user-defined
+	criterion that is NOT a registered pytree flattens to itself as a leaf
+	and would crash jit — estimators detect this and fall back to the
+	host-stepped loop (reference semantics: arbitrary Python criteria).
+	"""
+	import jax as _jax
+
+	ok = (jnp.ndarray, np.ndarray, np.generic, int, float, bool)
+	return all(isinstance(leaf, ok) for leaf in _jax.tree_util.tree_leaves(criterion))
+
+
 CRITERIA = {
 	"count": CountCriterion,
 	"tolerance": ToleranceCriterion,
@@ -365,8 +387,13 @@ CRITERIA = {
 
 
 def convergence_criterion(criterion: Union[str, ConvergenceCriterion], **kwargs) -> ConvergenceCriterion:
-	"""Resolve a criterion name (+ routed kwargs) or pass an instance through."""
-	if isinstance(criterion, ConvergenceCriterion):
+	"""Resolve a criterion name (+ routed kwargs) or pass an instance through.
+
+	Any callable is accepted (a plain Python predicate on the estimator runs
+	on the host-stepped paths); registered-pytree criteria additionally run
+	inside the fused device loops.
+	"""
+	if isinstance(criterion, ConvergenceCriterion) or (callable(criterion) and not isinstance(criterion, str)):
 		return criterion
 	assert isinstance(criterion, str) and criterion.lower() in CRITERIA, f"Invalid criterion {criterion}"
 	crit_cls = CRITERIA[criterion.lower()]
@@ -488,7 +515,9 @@ class ControlVariableEstimator(MeanEstimator):
 		new = self.estimate
 		self.delta = np.inf if (np.isnan(old) or np.isnan(new)) else abs(new - old)
 		if self.values is not None:
-			self.values.extend(np.asarray(samples).tolist())
+			# Record only the primary-sample column (flat floats) — row lists
+			# would break the 1-d masking in recording consumers (Knee, plots).
+			self.values.extend(np.atleast_2d(np.asarray(samples))[:, 0].ravel().tolist())
 
 	@property
 	def estimate(self) -> float:

@@ -25,6 +25,8 @@ def _ortho_poly_sq_sum(x: jnp.ndarray, mu_sqrt_rec: jnp.ndarray, a: jnp.ndarray,
 	leading-slot convention: b[1] couples p_0→p_1, b[i] couples p_{i-1}→p_i."""
 	n = a.shape[0]
 	z0 = mu_sqrt_rec
+	if n == 1:  # degree-1 rule: only p_0 exists (b[1] would clamp OOB)
+		return z0 * z0
 	z1 = (x - a[0]) * z0 / b[1]
 
 	def step(carry, i):

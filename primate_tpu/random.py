@@ -51,6 +51,9 @@ def as_key(seed: Union[int, np.random.Generator, jax.Array, None] = None) -> jax
 		return jax.random.key(np.random.SeedSequence().generate_state(1)[0].item())
 	if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
 		return seed
+	if isinstance(seed, (jax.Array, np.ndarray)) and seed.dtype == jnp.uint32 and seed.shape == (2,):
+		# Legacy raw PRNGKey (jax.random.PRNGKey): wrap into a typed key.
+		return jax.random.wrap_key_data(jnp.asarray(seed))
 	if isinstance(seed, np.random.Generator):
 		return jax.random.key(int(seed.integers(0, 2**63 - 1)))
 	if isinstance(seed, np.random.SeedSequence):

@@ -36,6 +36,7 @@ from .estimators import (
 	MeanEstimator,
 	convergence_criterion,
 	default_trace_criterion,
+	is_jittable_criterion,
 )
 from .linalg import qr_append, update_trinv_block
 from .operators import aslinop, is_valid_operator, quad_form
@@ -136,7 +137,7 @@ def hutch(
 	key = as_key(seed)
 	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
 
-	if callback is None:
+	if callback is None and is_jittable_criterion(criterion):
 		carry = _hutch_fused(op, criterion, key, n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record)
 		# ONE device→host transfer for the whole final carry: every later read
 		# is host numpy (each separate pull costs a full round trip, which
@@ -150,12 +151,13 @@ def hutch(
 			estimator=estimator,
 			criterion=criterion,
 			estimate=estimate,
-			message=criterion.message(estimator),
+			message=getattr(criterion, "message", lambda e: "")(estimator),
 			nit=int(carry.cov.n),
 		)
 		return estimate, result
 
-	# Host-stepped path: jitted batch step + per-batch callback.
+	# Host-stepped path: jitted batch step + per-batch callback (also the
+	# fallback for user criteria that are not registered pytrees).
 	estimator = MeanEstimator(covariance=True, record=record)
 	result = EstimatorResult(estimator, criterion)
 	it = 0
@@ -164,9 +166,10 @@ def hutch(
 		estimator.update(samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
-		callback(result)
+		if callback is not None:
+			callback(result)
 		it += 1
-	result.message = criterion.message(estimator)
+	result.message = getattr(criterion, "message", lambda e: "")(estimator)
 	result.estimate = estimator.estimate
 	return (estimator.estimate, result) if full else estimator.estimate
 

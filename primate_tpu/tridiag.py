@@ -106,7 +106,9 @@ def _tqli_single(d: jnp.ndarray, e: jnp.ndarray, eigenvectors: bool, maxiter: in
 			f, b = s * e[i], c * e[i]
 			r = jnp.hypot(f, g)
 			underflow = (r == 0.0) & (i < m - 1)
-			e = e.at[i + 1].set(jnp.where(active, jnp.where(underflow, e[i + 1], r), e[i + 1]))
+			# On underflow e[i+1] takes r == 0 (reference sets it before the
+			# break), splitting the block so the next sweep converges.
+			e = e.at[i + 1].set(jnp.where(active, r, e[i + 1]))
 			safe_r = jnp.where(r == 0, 1.0, r)
 			s_n, c_n = f / safe_r, g / safe_r
 			g_n = d[i + 1] - p
@@ -134,7 +136,9 @@ def _tqli_single(d: jnp.ndarray, e: jnp.ndarray, eigenvectors: bool, maxiter: in
 		)
 		d = d.at[l].set(jnp.where(alive, d[l] - p, d[l]))
 		e = e.at[l].set(jnp.where(alive, g, e[l]))
-		e = e.at[m].set(jnp.where(alive, 0.0, e[m]))
+		# e[m] zeroes on BOTH exits: normal completion and the underflow
+		# break (the reference sets e[m]=0 in each case).
+		e = e.at[m].set(0.0)
 		return d, e, Z
 
 	def outer(l, state):

@@ -24,18 +24,24 @@ import jax
 __all__ = ["save_pytree", "load_pytree", "EstimatorCheckpoint"]
 
 
+def _norm_path(path: Union[str, Path]) -> Path:
+	"""np.savez always appends .npz — normalize so save and load agree."""
+	path = Path(path)
+	return path if path.suffix == ".npz" else path.with_suffix(path.suffix + ".npz")
+
+
 def save_pytree(path: Union[str, Path], tree: Any) -> None:
 	"""Serialize a pytree of arrays to ``path`` (single .npz archive)."""
 	leaves, treedef = jax.tree_util.tree_flatten(tree)
 	buf = io.BytesIO()
 	pickle.dump(treedef, buf)
 	arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-	np.savez(path, __treedef__=np.frombuffer(buf.getvalue(), dtype=np.uint8), **arrays)
+	np.savez(_norm_path(path), __treedef__=np.frombuffer(buf.getvalue(), dtype=np.uint8), **arrays)
 
 
 def load_pytree(path: Union[str, Path]) -> Any:
 	"""Load a pytree saved by :func:`save_pytree` (leaves come back as numpy)."""
-	with np.load(path, allow_pickle=False) as data:
+	with np.load(_norm_path(path), allow_pickle=False) as data:
 		treedef = pickle.loads(data["__treedef__"].tobytes())
 		leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
 	return jax.tree_util.tree_unflatten(treedef, leaves)
@@ -79,4 +85,4 @@ class EstimatorCheckpoint:
 		save_pytree(self.path, payload)
 
 	def load(self) -> Optional[dict]:
-		return load_pytree(self.path) if self.path.exists() else None
+		return load_pytree(self.path) if _norm_path(self.path).exists() else None

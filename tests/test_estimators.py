@@ -157,3 +157,60 @@ def test_estimator_snapshot_is_jittable():
 		return c.check(s)
 
 	assert bool(check(crit, snap)) == bool(crit(est))
+
+
+def test_confidence_zero_mean_does_not_converge():
+	"""A running mean of exactly 0 must not satisfy the rtol branch
+	(regression: rel error was 0 instead of inf at est == 0)."""
+	import jax.numpy as jnp
+	from primate_tpu.estimators import ConfidenceCriterion, EstSnapshot
+
+	cc = ConfidenceCriterion(confidence=0.95, atol=0.0, rtol=0.01)
+	snap = EstSnapshot(
+		n=jnp.asarray(10), estimate=jnp.zeros(1), delta=jnp.zeros(1), var=jnp.asarray(5.0), values=None
+	)
+	assert not bool(cc.check(snap))
+
+
+def test_confidence_t_score_df():
+	"""t-quantile must use df = n-1 (the reference's off-by-two is not kept)."""
+	import scipy.stats as st
+	import jax.numpy as jnp
+	from primate_tpu.estimators import ConfidenceCriterion, EstSnapshot
+
+	cc = ConfidenceCriterion(confidence=0.95, atol=1.0)
+	snap = EstSnapshot(
+		n=jnp.asarray(3), estimate=jnp.ones(1), delta=jnp.zeros(1), var=jnp.asarray(1.0), values=None
+	)
+	moe, _ = cc._error(snap)
+	want = st.t.ppf(0.975, df=2) * np.sqrt(1.0 / 3.0)
+	assert abs(float(moe) - want) < 1e-5
+
+
+def test_custom_python_criterion_falls_back_to_host_loop():
+	"""A user criterion that is not a registered pytree must still work."""
+	import primate_tpu as pt
+
+	class StopAt100:
+		def __call__(self, est):
+			return est.n_samples >= 100
+
+		def check(self, snap):  # pragma: no cover - host path uses __call__
+			raise RuntimeError
+
+		def message(self, est):
+			return "custom"
+
+	A = pt.symmetric(24, pd=True, seed=0)
+	est = pt.hutch(A, converge=StopAt100(), seed=1)
+	assert np.isfinite(est)
+	d = pt.diag(A, converge=StopAt100(), seed=2)
+	assert np.asarray(d).shape == (24,)
+
+
+def test_diag_confidence_criterion_works():
+	import primate_tpu as pt
+
+	A = pt.symmetric(32, pd=True, seed=3)
+	d = pt.diag(A, converge="confidence", atol=0.2, seed=4)
+	assert np.abs(np.asarray(d) - np.diag(np.asarray(A))).mean() < 0.5

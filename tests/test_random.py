@@ -77,3 +77,19 @@ def test_as_key_accepts_generators():
 	k2 = as_key(123)
 	k3 = as_key(k2)
 	assert k3 is k2
+
+
+def test_as_key_accepts_legacy_prngkey():
+	import jax
+	from primate_tpu.random import as_key
+
+	legacy = jax.random.PRNGKey(42)
+	k = as_key(legacy)
+	import jax.numpy as jnp
+
+	assert jnp.issubdtype(k.dtype, jax.dtypes.prng_key)
+	# and the estimators accept it end to end
+	import primate_tpu as pt
+
+	est = pt.hutch(pt.symmetric(16, pd=True, seed=0), seed=legacy, converge="count", count=64)
+	assert np.isfinite(est)
