@@ -44,7 +44,7 @@ def baseline_slq_logdet(A: sps.csr_matrix, deg: int, orth: int, probes: int, see
 		v = rng.integers(0, 2, n).astype(np.float32) * 2.0 - 1.0
 		nrm = np.linalg.norm(v)
 		q = v / nrm
-		Q = np.zeros((orth + 2, n), np.float32)
+		Q = np.zeros((orth, n), np.float32)  # ring of the last `orth` basis vectors
 		Q[0] = q
 		alphas = np.zeros(deg, np.float64)
 		betas = np.zeros(deg, np.float64)
@@ -54,14 +54,14 @@ def baseline_slq_logdet(A: sps.csr_matrix, deg: int, orth: int, probes: int, see
 			w = A @ q - beta * q_prev
 			alpha = float(w @ q)
 			w -= alpha * q
-			for u in Q[: min(j + 1, orth)]:  # windowed MGS re-orth
+			for u in Q:  # windowed MGS re-orth (zero slots contribute nothing)
 				w -= (w @ u) * u
 			beta = float(np.linalg.norm(w))
 			alphas[j], betas[j] = alpha, beta
 			if beta < 1e-10:
 				break
 			q_prev, q = q, w / beta
-			Q[(j + 1) % (orth + 2)] = q
+			Q[(j + 1) % orth] = q
 		T = np.diag(alphas) + np.diag(betas[: deg - 1], 1) + np.diag(betas[: deg - 1], -1)
 		theta, Y = np.linalg.eigh(T)
 		tau = Y[0, :] ** 2

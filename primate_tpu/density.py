@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .integrate import quadrature
-from .lanczos import lanczos_block
+from .lanczos import lanczos_block_op
 from .operators import aslinop
 from .random import as_key, sample_isotropic
 
@@ -66,7 +66,7 @@ def spectral_density(
 	key = as_key(seed)
 	V = sample_isotropic(key, (n, int(nv)), pdf=pdf, dtype=op.dtype)
 
-	out = lanczos_block(op.matmat, V, deg=deg, ncv=max(2, min(max(orth, 2), deg)), orth=orth, return_basis=False)
+	out = lanczos_block_op(op, V, deg=deg, ncv=max(2, min(max(orth, 2), deg)), orth=orth, return_basis=False)
 	nodes, weights = quadrature(out.alphas.T, out.betas[: deg - 1].T, deg=deg, quad="gw")  # (nv, deg) each
 
 	if bounds is None:

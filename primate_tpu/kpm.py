@@ -38,13 +38,17 @@ def jackson_coefficients(m: int) -> jnp.ndarray:
 	return ((M - k) * jnp.cos(jnp.pi * k / M) + jnp.sin(jnp.pi * k / M) / jnp.tan(jnp.pi / M)) / M
 
 
-@partial(jax.jit, static_argnames=("matmat", "m"))
-def _moment_scan(matmat: Callable, V: jnp.ndarray, m: int, c, r) -> jnp.ndarray:
-	"""Per-probe moments μ_j^(v) = vᵀ T_j(Ã) v for j < m → (m, nv)."""
+@partial(jax.jit, static_argnames=("m",))
+def _moment_scan(op, V: jnp.ndarray, m: int, c, r) -> jnp.ndarray:
+	"""Per-probe moments μ_j^(v) = vᵀ T_j(Ã) v for j < m → (m, nv).
+
+	``op`` is a pytree argument, so the compiled recurrence re-runs for any
+	same-shaped operator without retracing.
+	"""
 	acc = jnp.promote_types(V.dtype, jnp.float32)
 
 	def apply_scaled(X):
-		return ((matmat(X) - c * X) / r).astype(X.dtype)
+		return ((op.matmat(X) - c * X) / r).astype(X.dtype)
 
 	T0 = V
 	T1 = apply_scaled(V)
@@ -95,7 +99,7 @@ def chebyshev_moments(
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	key = as_key(seed)
 	V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=op.dtype)
-	mus = _moment_scan(op.matmat, V, int(m), jnp.asarray(c, V.dtype), jnp.asarray(r, V.dtype))
+	mus = _moment_scan(op, V, int(m), jnp.asarray(c, V.dtype), jnp.asarray(r, V.dtype))
 	return np.asarray(jnp.mean(mus, axis=1)), (lo, hi)
 
 

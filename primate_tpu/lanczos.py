@@ -37,7 +37,7 @@ from jax import lax
 
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
-__all__ = ["lanczos", "rayleigh_ritz", "lanczos_block", "LanczosOutput"]
+__all__ = ["lanczos", "rayleigh_ritz", "lanczos_block", "lanczos_block_op", "LanczosOutput"]
 
 
 class LanczosOutput(NamedTuple):
@@ -64,6 +64,32 @@ def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_bas
 		ncv = deg if return_basis else int(np.clip(max(orth, 2), 2, deg))
 	ncv = int(np.clip(ncv, min(2, deg), deg))
 	return deg, orth, ncv
+
+
+@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis"))
+def lanczos_block_op(
+	op,
+	V0: jnp.ndarray,
+	deg: int,
+	ncv: int,
+	orth: int = 0,
+	rtol: float = 1e-8,
+	reorth_passes: int = 2,
+	return_basis: bool = True,
+	coeffs: Optional[jnp.ndarray] = None,
+) -> LanczosOutput:
+	"""`lanczos_block` with the operator as a PYTREE argument.
+
+	Prefer this entry point when sweeping over many operators: the compiled
+	program is keyed on the operator's structure, so swapping matrices of the
+	same shape re-uses it. The callable-based `lanczos_block` keys on the
+	callable's identity — a bound method pins the cache to one instance and
+	bakes its arrays into the executable as constants.
+	"""
+	return _lanczos_core(
+		op.matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
+		return_basis=return_basis, coeffs=coeffs,
+	)
 
 
 @partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis"))
@@ -101,6 +127,24 @@ def lanczos_block(
 	Lanczos ``f(A)v``, which never materializes the (deg, n, nv) basis.
 	Early-exit columns stop contributing automatically (q_t → 0).
 	"""
+	return _lanczos_core(
+		matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
+		return_basis=return_basis, coeffs=coeffs,
+	)
+
+
+def _lanczos_core(
+	matmat: Callable[[jnp.ndarray], jnp.ndarray],
+	V0: jnp.ndarray,
+	*,
+	deg: int,
+	ncv: int,
+	orth: int,
+	rtol: float,
+	reorth_passes: int,
+	return_basis: bool,
+	coeffs: Optional[jnp.ndarray],
+) -> LanczosOutput:
 	n, nv = V0.shape
 	dtype = V0.dtype
 	acc_dtype = jnp.promote_types(dtype, jnp.float32)  # f32 accumulation for bf16 storage
@@ -222,8 +266,8 @@ def lanczos(
 		single, v0 = True, v0[:, None]
 	assert v0.shape[0] == n, "Invalid starting vector; must match the number of columns of A."
 
-	out = lanczos_block(
-		op.matmat, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes, return_basis=return_basis
+	out = lanczos_block_op(
+		op, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes, return_basis=return_basis
 	)
 	a = out.alphas.astype(f_dtype)  # (deg, nv)
 	b = out.betas[: deg - 1].astype(f_dtype)  # (deg-1, nv)

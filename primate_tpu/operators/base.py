@@ -217,10 +217,17 @@ def aslinop(A: Any, dtype=None) -> LinearOperator:
 		pass
 	if is_linear_op(A):
 		n, m = A.shape[0], A.shape[1]
-		dt = getattr(A, "dtype", None) or dtype
-		if hasattr(A, "matmat") or hasattr(A, "__matmul__"):
-			apply = (lambda V: A.matmat(V)) if hasattr(A, "matmat") else (lambda V: A @ V)
-			return FunctionOperator(apply, (n, m), dtype=dt, batched=True)
+		dt = dtype or getattr(A, "dtype", None)  # explicit request wins
+		# Dispatch in capability order — every apply-method is honored (the
+		# is_linear_op contract lists matmat/__matmul__/dot/matvec).
+		if hasattr(A, "matmat"):
+			return FunctionOperator(lambda V: A.matmat(V), (n, m), dtype=dt, batched=True)
+		if hasattr(A, "__matmul__"):
+			return FunctionOperator(lambda V: A @ V, (n, m), dtype=dt, batched=True)
+		if hasattr(A, "matmul"):
+			return FunctionOperator(lambda V: A.matmul(V), (n, m), dtype=dt, batched=True)
+		if hasattr(A, "dot"):
+			return FunctionOperator(lambda V: A.dot(V), (n, m), dtype=dt, batched=True)
 		return FunctionOperator(lambda v: A.matvec(v), (n, m), dtype=dt, batched=False)
 	raise TypeError(f"Cannot interpret {type(A)} as a linear operator")
 

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 
 from ..special import param_callable
 from ..tridiag import eigh_tridiag
-from ..integrate import quadrature
 from .base import LinearOperator, aslinop, is_linear_op
 
 __all__ = ["MatrixFunction", "matrix_function", "Toeplitz", "ScaledOperator", "normalize_unit"]
@@ -81,10 +80,13 @@ class MatrixFunction(LinearOperator):
 		return self._A
 
 	def _lanczos(self, X: jnp.ndarray, ncv: int, return_basis: bool = True, coeffs=None):
-		from ..lanczos import lanczos_block
+		# Operator-as-pytree entry point: the compiled sweep is keyed on the
+		# operator's STRUCTURE, so same-shaped matrices re-use it (a bound
+		# method would pin the jit cache to this instance and bake A in).
+		from ..lanczos import lanczos_block_op
 
-		return lanczos_block(
-			self._A.matmat,
+		return lanczos_block_op(
+			self._A,
 			X,
 			deg=self._deg,
 			ncv=ncv,
@@ -178,6 +180,7 @@ class Toeplitz(LinearOperator):
 	def __init__(self, c: jnp.ndarray, r: Optional[jnp.ndarray] = None, dtype=None):
 		self.c = jnp.asarray(c, dtype=dtype)
 		self.r = jnp.asarray(c if r is None else r, dtype=dtype)
+		assert self.r.shape == self.c.shape, "First row and first column must have the same length."
 		n = self.c.shape[0]
 		d = jnp.concatenate([self.c, jnp.zeros(1, self.c.dtype), jnp.flip(self.r[1:])])
 		# Keep the complex circulant spectrum: the reference drops the imaginary
@@ -234,18 +237,23 @@ class ScaledOperator(LinearOperator):
 
 
 def normalize_unit(A, interval: tuple = (-1, 1), deg: int = 64, seed=None) -> ScaledOperator:
-	"""Shift/scale ``A`` so its spectrum lands in ``[-1, 1]``: ``(A + αI) / (2α)``.
+	"""Shift/scale ``A`` so its spectrum lands in ``interval`` (default [-1, 1]).
 
-	α is the largest-magnitude eigenvalue, estimated matrix-free by a
-	high-orth Lanczos sweep (Rayleigh-Ritz extremes) — the reference calls
-	ARPACK ``eigsh`` (`operators.py:186-193`); on TPU the Krylov estimate runs
-	on-device with no host solver. A 1% safety inflation guards the Ritz
-	underestimate.
+	With α the largest-magnitude eigenvalue (estimated matrix-free by a
+	high-orth Lanczos sweep — the reference calls ARPACK ``eigsh``,
+	`operators.py:186-193`), the affine map ``s·(A + tI)`` sends [-α, α] onto
+	``[a, b]``: s = (b−a)/(2α), t = α(b+a)/(b−a). A 1% safety inflation
+	guards the Ritz underestimate. (The reference accepts ``interval`` but
+	ignores it — a bug consciously not replicated.)
 	"""
 	from ..lanczos import rayleigh_ritz
 
+	a_lo, b_hi = interval
+	assert b_hi > a_lo, "interval must be increasing"
 	op = aslinop(A)
 	k = int(min(deg, op.shape[0]))
 	rw = rayleigh_ritz(op, deg=k, orth=-1, seed=seed)
 	alpha = 1.01 * jnp.max(jnp.abs(rw))
-	return ScaledOperator(op, t=alpha, s=1.0 / (2.0 * alpha))
+	s = (b_hi - a_lo) / (2.0 * alpha)
+	t = alpha * (b_hi + a_lo) / (b_hi - a_lo)
+	return ScaledOperator(op, t=t, s=s)

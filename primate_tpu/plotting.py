@@ -33,6 +33,7 @@ def figure_csm(values: np.ndarray, ax=None, **kwargs):
 	import matplotlib.pyplot as plt
 
 	values = np.sort(np.asarray(values).ravel())
+	assert values.size > 0, "figure_csm requires at least one value"
 	if ax is None:
 		_, ax = plt.subplots(figsize=kwargs.pop("figsize", (4.5, 3.2)))
 	m = 1.0 / len(values)
@@ -118,14 +119,22 @@ def figure_error(
 	if mu is not None:
 		cum_error = np.abs(mu - avgs) if absolute else np.abs((mu - avgs) / mu)
 	else:
-		est = MeanEstimator(covariance=True)
-		cc = ConfidenceCriterion(confidence=0.95)
-		cum_error = []
-		for sample in sample_vals[valid]:
-			est.update(np.asarray([sample]))
-			moe, rerr = cc._error(est.snapshot())
-			cum_error.append(float(moe) if absolute else float(rerr))
-		cum_error = np.asarray(cum_error)
+		# Vectorized CLT bound: cumulative mean/variance + t (n<30) / z scores
+		# in one numpy pass (a per-sample jnp estimator update would cost a
+		# device round trip per point).
+		import scipy.stats as st
+
+		x = sample_vals[valid]
+		n_idx = idx.astype(float)
+		cum_mean = avgs
+		cum_sq = np.cumsum(x**2)
+		var = np.maximum(cum_sq / n_idx - cum_mean**2, 0.0) * n_idx / np.maximum(n_idx - 1, 1)
+		std_err = np.sqrt(var / n_idx)
+		score = np.where(idx < 30, st.t.ppf(0.975, df=np.maximum(idx - 1, 1)), st.norm.ppf(0.975))
+		moe = score * std_err
+		with np.errstate(divide="ignore", invalid="ignore"):
+			rerr = np.where(cum_mean == 0, np.inf, np.abs(std_err / cum_mean))
+		cum_error = np.where(idx < 3, np.inf, moe if absolute else rerr)
 
 	if ax is None:
 		_, ax = plt.subplots(figsize=kwargs.pop("figsize", (5, 3.6)))

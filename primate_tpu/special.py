@@ -10,6 +10,7 @@ Estrada/heat-kernel ("exp"), numerical rank ("numrank"), Schatten norms
 ("sqrt"/"abs"), and eigenvalue counts ("smoothstep").
 """
 
+from functools import lru_cache
 from typing import Any, Callable, Optional, Union
 
 import jax.numpy as jnp
@@ -77,32 +78,48 @@ def step(x: Optional[jnp.ndarray] = None, c: float = 0.0, nonnegative: bool = Fa
 	return _step(x) if x is not None else _step
 
 
+def _log_eps(x):
+	# Clamp at machine eps so logdet-style quadratures never see log(<=0).
+	return jnp.log(jnp.maximum(x, jnp.finfo(jnp.asarray(x).dtype).eps))
+
+
+@lru_cache(maxsize=256)
+def _cached_builtin(fun: str, kwargs_items: tuple) -> Callable:
+	kwargs = dict(kwargs_items)
+	if fun == "abs":
+		return jnp.abs
+	if fun == "sqrt":
+		return jnp.sqrt
+	if fun == "log":
+		return _log_eps
+	if fun == "inv":
+		return jnp.reciprocal
+	if fun == "exp":
+		return exp(t=kwargs.pop("t", 1.0))
+	if fun == "smoothstep":
+		return smoothstep(a=kwargs.pop("a", 0.0), b=kwargs.pop("b", 1.0))
+	if fun == "softsign":
+		return softsign(q=kwargs.pop("q", 10))
+	if fun == "numrank":
+		return step(c=kwargs.pop("threshold", 1e-6), nonnegative=True)
+	raise ValueError(f"Unknown function: {fun}.")
+
+
 def param_callable(fun: Union[str, Callable, None], **kwargs) -> Callable:
 	"""Resolve a builtin function name (or passthrough callable) to a jnp callable.
 
 	Parity: reference `special.py:78-107`, including the eps-clamp on "log".
+
+	Builtins are MEMOIZED on (name, params): objects holding the callable in
+	static/aux data (e.g. `MatrixFunction.tree_flatten`) compare equal across
+	instances, so fused estimator programs re-use their compilation when only
+	the matrix changes. A fresh closure per call would defeat the jit cache.
 	"""
 	if fun is None or fun == "identity":
 		return identity
 	if callable(fun):
 		return fun
 	assert isinstance(fun, str), "Matrix function must be a string or callable."
-	fun = fun.lower()
-	if fun == "abs":
-		return jnp.abs
-	elif fun == "sqrt":
-		return jnp.sqrt
-	elif fun == "log":
-		# Clamp at machine eps so logdet-style quadratures never see log(<=0).
-		return lambda x: jnp.log(jnp.maximum(x, jnp.finfo(jnp.asarray(x).dtype).eps))
-	elif fun == "inv":
-		return jnp.reciprocal
-	elif fun == "exp":
-		return exp(t=kwargs.pop("t", 1.0))
-	elif fun == "smoothstep":
-		return smoothstep(a=kwargs.pop("a", 0.0), b=kwargs.pop("b", 1.0))
-	elif fun == "softsign":
-		return softsign(q=kwargs.pop("q", 10))
-	elif fun == "numrank":
-		return step(c=kwargs.pop("threshold", 1e-6), nonnegative=True)
-	raise ValueError(f"Unknown function: {fun}.")
+	known = {"t", "a", "b", "q", "threshold"}
+	items = tuple(sorted((k, v) for k, v in kwargs.items() if k in known))
+	return _cached_builtin(fun.lower(), items)

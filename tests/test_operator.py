@@ -173,3 +173,50 @@ def test_mf_bf16_storage_f32_coeffs():
 	a, b = pt.lanczos(Ab, deg=48, orth=48)
 	rw = np.sort(np.asarray(pt.eigvalsh_tridiag(jnp.asarray(a, jnp.float64), jnp.asarray(b, jnp.float64))))
 	assert np.abs(rw - np.sort(ew)).max() < 0.05  # bf16 matvec precision
+
+
+def test_param_callable_memoized_for_cache_hits():
+	"""Builtin spectral functions must be canonical objects so MatrixFunction
+	aux data compares equal across instances (jit-cache reuse)."""
+	from primate_tpu.special import param_callable
+
+	assert param_callable("log") is param_callable("log")
+	assert param_callable("exp", t=-2.0) is param_callable("exp", t=-2.0)
+	assert param_callable("exp", t=-2.0) is not param_callable("exp", t=-1.0)
+	A1, _, _ = _fixture(n=12, seed=1)
+	A2, _, _ = _fixture(n=12, seed=2)
+	M1 = pt.MatrixFunction(A1, fun="log", deg=8, orth=4)
+	M2 = pt.MatrixFunction(A2, fun="log", deg=8, orth=4)
+	t1 = jnp.tree_util.tree_structure(M1) if hasattr(jnp, "tree_util") else None
+	import jax
+
+	s1 = jax.tree_util.tree_structure(M1)
+	s2 = jax.tree_util.tree_structure(M2)
+	assert s1 == s2  # identical treedef => fused programs are shared
+
+
+def test_normalize_unit_custom_interval():
+	A, ew, _ = _fixture(n=20)
+	N = pt.normalize_unit(jnp.asarray(A), interval=(0.0, 1.0))
+	lam = np.linalg.eigvalsh(np.asarray(N.todense()))
+	assert lam.min() >= -1e-8 and lam.max() <= 1.0 + 1e-8
+
+
+def test_aslinop_dot_only_object():
+	A, _, rng = _fixture(n=10)
+
+	class DotOnly:
+		shape = A.shape
+		dtype = A.dtype
+
+		def dot(self, V):
+			return jnp.asarray(A) @ V
+
+	op = aslinop(DotOnly())
+	V = rng.normal(size=(10, 3))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-10)
+
+
+def test_toeplitz_rejects_mismatched_lengths():
+	with pytest.raises(AssertionError):
+		pt.Toeplitz(np.ones(8), np.ones(5))
