@@ -1,0 +1,48 @@
+"""Examples must keep running (scaled-down smoke executions)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(code: str) -> None:
+	env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO)}
+	r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300, env=env, cwd=REPO)
+	assert r.returncode == 0, r.stderr[-1500:]
+	assert "nan" not in r.stdout.lower(), r.stdout
+
+
+def test_gp_example_one_step():
+	_run(
+		"""
+import numpy as np, jax, jax.numpy as jnp
+from examples.gp_log_likelihood import make_kernel, neg_log_likelihood
+n, d = 64, 2
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.uniform(-2, 2, (n, d)), jnp.float32)
+y = jnp.asarray(np.sin(np.asarray(X).sum(axis=1)), jnp.float32)
+nll, g = jax.value_and_grad(neg_log_likelihood)(jnp.zeros(2), X, y, jax.random.PRNGKey(0), deg=12, nv=8)
+assert np.isfinite(float(nll)) and np.all(np.isfinite(np.asarray(g)))
+print("ok", float(nll))
+"""
+	)
+
+
+def test_graph_example_components():
+	_run(
+		"""
+import numpy as np
+from examples.graph_analysis import build_graph_laplacian
+import primate_tpu as pt
+from primate_tpu.operators.sparse import CSROperator
+L = build_graph_laplacian(n=300, k=4, seed=0)
+op = CSROperator.from_scipy(L)
+e = pt.recipes.estrada_index(op, t=-0.5, deg=12, converge="count", count=32, seed=1)
+ts, phi = pt.spectral_density(op, deg=24, nv=4, seed=2)
+assert np.isfinite(e) and np.all(np.isfinite(phi))
+print("ok", e)
+"""
+	)
