@@ -16,7 +16,44 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["fttr", "fttr_weights"]
+__all__ = ["fttr", "fttr_weights", "ortho_poly"]
+
+
+def ortho_poly(x: jnp.ndarray, mu_sqrt_rec: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+	"""Evaluate the orthonormal polynomial sequence p_0..p_{n-1} at ``x``.
+
+	Parity: reference Pythran ``src/primate/fttr.py:5-11`` (``ortho_poly``),
+	which fills a preallocated ``z`` in place for one scalar ``x``; here the
+	three-term recurrence is a `lax.scan` over degree returning the stacked
+	values, vmapped over any leading axes of ``x`` (JAX arrays are immutable).
+
+	``a (n,)``, ``b (n,)`` use the leading-slot convention: ``b[i]`` couples
+	p_{i-1}→p_i and ``b[0]`` is unused. Returns shape ``x.shape + (n,)``.
+	"""
+	x, a, b = jnp.asarray(x), jnp.asarray(a), jnp.asarray(b)
+	acc = jnp.promote_types(jnp.result_type(x, a, b), jnp.float32)
+	x, a, b = x.astype(acc), a.astype(acc), b.astype(acc)
+	mu_sqrt_rec = jnp.asarray(mu_sqrt_rec, acc)
+	n = a.shape[0]
+
+	def single(x_i):
+		z0 = mu_sqrt_rec
+		if n == 1:
+			return z0[None]
+		z1 = (x_i - a[0]) * z0 / b[1]
+
+		def step(carry, i):
+			zm2, zm1 = carry
+			z = (x_i - a[i - 1]) / b[i] * zm1 - b[i - 1] / b[i] * zm2
+			return (zm1, z), z
+
+		_, rest = lax.scan(step, (z0, z1), jnp.arange(2, n))
+		return jnp.concatenate([jnp.stack([z0, z1]), rest])
+
+	fn = single
+	for _ in range(x.ndim):
+		fn = jax.vmap(fn)
+	return fn(x)
 
 
 def _ortho_poly_sq_sum(x: jnp.ndarray, mu_sqrt_rec: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -11,7 +11,7 @@ from typing import Optional, Sequence, Union
 
 import numpy as np
 
-__all__ = ["figure_csm", "figure_jacobi", "figure_sequence", "figure_error"]
+__all__ = ["figure_csm", "figure_jacobi", "figure_orth_poly", "figure_sequence", "figure_error"]
 
 
 def _sample_values(estimator) -> np.ndarray:
@@ -63,6 +63,41 @@ def figure_jacobi(deg: int = 4, alpha: float = 0, beta: float = 0, ax=None):
 	for d in range(deg):
 		ax.plot(dom, spc.eval_jacobi(d, alpha, beta, dom), lw=1.5, label=f"d={d}")
 	ax.set_title(rf"Jacobi polynomials ($\alpha$={alpha:.1f}, $\beta$={beta:.1f})")
+	ax.legend(loc="lower right", fontsize=8)
+	return ax
+
+
+def figure_orth_poly(alpha, beta, k: Optional[int] = None, domain=None, ax=None):
+	"""The first ``k`` orthonormal polynomials defined by Jacobi coefficients.
+
+	Parity: reference `plotting.py:32-33` declares ``figure_orth_poly`` but
+	leaves it an empty stub; this renders the actual sequence via the FTTR
+	recurrence (`fttr.ortho_poly`). ``alpha (n,)``/``beta (n,)`` follow the
+	leading-slot convention of `lanczos` output with a zero prepended to beta
+	(i.e. ``beta[i]`` couples p_{i-1}→p_i). Default domain spans the Gauss
+	nodes of the Jacobi matrix, padded 5% each side.
+	"""
+	import matplotlib.pyplot as plt
+
+	from .fttr import ortho_poly
+	from .tridiag import eigvalsh_tridiag
+
+	alpha, beta = np.asarray(alpha, float), np.asarray(beta, float)
+	n = len(alpha)
+	k = min(n, 6) if k is None else k
+	assert k <= n, f"k={k} exceeds the {n} available Jacobi coefficients"
+	if domain is None:
+		nodes = np.asarray(eigvalsh_tridiag(alpha, beta[1:n]))
+		lo, hi = nodes.min(), nodes.max()
+		pad = 0.05 * (hi - lo + (hi == lo))
+		domain = (lo - pad, hi + pad)
+	if ax is None:
+		_, ax = plt.subplots(figsize=(4.5, 3.6))
+	dom = np.linspace(domain[0], domain[1], 1500)
+	P = np.asarray(ortho_poly(dom, 1.0, alpha, beta))  # (1500, n)
+	for d in range(k):
+		ax.plot(dom, P[:, d], lw=1.5, label=f"d={d}")
+	ax.set_title("Orthogonal polynomials (three-term recurrence)")
 	ax.legend(loc="lower right", fontsize=8)
 	return ax
 

@@ -69,3 +69,44 @@ def test_quadrature_exact_for_polynomials():
 	est = np.sum(np.asarray(nodes) ** 2 * np.asarray(weights)) * (v @ v)
 	true = v @ A @ A @ v
 	assert np.isclose(est, true, rtol=1e-10)
+
+
+def test_ortho_poly_matches_numpy_recurrence():
+	"""`ortho_poly` ≡ a direct numpy transliteration of the three-term
+	recurrence (reference fttr.py:5-11 semantics), over a batch of points."""
+	from primate_tpu.fttr import ortho_poly
+
+	rng = np.random.default_rng(5)
+	n = 12
+	A = pt.symmetric(n, pd=True, seed=rng)
+	a, b_off = pt.lanczos(A, deg=n, orth=n, seed=rng)
+	a = np.asarray(a, float)
+	b = np.concatenate([[0.0], np.asarray(b_off, float)])  # leading-slot convention
+	xs = rng.uniform(0.0, 1.5, size=7)
+	mu_sqrt_rec = 1.0 / np.sqrt(3.0)
+
+	P = np.asarray(ortho_poly(xs, mu_sqrt_rec, a, b))
+	assert P.shape == (7, n)
+	for k, x in enumerate(xs):
+		z = np.zeros(n)
+		z[0] = mu_sqrt_rec
+		z[1] = (x - a[0]) * z[0] / b[1]
+		for i in range(2, n):
+			z[i] = (x - a[i - 1]) / b[i] * z[i - 1] - b[i - 1] / b[i] * z[i - 2]
+		assert np.allclose(P[k], z, atol=1e-10)
+
+
+def test_ortho_poly_orthonormal_under_gauss_rule():
+	"""With mu_sqrt_rec=1, the sequence is orthonormal w.r.t. the spectral
+	measure: Σ_j τ_j p_d(θ_j) p_e(θ_j) = δ_de (exact — deg(p_d p_e) ≤ 2n-2)."""
+	from primate_tpu.fttr import ortho_poly
+
+	rng = np.random.default_rng(8)
+	n = 10
+	A = pt.symmetric(n, pd=True, seed=rng)
+	a, b_off = pt.lanczos(A, deg=n, orth=n, seed=rng)
+	nodes, weights = pt.quadrature(a, b_off, quad="gw")
+	b = np.concatenate([[0.0], np.asarray(b_off, float)])
+	P = np.asarray(ortho_poly(np.asarray(nodes), 1.0, np.asarray(a, float), b))  # (n, n)
+	G = np.einsum("j,jd,je->de", np.asarray(weights), P, P)
+	assert np.allclose(G, np.eye(n), atol=1e-6)

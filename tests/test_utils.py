@@ -65,6 +65,13 @@ def test_figures_render():
 	ax = figure_jacobi(deg=4)
 	assert "Jacobi" in ax.get_title()
 
+	from primate_tpu.plotting import figure_orth_poly
+
+	B = pt.symmetric(16, pd=True, seed=5)
+	a, b = pt.lanczos(B, deg=16, orth=16, seed=6)
+	ax = figure_orth_poly(np.asarray(a), np.concatenate([[0.0], np.asarray(b)]), k=4)
+	assert len(ax.get_lines()) == 4
+
 	A = pt.symmetric(32, pd=True, seed=2)
 	est, result = pt.hutch(A, full=True, record=True, converge="count", count=64, seed=3)
 	ax = figure_sequence(result.estimator, mu=float(np.trace(np.asarray(A))))
