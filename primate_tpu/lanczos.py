@@ -66,7 +66,7 @@ def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_bas
 	return deg, orth, ncv
 
 
-@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis"))
+@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype"))
 def lanczos_block_op(
 	op,
 	V0: jnp.ndarray,
@@ -77,6 +77,7 @@ def lanczos_block_op(
 	reorth_passes: int = 2,
 	return_basis: bool = True,
 	coeffs: Optional[jnp.ndarray] = None,
+	basis_dtype=None,
 ) -> LanczosOutput:
 	"""`lanczos_block` with the operator as a PYTREE argument.
 
@@ -88,11 +89,11 @@ def lanczos_block_op(
 	"""
 	return _lanczos_core(
 		op.matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
-		return_basis=return_basis, coeffs=coeffs,
+		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
 	)
 
 
-@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis"))
+@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype"))
 def lanczos_block(
 	matmat: Callable[[jnp.ndarray], jnp.ndarray],
 	V0: jnp.ndarray,
@@ -103,6 +104,7 @@ def lanczos_block(
 	reorth_passes: int = 2,
 	return_basis: bool = True,
 	coeffs: Optional[jnp.ndarray] = None,
+	basis_dtype=None,
 ) -> LanczosOutput:
 	"""Run ``deg`` Lanczos steps on a block of probes ``V0 (n, nv)`` — pure/jittable.
 
@@ -129,7 +131,7 @@ def lanczos_block(
 	"""
 	return _lanczos_core(
 		matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
-		return_basis=return_basis, coeffs=coeffs,
+		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
 	)
 
 
@@ -144,17 +146,24 @@ def _lanczos_core(
 	reorth_passes: int,
 	return_basis: bool,
 	coeffs: Optional[jnp.ndarray],
+	basis_dtype=None,
 ) -> LanczosOutput:
 	n, nv = V0.shape
 	dtype = V0.dtype
 	acc_dtype = jnp.promote_types(dtype, jnp.float32)  # f32 accumulation for bf16 storage
+	# Storage dtype for the carried basis window only. bf16 halves the dominant
+	# HBM traffic of the scan step (the window is read twice per re-orth pass);
+	# the recurrence itself — q_prev/q_cur, α/β, all reductions — stays in
+	# dtype/acc_dtype, so Jacobi coefficients keep full precision and only the
+	# re-orth *corrections* (second-order) and the returned basis are truncated.
+	b_dtype = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
 	keep_window = return_basis or orth > 0
 
 	norm0 = jnp.sqrt(jnp.sum(V0.astype(acc_dtype) ** 2, axis=0))
 	q0 = (V0 / jnp.where(norm0 > 0, norm0, 1).astype(dtype)).astype(dtype)
 	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
 
-	Q_win = jnp.zeros((ncv, n, nv), dtype).at[0].set(q0) if keep_window else jnp.zeros((0,), dtype)
+	Q_win = jnp.zeros((ncv, n, nv), b_dtype).at[0].set(q0.astype(b_dtype)) if keep_window else jnp.zeros((0,), b_dtype)
 	y0 = jnp.zeros((n, nv), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
 	carry0 = (
 		jnp.zeros((n, nv), dtype),  # q_prev
@@ -204,7 +213,7 @@ def _lanczos_core(
 			advance = ~(done | newly_done) & (j + 1 < deg)
 			slot = (j + 1) % ncv
 			old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
-			new_slot = jnp.where(advance[None, :], q_next, old_slot)
+			new_slot = jnp.where(advance[None, :], q_next.astype(b_dtype), old_slot)
 			Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
 
 		return (q_cur, q_next, Q_win, beta_next, done | newly_done, y), (alpha_out, beta_out)

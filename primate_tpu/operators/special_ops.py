@@ -52,6 +52,7 @@ class MatrixFunction(LinearOperator):
 		dtype=None,
 		two_pass: Union[bool, str] = "auto",
 		reorth_passes: int = 2,
+		basis_dtype=None,
 		**kwargs,
 	):
 		assert is_linear_op(A) or isinstance(A, (jnp.ndarray, np.ndarray)), (
@@ -70,6 +71,9 @@ class MatrixFunction(LinearOperator):
 		# CGS passes per re-orth (2 = CGS2, the stable default; 1 halves the
 		# window-GEMM traffic when deg is modest and A is well-conditioned).
 		self._reorth_passes = int(reorth_passes)
+		# bf16 here halves the re-orth window's HBM traffic; the recurrence and
+		# Jacobi coefficients stay full precision (see lanczos basis_dtype).
+		self._basis_dtype = basis_dtype
 
 	@property
 	def degree(self) -> int:
@@ -95,6 +99,7 @@ class MatrixFunction(LinearOperator):
 			reorth_passes=self._reorth_passes,
 			return_basis=return_basis,
 			coeffs=coeffs,
+			basis_dtype=self._basis_dtype,
 		)
 
 	def _use_two_pass(self, nv: int) -> bool:
@@ -144,11 +149,14 @@ class MatrixFunction(LinearOperator):
 		return (vals * x_norm_sq).astype(self.dtype)
 
 	def tree_flatten(self):
-		return (self._A,), (self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass, self._reorth_passes)
+		return (self._A,), (
+			self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass,
+			self._reorth_passes, self._basis_dtype,
+		)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		fun, deg, orth, rtol, dtype, two_pass, reorth_passes = aux
+		fun, deg, orth, rtol, dtype, two_pass, reorth_passes, basis_dtype = aux
 		obj = object.__new__(cls)
 		obj._A = children[0]
 		obj.shape = obj._A.shape
@@ -157,6 +165,7 @@ class MatrixFunction(LinearOperator):
 		obj._deg, obj._orth, obj._rtol = deg, orth, rtol
 		obj._two_pass = two_pass
 		obj._reorth_passes = reorth_passes
+		obj._basis_dtype = basis_dtype
 		return obj
 
 

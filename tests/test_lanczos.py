@@ -106,3 +106,31 @@ def test_lanczos_windowed_basis_natural_order():
 	(_, _), Q_full = pt.lanczos(A, v0=jnp.asarray(v0), deg=10, orth=0, ncv=10, return_basis=True)
 	(_, _), Q_win = pt.lanczos(A, v0=jnp.asarray(v0), deg=10, orth=0, ncv=4, return_basis=True)
 	assert np.allclose(np.asarray(Q_win), np.asarray(Q_full)[:, -4:], atol=1e-10)
+
+
+def test_bf16_basis_window_keeps_accuracy():
+	"""`basis_dtype=bf16` truncates only the re-orth window storage: Jacobi
+	coefficients (and hence quadrature) stay within ~1e-4 of the f32-window
+	run, and full re-orth still recovers a prescribed spectrum."""
+	import jax
+	import jax.numpy as jnp
+	from primate_tpu.lanczos import lanczos_block
+
+	rng = np.random.default_rng(11)
+	n = 120
+	ew = rng.uniform(0.1, 1.0, n)
+	A = pt.symmetric(n, pd=True, ew=ew, seed=rng)
+	Af = jnp.asarray(A, jnp.float32)
+	V0 = jax.random.normal(jax.random.PRNGKey(4), (n, 4), jnp.float32)
+
+	out32 = lanczos_block(lambda X: Af @ X, V0, deg=20, ncv=5, orth=5, rtol=0.0)
+	outbf = lanczos_block(lambda X: Af @ X, V0, deg=20, ncv=5, orth=5, rtol=0.0, basis_dtype=jnp.bfloat16)
+	assert outbf.Q.dtype == jnp.bfloat16
+	assert np.allclose(np.asarray(out32.alphas), np.asarray(outbf.alphas), atol=1e-3)
+	assert np.allclose(np.asarray(out32.betas), np.asarray(outbf.betas), atol=1e-3)
+
+	full = lanczos_block(lambda X: Af @ X, V0[:, :1], deg=n, ncv=n, orth=n, rtol=0.0, basis_dtype=jnp.bfloat16)
+	a = np.asarray(full.alphas[:, 0], float)
+	b = np.asarray(full.betas[: n - 1, 0], float)
+	evs = np.sort(np.asarray(pt.eigvalsh_tridiag(a, b)))
+	assert np.abs(evs - np.sort(ew)).max() < 1e-3
