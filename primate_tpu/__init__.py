@@ -35,7 +35,7 @@ from .estimators import (
 	convergence_criterion,
 )
 from .integrate import quadrature
-from .lanczos import lanczos, lanczos_block, rayleigh_ritz
+from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
 from .solvers import cg, solve
@@ -68,6 +68,7 @@ __all__ = [
 	"operators",
 	"quadrature",
 	"random",
+	"OrthogonalPolynomialBasis",
 	"rayleigh_ritz",
 	"special",
 	"stats",

@@ -37,7 +37,7 @@ from jax import lax
 
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
-__all__ = ["lanczos", "rayleigh_ritz", "lanczos_block", "lanczos_block_op", "LanczosOutput"]
+__all__ = ["lanczos", "rayleigh_ritz", "lanczos_block", "lanczos_block_op", "LanczosOutput", "OrthogonalPolynomialBasis"]
 
 
 class LanczosOutput(NamedTuple):
@@ -338,3 +338,63 @@ def rayleigh_ritz(
 		return (rw, Y) if not Q_basis else (rw, Y, Q)
 	rw = eigvalsh_tridiag(a, b, method=method)
 	return rw if not Q_basis else (rw, Q)
+
+
+class OrthogonalPolynomialBasis:
+	r"""The orthonormal polynomial basis of the spectral measure ψ(·; A, v).
+
+	Lanczos on ``(A, v)`` is equivalent to the Stieltjes procedure on the
+	(discrete) spectral measure of ``A`` localized at ``v``: the Jacobi
+	coefficients (α, β) define the three-term recurrence of the polynomials
+	``p_0, p_1, ..., p_{deg-1}`` orthonormal w.r.t. ψ. This class bundles those
+	coefficients with vectorized evaluation, Gauss nodes/weights, and the
+	associated Jacobi matrix.
+
+	Parity note: the reference *plans* this class (commented import in
+	``src/primate/__init__.py``: ``from .lanczos import
+	OrthogonalPolynomialBasis, ...``) but never ships it; the evaluation
+	recurrence is its Pythran ``ortho_poly`` (``fttr.py:5-11``).
+
+	Construct either from an operator (runs a Lanczos sweep) or directly from
+	coefficients::
+
+	    basis = OrthogonalPolynomialBasis(A, deg=16, seed=0)   # Stieltjes via Lanczos
+	    P = basis(x)                # (len(x), deg) polynomial values
+	    theta, tau = basis.gauss_quadrature()
+	"""
+
+	def __init__(self, A=None, deg: Optional[int] = None, *, alphas=None, betas=None, mu_0: float = 1.0, **kwargs):
+		if A is not None:
+			assert alphas is None and betas is None, "Pass either an operator or coefficients, not both"
+			alphas, betas = lanczos(A, deg=deg, **kwargs)
+		assert alphas is not None and betas is not None, "Need an operator or (alphas, betas)"
+		self.alphas = jnp.asarray(alphas)
+		b = jnp.asarray(betas)
+		# Accept lanczos output (deg-1,) or leading-slot (deg,) convention.
+		self.betas = b if b.shape[-1] == self.alphas.shape[-1] else jnp.concatenate([jnp.zeros_like(b[..., :1]), b], axis=-1)
+		assert self.alphas.ndim == 1, "Batched coefficient sets not supported; construct one basis per probe"
+		self.mu_0 = float(mu_0)  # total mass of the measure (1 for a unit start vector)
+
+	@property
+	def deg(self) -> int:
+		return int(self.alphas.shape[-1])
+
+	def __len__(self) -> int:
+		return self.deg
+
+	def __call__(self, x) -> jnp.ndarray:
+		"""Evaluate ``[p_0(x), ..., p_{deg-1}(x)]`` → shape ``x.shape + (deg,)``."""
+		from .fttr import ortho_poly
+
+		return ortho_poly(x, 1.0 / np.sqrt(self.mu_0), self.alphas, self.betas)
+
+	def jacobi_matrix(self) -> jnp.ndarray:
+		"""The deg×deg symmetric tridiagonal (Jacobi) matrix of the recurrence."""
+		return _tridiag_matrix(self.alphas, self.betas[1:])
+
+	def gauss_quadrature(self, quad: str = "gw"):
+		"""Nodes and weights of the deg-point Gauss rule for ψ (weights × mu_0)."""
+		from .integrate import quadrature
+
+		theta, tau = quadrature(self.alphas, self.betas[1:], quad=quad)
+		return theta, tau * self.mu_0

@@ -134,3 +134,25 @@ def test_bf16_basis_window_keeps_accuracy():
 	b = np.asarray(full.betas[: n - 1, 0], float)
 	evs = np.sort(np.asarray(pt.eigvalsh_tridiag(a, b)))
 	assert np.abs(evs - np.sort(ew)).max() < 1e-3
+
+
+def test_orthogonal_polynomial_basis():
+	"""OrthogonalPolynomialBasis: evaluation ≡ ortho_poly; Gauss rule of the
+	basis integrates p_d·p_e to δ_de; jacobi_matrix eigenvalues = nodes."""
+	rng = np.random.default_rng(13)
+	n = 14
+	A = pt.symmetric(n, pd=True, seed=rng)
+	basis = pt.OrthogonalPolynomialBasis(A, deg=n, orth=n, seed=3)
+	assert len(basis) == n
+
+	theta, tau = basis.gauss_quadrature()
+	P = np.asarray(basis(np.asarray(theta)))  # (n, n)
+	G = np.einsum("j,jd,je->de", np.asarray(tau), P, P)
+	assert np.allclose(G, np.eye(n), atol=1e-6)
+
+	J = np.asarray(basis.jacobi_matrix())
+	assert np.allclose(np.sort(np.linalg.eigvalsh(J)), np.sort(np.asarray(theta)), atol=1e-10)
+
+	# direct construction from coefficients matches
+	b2 = pt.OrthogonalPolynomialBasis(alphas=np.asarray(basis.alphas), betas=np.asarray(basis.betas[1:]))
+	assert np.allclose(np.asarray(b2(np.linspace(0, 1, 9))), np.asarray(basis(np.linspace(0, 1, 9))))
