@@ -239,6 +239,7 @@ def lanczos(
 	dtype=None,
 	ncv: Optional[int] = None,
 	reorth_passes: int = 2,
+	basis_dtype=None,
 	**kwargs,
 ) -> tuple:
 	r"""Lanczos tridiagonalization: build ``T = Qᵀ A Q`` from a symmetric operator.
@@ -258,6 +259,12 @@ def lanczos(
 	"""
 	from .operators import aslinop
 
+	if kwargs:
+		# The reference signature swallows extra kwargs silently
+		# (`lanczos.py:35`); warn instead so typos (`rtoll=`, `ncv_=`) surface.
+		import warnings
+
+		warnings.warn(f"lanczos() ignoring unrecognized kwargs: {sorted(kwargs)}", stacklevel=2)
 	op = aslinop(A, dtype=dtype)
 	n = op.shape[0]
 	deg = n if deg is None else min(int(deg), n)
@@ -276,7 +283,8 @@ def lanczos(
 	assert v0.shape[0] == n, "Invalid starting vector; must match the number of columns of A."
 
 	out = lanczos_block_op(
-		op, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes, return_basis=return_basis
+		op, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
+		return_basis=return_basis, basis_dtype=basis_dtype,
 	)
 	a = out.alphas.astype(f_dtype)  # (deg, nv)
 	b = out.betas[: deg - 1].astype(f_dtype)  # (deg-1, nv)
@@ -361,18 +369,63 @@ class OrthogonalPolynomialBasis:
 	    basis = OrthogonalPolynomialBasis(A, deg=16, seed=0)   # Stieltjes via Lanczos
 	    P = basis(x)                # (len(x), deg) polynomial values
 	    theta, tau = basis.gauss_quadrature()
+
+	If Lanczos terminates early (invariant subspace: β_k ≈ 0), the basis is
+	truncated to the k polynomials that exist — only they are well defined for
+	the measure; past that point the recurrence would divide by ~0.
 	"""
 
-	def __init__(self, A=None, deg: Optional[int] = None, *, alphas=None, betas=None, mu_0: float = 1.0, **kwargs):
+	def __init__(
+		self,
+		A=None,
+		deg: Optional[int] = None,
+		*,
+		alphas=None,
+		betas=None,
+		mu_0: float = 1.0,
+		betas_kind: str = "auto",
+		**kwargs,
+	):
 		if A is not None:
 			assert alphas is None and betas is None, "Pass either an operator or coefficients, not both"
 			alphas, betas = lanczos(A, deg=deg, **kwargs)
 		assert alphas is not None and betas is not None, "Need an operator or (alphas, betas)"
 		self.alphas = jnp.asarray(alphas)
-		b = jnp.asarray(betas)
-		# Accept lanczos output (deg-1,) or leading-slot (deg,) convention.
-		self.betas = b if b.shape[-1] == self.alphas.shape[-1] else jnp.concatenate([jnp.zeros_like(b[..., :1]), b], axis=-1)
 		assert self.alphas.ndim == 1, "Batched coefficient sets not supported; construct one basis per probe"
+		b = jnp.asarray(betas)
+		deg_ = self.alphas.shape[-1]
+		# Resolve the betas layout to leading-slot (b[0] unused, b[i] couples
+		# p_{i-1}→p_i). (deg,)-length input is AMBIGUOUS — it could be
+		# leading-slot or lanczos_block's trailing-residual (β_1..β_deg) — so it
+		# must be labeled explicitly; shape-guessing would silently shift every
+		# coupling by one for the other convention.
+		if betas_kind == "auto":
+			assert b.shape[-1] == deg_ - 1, (
+				f"betas of length {b.shape[-1]} with {deg_} alphas is ambiguous; pass the (deg-1,) "
+				"off-diagonals (lanczos() output), or set betas_kind='leading' (b[0] unused) or "
+				"'trailing' (lanczos_block output β_1..β_deg, last = residual)"
+			)
+			b = jnp.concatenate([jnp.zeros_like(b[..., :1]), b], axis=-1)
+		elif betas_kind == "offdiag":
+			assert b.shape[-1] == deg_ - 1, f"offdiag betas must have length deg-1={deg_ - 1}"
+			b = jnp.concatenate([jnp.zeros_like(b[..., :1]), b], axis=-1)
+		elif betas_kind == "leading":
+			assert b.shape[-1] == deg_, f"leading-slot betas must have length deg={deg_}"
+		elif betas_kind == "trailing":
+			assert b.shape[-1] == deg_, f"trailing betas must have length deg={deg_}"
+			b = jnp.concatenate([jnp.zeros_like(b[..., :1]), b[..., : deg_ - 1]], axis=-1)
+		else:
+			raise ValueError(f"Unknown betas_kind {betas_kind!r}; use 'auto'|'offdiag'|'leading'|'trailing'")
+		# Truncate at the first negligible coupling: an early-terminated Lanczos
+		# sweep (invariant subspace) defines only the polynomials up to that
+		# point; keeping more would divide by ~0 in the recurrence → inf/NaN.
+		b_np = np.asarray(b, float)
+		scale = max(float(np.abs(np.asarray(self.alphas)).max(initial=0.0)), float(np.abs(b_np).max(initial=0.0)), 1.0)
+		tiny = np.abs(b_np[1:]) <= 1e-12 * scale
+		if tiny.any():
+			k = int(np.argmax(tiny)) + 1  # keep p_0..p_{k-1}
+			self.alphas, b = self.alphas[:k], b[:k]
+		self.betas = b
 		self.mu_0 = float(mu_0)  # total mass of the measure (1 for a unit start vector)
 
 	@property

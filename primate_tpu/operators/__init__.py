@@ -15,7 +15,7 @@ from .base import (
 	matmat,
 	quad_form,
 )
-from .sparse import BSROperator, COOOperator, CSROperator, GramOperator
+from .sparse import BSROperator, COOOperator, CSROperator, DIAOperator, GramOperator
 from .special_ops import MatrixFunction, ScaledOperator, Toeplitz, matrix_function, normalize_unit
 
 __all__ = [
@@ -23,6 +23,7 @@ __all__ = [
 	"BSROperator",
 	"COOOperator",
 	"CSROperator",
+	"DIAOperator",
 	"DenseOperator",
 	"FunctionOperator",
 	"GramOperator",

@@ -73,6 +73,10 @@ class MatrixFunction(LinearOperator):
 		self._reorth_passes = int(reorth_passes)
 		# bf16 here halves the re-orth window's HBM traffic; the recurrence and
 		# Jacobi coefficients stay full precision (see lanczos basis_dtype).
+		# NOTE: the one-pass matvec reconstructs y from the stored window, so a
+		# narrowed window caps ITS accuracy at basis_dtype; two_pass="auto"
+		# therefore switches to the two-pass matvec (full-precision y), and quad
+		# never reads the window at all.
 		self._basis_dtype = basis_dtype
 
 	@property
@@ -105,8 +109,14 @@ class MatrixFunction(LinearOperator):
 	def _use_two_pass(self, nv: int) -> bool:
 		if isinstance(self._two_pass, bool):
 			return self._two_pass
-		# auto: avoid materializing a (deg, n, nv) basis past ~1 GiB — trade a
-		# second sweep (2× matvecs) for O(n·nv) memory (classic 2-pass f(A)v).
+		# auto, rule 1: a narrowed basis window (basis_dtype=bf16) would cap the
+		# ONE-pass matvec at window precision (y is reconstructed as Q·c from
+		# the stored window); the two-pass path re-runs the recurrence in full
+		# precision and accumulates y at acc_dtype, so prefer it.
+		if self._basis_dtype is not None and jnp.dtype(self._basis_dtype).itemsize < jnp.dtype(self.dtype).itemsize:
+			return True
+		# auto, rule 2: avoid materializing a (deg, n, nv) basis past ~1 GiB —
+		# trade a second sweep (2× matvecs) for O(n·nv) memory (classic 2-pass f(A)v).
 		itemsize = jnp.dtype(self.dtype).itemsize
 		return self._deg * self.shape[0] * nv * itemsize > (1 << 30)
 

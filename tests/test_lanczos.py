@@ -156,3 +156,55 @@ def test_orthogonal_polynomial_basis():
 	# direct construction from coefficients matches
 	b2 = pt.OrthogonalPolynomialBasis(alphas=np.asarray(basis.alphas), betas=np.asarray(basis.betas[1:]))
 	assert np.allclose(np.asarray(b2(np.linspace(0, 1, 9))), np.asarray(basis(np.linspace(0, 1, 9))))
+
+
+def test_orthogonal_polynomial_basis_robustness():
+	"""Review fixes: early-termination truncation (no inf/NaN), ambiguous
+	(deg,)-betas rejection, trailing/offdiag convention agreement, and the
+	unknown-kwargs warning on lanczos()."""
+	import warnings
+
+	import jax
+	import jax.numpy as jnp
+	import pytest
+	from primate_tpu.lanczos import lanczos_block
+
+	# Identity: Lanczos terminates after one step; basis truncates to p_0 only.
+	b = pt.OrthogonalPolynomialBasis(jnp.eye(8, dtype=jnp.float32), deg=8, seed=0)
+	P = np.asarray(b(np.linspace(-1.0, 2.0, 5)))
+	assert len(b) == 1 and np.isfinite(P).all()
+
+	A = pt.symmetric(10, pd=True, seed=1)
+	out = lanczos_block(
+		lambda X: jnp.asarray(A, jnp.float32) @ X,
+		jax.random.normal(jax.random.PRNGKey(0), (10, 1), jnp.float32),
+		deg=6, ncv=6, orth=6, rtol=0.0,
+	)
+	a_, bt_ = np.asarray(out.alphas[:, 0]), np.asarray(out.betas[:, 0])
+	with pytest.raises(AssertionError, match="ambiguous"):
+		pt.OrthogonalPolynomialBasis(alphas=a_, betas=bt_)
+	x = np.linspace(0.0, 1.0, 7)
+	trailing = pt.OrthogonalPolynomialBasis(alphas=a_, betas=bt_, betas_kind="trailing")
+	offdiag = pt.OrthogonalPolynomialBasis(alphas=a_, betas=bt_[:5])
+	assert np.allclose(np.asarray(trailing(x)), np.asarray(offdiag(x)))
+
+	with warnings.catch_warnings(record=True) as w:
+		warnings.simplefilter("always")
+		pt.lanczos(A, deg=4, bogus_kwarg=1)
+	assert any("bogus_kwarg" in str(x.message) for x in w)
+
+
+def test_bf16_basis_auto_two_pass_matvec_accuracy():
+	"""basis_dtype=bf16 with two_pass='auto' keeps matvec near f32 accuracy
+	(the one-pass path would reconstruct y from the truncated window)."""
+	import jax
+	import jax.numpy as jnp
+
+	n = 150
+	A = pt.symmetric(n, pd=True, seed=2)
+	M32 = pt.MatrixFunction(A, fun="exp", deg=25, orth=8, dtype=jnp.float32)
+	Mbf = pt.MatrixFunction(A, fun="exp", deg=25, orth=8, dtype=jnp.float32, basis_dtype=jnp.bfloat16)
+	assert Mbf._use_two_pass(4) and not M32._use_two_pass(4)
+	V = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (n, 4), jnp.float32))
+	y32, ybf = np.asarray(M32 @ V), np.asarray(Mbf @ V)
+	assert np.abs(y32 - ybf).max() / np.abs(y32).max() < 5e-4
