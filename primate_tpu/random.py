@@ -121,9 +121,23 @@ class Isotropic:
 	def __call__(self, size: Union[int, tuple, None] = None) -> jnp.ndarray:
 		size = size if size is not None else self.shape
 		assert size is not None, "A sample shape must be provided."
-		subkey = jax.random.fold_in(self.key, self._counter)
-		self._counter += 1
-		return sample_isotropic(subkey, size, pdf=self.pdf, dtype=self.dtype)
+		shape = (size, 1) if isinstance(size, int) else tuple(size)
+		if len(shape) > 2:
+			subkey = jax.random.fold_in(self.key, self._counter)
+			self._counter += 1
+			return sample_isotropic(subkey, shape, pdf=self.pdf, dtype=self.dtype)
+		# Column-keyed streams: column c of any draw uses fold_in(key, counter+c),
+		# and the counter advances by the number of columns — so 150 sequential
+		# single-column draws replay one (n, 150) batched draw exactly (the
+		# reference's stream-order guarantee, `tests/test_random.py:23-40`).
+		n = shape[0]
+		ncols = shape[1] if len(shape) == 2 else 1
+		base = self._counter
+		self._counter += ncols
+		keys = jax.vmap(lambda c: jax.random.fold_in(self.key, c))(jnp.arange(base, base + ncols))
+		cols = jax.vmap(lambda k: sample_isotropic(k, (n, 1), pdf=self.pdf, dtype=self.dtype))(keys)
+		out = jnp.moveaxis(cols[..., 0], 0, -1)  # (n, ncols)
+		return out[:, 0] if len(shape) == 1 else out
 
 	def fill(self) -> jnp.ndarray:
 		"""Sample an array of the configured shape (API parity with the reference)."""

@@ -93,3 +93,18 @@ def test_as_key_accepts_legacy_prngkey():
 
 	est = pt.hutch(pt.symmetric(16, pd=True, seed=0), seed=legacy, converge="count", count=64)
 	assert np.isfinite(est)
+
+
+def test_iso_order():
+	"""Column-order consistency (reference `tests/test_random.py:23-40`):
+	sequential single-column draws from a stateful sampler replay one batched
+	draw with the same seed, for every pdf — so quad-form estimates agree
+	whether probes are drawn one at a time or as a block."""
+	ew = np.random.default_rng(1234).uniform(size=20)
+	A = np.asarray(pt.symmetric(20, ew=ew, seed=0))
+	for pdf in ("rademacher", "normal", "sphere"):
+		V = np.asarray(pt.isotropic((20, 30), pdf=pdf, seed=1234))
+		s = pt.isotropic(pdf=pdf, seed=1234)
+		qe = np.array([(v := np.ravel(np.asarray(s(20)))) @ A @ v for _ in range(30)])
+		qe2 = np.einsum("ij,jk,ki->i", V.T, A, V)
+		assert np.allclose(qe, qe2), pdf
