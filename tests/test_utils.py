@@ -80,3 +80,78 @@ def test_figures_render():
 	assert "error" in ax.get_ylabel().lower()
 	ax = figure_error(result.estimator)  # CI-bound branch
 	assert "CI bound" in ax.get_ylabel()
+
+
+def test_arr_summary_formats():
+	from primate_tpu.estimators import arr_summary
+
+	assert arr_summary(None) == "None"
+	assert arr_summary(1.5) == "1.500"
+	assert arr_summary([1.0, 2.0]).startswith("[")
+	long = arr_summary(np.arange(10.0))
+	assert "...," in long
+
+
+def test_scaled_operator():
+	from primate_tpu.operators import ScaledOperator
+
+	A = np.asarray(pt.symmetric(12, pd=True, seed=0))
+	S = ScaledOperator(A, t=0.5, s=2.0)
+	V = np.random.default_rng(1).normal(size=(12, 3))
+	assert np.allclose(np.asarray(S.matmat(V)), 2.0 * (A @ V + 0.5 * V), atol=1e-6)
+
+
+def test_mean_state_streaming_matches_numpy():
+	import jax.numpy as jnp
+	from primate_tpu.stats import make_mean_state, mean_update
+
+	rng = np.random.default_rng(5)
+	X = rng.normal(size=(40, 3))
+	st = make_mean_state(3, jnp.float64)
+	for i in range(0, 40, 8):
+		st = mean_update(st, jnp.asarray(X[i : i + 8]))
+		assert np.allclose(np.asarray(st.mu), X[: i + 8].mean(axis=0))
+	assert int(st.n) == 40
+
+
+def test_isotropic_class_fill_and_reproducibility():
+	s = pt.random.Isotropic(size=(10, 4), pdf="sphere", seed=9)
+	v = np.asarray(s.fill())
+	assert v.shape == (10, 4) and np.allclose(np.linalg.norm(v, axis=0), np.sqrt(10))
+	assert np.array_equal(np.asarray(s.values), v)
+	s2 = pt.random.Isotropic(size=(10, 4), pdf="sphere", seed=9)
+	assert np.array_equal(np.asarray(s2.fill()), v)
+
+
+def test_fttr_weights_direct():
+	from primate_tpu.fttr import fttr_weights
+
+	rng = np.random.default_rng(2)
+	n = 10
+	A = pt.symmetric(n, pd=True, seed=rng)
+	a, b = pt.lanczos(A, deg=n, orth=n, seed=rng)
+	theta, tau = pt.quadrature(a, b, quad="gw")
+	bb = np.concatenate([[0.0], np.asarray(b)])
+	w = np.asarray(fttr_weights(np.asarray(theta), np.asarray(a), bb))
+	# weights from the recurrence normalize against mu_0 = sum|theta|
+	assert np.allclose(w / w.sum(), np.asarray(tau) / np.asarray(tau).sum(), atol=1e-8)
+
+
+def test_mesh_devices_and_lanczos_block_op_cache():
+	import jax
+	from primate_tpu.parallel import mesh_devices
+	from primate_tpu.lanczos import lanczos_block_op
+	from primate_tpu.operators import DenseOperator
+
+	assert len(mesh_devices(2)) == 2
+
+	# same-shape operators hit the same compiled program (pytree-keyed)
+	A1 = pt.symmetric(16, pd=True, seed=0)
+	A2 = pt.symmetric(16, pd=True, seed=1)
+	V = jax.random.normal(jax.random.PRNGKey(0), (16, 2))
+	f = lanczos_block_op
+	o1 = f(DenseOperator(A1), V, deg=6, ncv=2, orth=0)
+	n_before = f._cache_size()
+	o2 = f(DenseOperator(A2), V, deg=6, ncv=2, orth=0)
+	assert f._cache_size() == n_before  # no retrace for a same-structure operator
+	assert not np.allclose(np.asarray(o1.alphas), np.asarray(o2.alphas))
