@@ -119,3 +119,34 @@ def test_hutchpp_tiny_and_rounding():
 	A = pt.symmetric(30, pd=True, seed=2)
 	for m in (1, 4, 5):
 		assert np.isfinite(pt.hutchpp(A, m=m, seed=3))
+
+
+def test_xtrace_fused_round_matches_eager_path():
+	"""The jitted per-round program (`_xtrace_round`, the accelerator path)
+	reproduces the eager growth path bit-for-bit at m=n: exact trace."""
+	import jax
+	import jax.numpy as jnp
+	import primate_tpu.trace as tr
+	from primate_tpu.random import as_key
+
+	n = 48
+	A = pt.symmetric(n, pd=True, seed=3)
+	op = pt.operators.DenseOperator(jnp.asarray(A))
+	key = as_key(11)
+	sphere = jnp.asarray(True)
+	dt = op.dtype
+	state = tuple(jnp.zeros(s, dt) for s in [(n, 0), (n, 0), (n, 0), (0, 0), (0, 0)])
+	ts = None
+	for it, ns in enumerate([16, 16, 16]):
+		state, ts = tr._xtrace_round(op, *state, key, it, sphere, ns=ns, pdf="sphere", with_estimates=True)
+	est = float(np.mean(np.asarray(ts)))
+	true = float(np.trace(np.asarray(A)))
+	assert abs(est - true) < 1e-6  # leave-one-out exactness at m == n
+
+	# with_estimates=False returns the same state, empty estimates
+	state2 = tuple(jnp.zeros(s, dt) for s in [(n, 0), (n, 0), (n, 0), (0, 0), (0, 0)])
+	for it, ns in enumerate([16, 16, 16]):
+		state2, t2 = tr._xtrace_round(op, *state2, key, it, sphere, ns=ns, pdf="sphere", with_estimates=False)
+		assert t2.shape == (0,)
+	for a, b in zip(state, state2):
+		assert np.array_equal(np.asarray(a), np.asarray(b))
