@@ -71,7 +71,19 @@ def baseline_slq_logdet(A: sps.csr_matrix, deg: int, orth: int, probes: int, see
 
 
 def main() -> None:
+	import os
+
 	import jax
+
+	# Persistent compilation cache: the fused-estimator program compiles once
+	# per machine instead of once per process — over the remote TPU tunnel a
+	# cold compile can take minutes when the service is congested, and this
+	# benchmark's value should measure execution, not compilation.
+	cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+	os.makedirs(cache_dir, exist_ok=True)
+	jax.config.update("jax_compilation_cache_dir", cache_dir)
+	jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 	import jax.numpy as jnp
 
 	import primate_tpu as pt
