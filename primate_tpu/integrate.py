@@ -19,7 +19,19 @@ import jax.numpy as jnp
 from .fttr import fttr_weights
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
-__all__ = ["quadrature", "spectral_quad_form"]
+__all__ = ["quadrature", "spectral_quad_form", "spectral_density"]
+
+
+def spectral_density(*args, **kwargs):
+	"""Alias for :func:`primate_tpu.density.spectral_density`.
+
+	The reference plans this import location (commented
+	``from .integrate import spectral_density, quadrature`` in its
+	``__init__.py``); the implementation lives in `density.py`.
+	"""
+	from .density import spectral_density as _sd
+
+	return _sd(*args, **kwargs)
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(2,))
