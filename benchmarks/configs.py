@@ -75,8 +75,18 @@ def config3_hutchpp_xtrace_bsr(n=4096, seed=7):
 	from primate_tpu.operators.sparse import BSROperator
 
 	rng = np.random.default_rng(seed)
-	S = sps.random(n, n, density=0.01, random_state=rng, format="csr")
-	S = (S @ S.T).tocsr() + sps.identity(n)  # SPD block-ish pattern
+	# Genuinely block-structured SPD: a random symmetric pattern of dense
+	# 8x8 tiles (~4% of the block grid) + a diagonally-dominant shift. (A
+	# scattered elementwise pattern lights up ~every tile and BSR degenerates
+	# to dense storage — BSROperator warns in that case.)
+	nb = n // 8
+	mask = sps.random(nb, nb, density=0.02, random_state=rng, format="csr")
+	mask.data[:] = 1.0
+	S = sps.kron(mask, np.ones((8, 8), np.float32)).tocsr()
+	S.data = rng.normal(size=S.data.shape).astype(np.float32)
+	S = ((S + S.T) / 2).tocsr()
+	shift = float(np.abs(S).sum(axis=1).max()) + 1.0  # Gershgorin: SPD
+	S = (S + shift * sps.identity(n, np.float32)).tocsr()
 	op = BSROperator.from_scipy(S, blocksize=(8, 8), dtype=jnp.float32)
 	tr = float(S.diagonal().sum())
 	dt_pp, est_pp = _timed(lambda: pt.hutchpp(op, m=240, seed=seed))

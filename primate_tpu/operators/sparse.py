@@ -206,7 +206,9 @@ class BSROperator(LinearOperator):
 			parts = csr_to_bsr_arrays(A, *blocksize)
 			if parts is not None:
 				blocks, colids, indptr_b = parts
-				return cls(jnp.asarray(blocks, dtype=dtype), colids, indptr_b, shape)
+				op = cls(jnp.asarray(blocks, dtype=dtype), colids, indptr_b, shape)
+				op._warn_fill_in(int(A.nnz))
+				return op
 			if engine == "native":
 				raise RuntimeError("native sparse-prep library unavailable (no C++ toolchain?)")
 		if blocksize is not None:
@@ -219,7 +221,26 @@ class BSROperator(LinearOperator):
 				A.resize(padded)
 		A = A.tobsr(blocksize=blocksize) if blocksize is not None else A.tobsr()
 		data, indices, indptr = _pad_empty_block_rows(np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr))
-		return cls(jnp.asarray(data, dtype=dtype), indices, indptr, shape)
+		op = cls(jnp.asarray(data, dtype=dtype), indices, indptr, shape)
+		op._warn_fill_in(int(A.nnz) if hasattr(A, "nnz") else op.nnz)
+		return op
+
+	def _warn_fill_in(self, nnz_logical: int) -> None:
+		"""Warn when the tile grid stores mostly zeros — a scattered sparsity
+		pattern lights up nearly every (bm × bn) tile, inflating storage and
+		matmat traffic by up to bm·bn× vs CSR. BSR is for genuinely
+		block-structured operators; use CSR/COO (or DIA for banded) otherwise."""
+		stored = self.nnz
+		if nnz_logical > 0 and stored > 8 * nnz_logical:
+			import warnings
+
+			warnings.warn(
+				f"BSROperator tiles are {stored / nnz_logical:.0f}x the logical nnz "
+				f"({stored} stored vs {nnz_logical}); the sparsity pattern is not "
+				f"block-structured at blocksize {self.blocksize} — CSR/COO (or DIA "
+				"for banded matrices) will be faster.",
+				stacklevel=3,
+			)
 
 	@classmethod
 	def from_dense(cls, A, blocksize: Tuple[int, int] = (8, 128)) -> "BSROperator":
