@@ -20,7 +20,19 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["eigh_tridiag", "eigvalsh_tridiag", "tqli", "tridiag_matrix"]
+__all__ = ["eigh_tridiag", "eigvalsh_tridiag", "sign", "tqli", "tridiag_matrix"]
+
+
+def sign(a, b):
+	"""Transfer-of-sign: ``|a|`` carrying the sign of ``b`` (Fortran ``SIGN``),
+	elementwise and jittable.
+
+	Parity: reference ``src/primate/tqli.py:5-7`` exposes this helper for its
+	QL sweeps. Its expression ``(int(b > 1) - int(a < 0) + 1)`` misbehaves for
+	``b ∈ (0, 1]`` (the comparison should be ``b > 0``; SURVEY §7 flags it);
+	this implements the intended semantics, treating ``b == 0`` as positive.
+	"""
+	return jnp.where(jnp.asarray(b) >= 0, jnp.abs(a), -jnp.abs(a))
 
 
 def _normalize_offdiag(d: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:

@@ -56,3 +56,14 @@ def test_batched_tridiag():
 	for i in range(4):
 		T = np.asarray(tridiag_matrix(ds[i], es[i]))
 		assert np.allclose(np.sort(rw[i]), np.linalg.eigvalsh(T), atol=1e-12)
+
+
+def test_sign_transfer():
+	"""`sign(a, b)` = |a|·sgn(b) — the intended semantics of the reference's
+	helper (`tqli.py:5-7`), incl. the b ∈ (0, 1] range its expression got wrong."""
+	from primate_tpu.tridiag import sign
+
+	a = np.array([3.0, -3.0, 2.5, -2.5, 0.0])
+	b = np.array([0.5, 0.5, -2.0, -2.0, 0.0])
+	assert np.allclose(np.asarray(sign(a, b)), [3.0, 3.0, -2.5, -2.5, 0.0])
+	assert float(sign(-4.0, 0.0)) == 4.0  # b == 0 treated as positive
