@@ -79,6 +79,12 @@ class EstSnapshot(NamedTuple):
 	var: Optional[jnp.ndarray] = None
 	values: Optional[jnp.ndarray] = None
 
+	@property
+	def n_samples(self):
+		"""Alias so plain-callable criteria written against the estimator
+		protocol (``est.n_samples``) also work when handed a snapshot."""
+		return self.n
+
 
 @typing.runtime_checkable
 class Estimator(typing.Protocol):
@@ -127,8 +133,14 @@ class ConvergenceCriterion:
 	def __or__(self, other: "ConvergenceCriterion"):
 		return OrCriterion(self, other)
 
+	def __ror__(self, other):
+		return OrCriterion(other, self)
+
 	def __and__(self, other: "ConvergenceCriterion"):
 		return AndCriterion(self, other)
+
+	def __rand__(self, other):
+		return AndCriterion(other, self)
 
 	def __invert__(self):
 		return NotCriterion(self)
@@ -137,16 +149,41 @@ class ConvergenceCriterion:
 		return "Composite convergence criterion"
 
 
+def _child_check(child, snap: EstSnapshot):
+	"""Evaluate a composite's child on a snapshot. Criterion children use
+	``check`` (traceable, rides inside fused loops); plain-callable children —
+	accepted per ``convergence_criterion``'s contract — are called directly
+	(the snapshot exposes ``n_samples``/``estimate``/``delta``; such
+	compositions are not jittable, so they only ever run host-stepped)."""
+	return child.check(snap) if isinstance(child, ConvergenceCriterion) else child(snap)
+
+
+def _child_eval(child, est):
+	"""Host-path evaluation: criteria convert to a snapshot themselves; plain
+	callables receive the raw estimator, matching the host-loop contract
+	``criterion(estimator)`` that `hutch`/`diag` honor for bare callables."""
+	return child(est)
+
+
+def _child_message(child, est) -> str:
+	if hasattr(child, "message"):
+		return child.message(est)
+	return getattr(child, "__name__", "<callable criterion>")
+
+
 @jax.tree_util.register_pytree_node_class
 class OrCriterion(ConvergenceCriterion):
 	def __init__(self, left, right):
 		self.left, self.right = left, right
 
 	def check(self, snap):
-		return jnp.logical_or(self.left.check(snap), self.right.check(snap))
+		return jnp.logical_or(_child_check(self.left, snap), _child_check(self.right, snap))
+
+	def __call__(self, est):
+		return jnp.logical_or(_child_eval(self.left, est), _child_eval(self.right, est))
 
 	def message(self, est):
-		return f"{self.left.message(est)} | {self.right.message(est)}"
+		return f"{_child_message(self.left, est)} | {_child_message(self.right, est)}"
 
 	def tree_flatten(self):
 		return (self.left, self.right), None
@@ -162,10 +199,13 @@ class AndCriterion(ConvergenceCriterion):
 		self.left, self.right = left, right
 
 	def check(self, snap):
-		return jnp.logical_and(self.left.check(snap), self.right.check(snap))
+		return jnp.logical_and(_child_check(self.left, snap), _child_check(self.right, snap))
+
+	def __call__(self, est):
+		return jnp.logical_and(_child_eval(self.left, est), _child_eval(self.right, est))
 
 	def message(self, est):
-		return f"{self.left.message(est)} & {self.right.message(est)}"
+		return f"{_child_message(self.left, est)} & {_child_message(self.right, est)}"
 
 	def tree_flatten(self):
 		return (self.left, self.right), None
@@ -181,10 +221,13 @@ class NotCriterion(ConvergenceCriterion):
 		self.inner = inner
 
 	def check(self, snap):
-		return jnp.logical_not(self.inner.check(snap))
+		return jnp.logical_not(_child_check(self.inner, snap))
+
+	def __call__(self, est):
+		return jnp.logical_not(_child_eval(self.inner, est))
 
 	def message(self, est):
-		return f"~({self.inner.message(est)})"
+		return f"~({_child_message(self.inner, est)})"
 
 	def tree_flatten(self):
 		return (self.inner,), None
@@ -376,6 +419,17 @@ def is_jittable_criterion(criterion) -> bool:
 
 	ok = (jnp.ndarray, np.ndarray, np.generic, int, float, bool)
 	return all(isinstance(leaf, ok) for leaf in _jax.tree_util.tree_leaves(criterion))
+
+
+def criterion_needs_values(criterion) -> bool:
+	"""True when any node of a (possibly composed) criterion consumes the
+	recorded-samples buffer (``snapshot.values``) — currently `KneeCriterion`.
+	Estimators use this to enable recording automatically; without it a knee
+	criterion silently never fires (``values is None`` → always False)."""
+	if isinstance(criterion, KneeCriterion) or getattr(criterion, "needs_values", False):
+		return True
+	children = [getattr(criterion, a, None) for a in ("left", "right", "inner")]
+	return any(c is not None and criterion_needs_values(c) for c in children)
 
 
 CRITERIA = {

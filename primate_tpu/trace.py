@@ -35,6 +35,7 @@ from .estimators import (
 	EstSnapshot,
 	MeanEstimator,
 	convergence_criterion,
+	criterion_needs_values,
 	default_trace_criterion,
 	is_jittable_criterion,
 )
@@ -128,8 +129,20 @@ def hutch(
 
 	if converge == "default":
 		criterion = default_trace_criterion()
+		if kwargs:
+			import warnings
+
+			warnings.warn(
+				f"Ignoring criterion kwargs {sorted(kwargs)} because converge='default'; "
+				"pass converge='count'/'tolerance'/'confidence'/'knee' (or a criterion "
+				"instance) for them to take effect.",
+				stacklevel=2,
+			)
 	else:
 		criterion = convergence_criterion(converge, **kwargs)
+	# A knee criterion reads the recorded-samples buffer; without recording it
+	# would silently never fire and the loop would run to maxiter.
+	record = record or criterion_needs_values(criterion)
 
 	if int(np.prod(op.shape)) == 0:
 		return 0.0 if not full else (0.0, EstimatorResult(MeanEstimator(covariance=True), criterion))
@@ -286,15 +299,14 @@ def _count_only_target(criterion) -> Optional[int]:
 	return None
 
 
-@partial(jax.jit, static_argnames=("ns", "pdf", "with_estimates"))
-def _xtrace_round(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, pdf: str, with_estimates: bool):
-	"""One fused XTrace growth round: sample → matmat → block QR append →
+def _xtrace_round_impl(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, pdf: str, with_estimates: bool):
+	"""One XTrace growth round: sample → matmat → block QR append →
 	triangular-inverse update (→ leave-one-out estimates).
 
-	Eagerly dispatching the ~15 ops of a round costs one launch round-trip
-	EACH on remote-attached accelerators (~120 ms/round measured over the TPU
-	tunnel); fused, a round is one execution. Compiled per (m, ns) shape —
-	shapes repeat across rounds/calls so the cache amortizes.
+	The single source of truth for a round — `_xtrace_round` is this body
+	under `jax.jit` (used on accelerators, where eager dispatch of the ~15 ops
+	costs one launch round-trip EACH, ~120 ms/round over the TPU tunnel);
+	the CPU path calls it directly to avoid a compile per (m, ns) shape.
 	"""
 	n = op.shape[0]
 	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
@@ -313,6 +325,9 @@ def _xtrace_round(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, pdf: 
 		Z = jnp.concatenate([Z, apply_op(Q[:, -ns:])], axis=1)
 	t = _xtrace_estimates(W, Z, Q, R, R_inv, sphere_flag) if with_estimates else jnp.zeros(0, W.dtype)
 	return (W, Z, Q, R, R_inv), t
+
+
+_xtrace_round = partial(jax.jit, static_argnames=("ns", "pdf", "with_estimates"))(_xtrace_round_impl)
 
 
 def xtrace(
@@ -343,6 +358,15 @@ def xtrace(
 	default_stop = converge == "default"
 	if not default_stop:
 		criterion = criterion | convergence_criterion(converge, **kwargs)
+	elif kwargs:
+		import warnings
+
+		warnings.warn(
+			f"Ignoring criterion kwargs {sorted(kwargs)} because converge='default'; "
+			"pass a criterion name or instance for them to take effect.",
+			stacklevel=2,
+		)
+	record = record or criterion_needs_values(criterion)
 
 	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
 	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
