@@ -19,17 +19,34 @@ from jax import lax
 __all__ = ["fttr", "fttr_weights", "ortho_poly"]
 
 
-def ortho_poly(x: jnp.ndarray, mu_sqrt_rec: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def ortho_poly(
+	x: jnp.ndarray,
+	mu_sqrt_rec: jnp.ndarray,
+	a: jnp.ndarray,
+	b: jnp.ndarray,
+	z=None,
+	n: Optional[int] = None,
+) -> Optional[jnp.ndarray]:
 	"""Evaluate the orthonormal polynomial sequence p_0..p_{n-1} at ``x``.
 
 	Parity: reference Pythran ``src/primate/fttr.py:5-11`` (``ortho_poly``),
 	which fills a preallocated ``z`` in place for one scalar ``x``; here the
 	three-term recurrence is a `lax.scan` over degree returning the stacked
 	values, vmapped over any leading axes of ``x`` (JAX arrays are immutable).
+	The Pythran out-params are still honored for drop-in use: pass a numpy
+	``z`` (and optionally ``n``) and it is filled in place with None returned.
 
 	``a (n,)``, ``b (n,)`` use the leading-slot convention: ``b[i]`` couples
 	p_{i-1}→p_i and ``b[0]`` is unused. Returns shape ``x.shape + (n,)``.
 	"""
+	if n is not None:
+		a, b = jnp.asarray(a)[..., :n], jnp.asarray(b)[..., :n]
+	if z is not None:
+		import numpy as np
+
+		assert isinstance(z, np.ndarray), "`z` must be a preallocated numpy array."
+		z[...] = np.asarray(ortho_poly(x, mu_sqrt_rec, a, b), dtype=z.dtype)
+		return None
 	x, a, b = jnp.asarray(x), jnp.asarray(a), jnp.asarray(b)
 	acc = jnp.promote_types(jnp.result_type(x, a, b), jnp.float32)
 	x, a, b = x.astype(acc), a.astype(acc), b.astype(acc)

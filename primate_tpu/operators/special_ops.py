@@ -80,6 +80,20 @@ class MatrixFunction(LinearOperator):
 		self._basis_dtype = basis_dtype
 
 	@property
+	def fun(self) -> Callable:
+		"""The spectral function; assignable after construction (a string is
+		resolved through the builtin gallery). Parity: the reference's
+		validating property pair `operators.py:87-97`."""
+		return self._fun
+
+	@fun.setter
+	def fun(self, value: Union[str, Callable, None]) -> None:
+		if value is None or isinstance(value, str):
+			value = param_callable(value)
+		assert callable(value), "Function must be callable."
+		self._fun = value
+
+	@property
 	def degree(self) -> int:
 		return self._deg
 
@@ -144,11 +158,11 @@ class MatrixFunction(LinearOperator):
 		y = jnp.einsum("knb,bk->nb", out.Q.astype(c.dtype), c)
 		return (x_norm[None, :] * y).astype(self.dtype)
 
-	def quad(self, X: jnp.ndarray) -> jnp.ndarray:
-		"""Batched Lanczos-quadrature estimates of ``diag(Xᵀ f(A) X)`` → (b,)."""
+	def quad(self, x: jnp.ndarray) -> jnp.ndarray:
+		"""Batched Lanczos-quadrature estimates of ``diag(xᵀ f(A) x)`` → (b,)."""
 		from ..integrate import spectral_quad_form
 
-		X = jnp.asarray(X, dtype=self.dtype)
+		X = jnp.asarray(x, dtype=self.dtype)
 		X = X[:, None] if X.ndim == 1 else X
 		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))

@@ -110,7 +110,12 @@ class Isotropic:
 		pdf: str = "rademacher",
 		seed: Union[int, np.random.Generator, jax.Array, None] = None,
 		dtype: Optional[jnp.dtype] = None,
+		threads: Optional[int] = None,
 	):
+		# `threads` is accepted for drop-in parity with the reference's
+		# ThreadPoolExecutor column filler (`random.py:100-142`) and ignored:
+		# generation here is one vectorized on-device program.
+		del threads
 		assert pdf in _ISO_DISTRIBUTIONS, f"Invalid distribution '{pdf}' supplied."
 		self.pdf = _ISO_DISTRIBUTIONS[pdf]
 		self.key = as_key(seed)
@@ -149,15 +154,22 @@ def isotropic(
 	size: Union[int, tuple, None] = None,
 	pdf: str = "rademacher",
 	seed: Union[int, np.random.Generator, jax.Array, None] = None,
-) -> Union[jnp.ndarray, Callable]:
+	out: Optional[np.ndarray] = None,
+) -> Union[None, jnp.ndarray, Callable]:
 	"""Generate random vectors from an isotropic distribution.
 
-	If ``size`` is None, returns a stateful sampler ``f(size) -> array``; else
-	returns an array of shape ``size`` (an int is promoted to ``(size, 1)``).
+	If ``out`` is given, it is filled in place and None is returned (reference
+	`random.py:67-70`). Otherwise, if ``size`` is None, returns a stateful
+	sampler ``f(size) -> array``; else returns an array of shape ``size`` (an
+	int is promoted to ``(size, 1)``).
 
 	Parity: reference `random.py:47-97`.
 	"""
 	sampler = Isotropic(pdf=pdf, seed=seed)
+	if out is not None:
+		assert isinstance(out, np.ndarray), "`out` must be a preallocated numpy array."
+		out[...] = np.asarray(sampler(out.shape), dtype=out.dtype)
+		return None
 
 	def _isotropic(size: Union[int, tuple]) -> jnp.ndarray:
 		return sampler(size)

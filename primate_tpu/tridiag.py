@@ -14,10 +14,11 @@ has no failure mode requiring a fallback ladder).
 """
 
 from functools import partial
-from typing import Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = ["eigh_tridiag", "eigvalsh_tridiag", "sign", "tqli", "tridiag_matrix"]
@@ -174,7 +175,12 @@ def _tqli_single(d: jnp.ndarray, e: jnp.ndarray, eigenvectors: bool, maxiter: in
 
 
 def tqli(
-	d: jnp.ndarray, e: jnp.ndarray, eigenvectors: bool = False, maxiter: int = 30
+	d: jnp.ndarray,
+	e: jnp.ndarray,
+	eigenvectors: Union[bool, np.ndarray, None] = False,
+	maxiter: int = 30,
+	max_iter: Optional[int] = None,
+	Z: Optional[np.ndarray] = None,
 ) -> Union[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
 	"""Tridiagonal QL-implicit eigensolver (batched over leading axes).
 
@@ -183,10 +189,34 @@ def tqli(
 	computes ``int(b > 1) - int(a < 0) + 1`` — a transcription quirk of
 	FORTRAN's SIGN; this implementation uses the intended magnitude-of-a,
 	sign-of-b semantics).
+
+	Drop-in: the reference signature ``tqli(d, e, Z, max_iter)`` passes a
+	preallocated ``Z`` array as the third argument (size 0 = eigenvalues only,
+	`tqli.py:28`, `tridiag.py:13`) and mutates ``d``/``Z`` in place. An ndarray
+	third argument selects that convention here: eigenvalues are written back
+	into a numpy ``d`` and eigenvectors into a non-empty numpy ``Z``.
 	"""
+	if max_iter is not None:
+		maxiter = int(max_iter)
+	if Z is not None:  # keyword form of the reference's output-array argument
+		eigenvectors = Z
+	d_in, Z_out = d, None
+	if isinstance(eigenvectors, (bool, np.bool_)) or eigenvectors is None:
+		want_vecs = bool(eigenvectors)
+	else:  # reference convention: third positional is the Z output array
+		Z_ref = eigenvectors
+		want_vecs = int(np.prod(np.shape(Z_ref))) > 0
+		Z_out = Z_ref if (want_vecs and isinstance(Z_ref, np.ndarray)) else None
 	d, e = jnp.asarray(d), jnp.asarray(e)
 	e = _normalize_offdiag(d, e)
-	fn = partial(_tqli_single, eigenvectors=eigenvectors, maxiter=maxiter)
+	fn = partial(_tqli_single, eigenvectors=want_vecs, maxiter=maxiter)
 	for _ in range(d.ndim - 1):
 		fn = jax.vmap(fn)
-	return fn(d, e)
+	out = fn(d, e)
+	if Z_out is not None or (not isinstance(eigenvectors, (bool, np.bool_)) and eigenvectors is not None):
+		rw = out[0] if want_vecs else out
+		if isinstance(d_in, np.ndarray) and d_in.shape == rw.shape:
+			d_in[...] = np.asarray(rw)
+		if Z_out is not None and Z_out.shape == out[1].shape:
+			Z_out[...] = np.asarray(out[1])
+	return out

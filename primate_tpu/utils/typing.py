@@ -16,7 +16,7 @@ def restrict_kwargs(fun: Callable, kwargs: dict) -> dict:
 	return {k: v for k, v in kwargs.items() if k in valid}
 
 
-def setdiff_kwargs(fun: Callable, kwargs: dict) -> dict:
-	"""Return the subset of ``kwargs`` that are NOT parameters of ``fun``."""
-	valid = set(inspect.signature(fun).parameters)
+def setdiff_kwargs(f: Callable, kwargs: dict) -> dict:
+	"""Return the subset of ``kwargs`` that are NOT parameters of ``f``."""
+	valid = set(inspect.signature(f).parameters)
 	return {k: kwargs[k] for k in set(kwargs) - valid}

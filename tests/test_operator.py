@@ -220,3 +220,21 @@ def test_aslinop_dot_only_object():
 def test_toeplitz_rejects_mismatched_lengths():
 	with pytest.raises(AssertionError):
 		pt.Toeplitz(np.ones(8), np.ones(5))
+
+
+def test_matrix_function_fun_setter():
+	"""`M.fun` is an assignable validating property (reference
+	`operators.py:87-97`): strings resolve through the builtin gallery,
+	non-callables are rejected, and re-assignment re-parameterizes the
+	operator in place."""
+	A = pt.symmetric(16, pd=True, seed=3)
+	M = pt.MatrixFunction(A, fun="identity", deg=16, orth=16)
+	v = np.random.default_rng(4).normal(size=16)
+	assert np.allclose(np.asarray(M @ v), np.asarray(A @ v), atol=1e-8)
+	M.fun = "exp"
+	ew, ev = np.linalg.eigh(np.asarray(A))
+	expA = ev @ np.diag(np.exp(ew)) @ ev.T
+	assert np.allclose(np.asarray(M @ v), expA @ v, atol=1e-6)
+	assert np.allclose(np.asarray(M.quad(x=v)), v @ expA @ v, atol=1e-6)
+	with pytest.raises(AssertionError):
+		M.fun = 42

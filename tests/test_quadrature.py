@@ -110,3 +110,15 @@ def test_ortho_poly_orthonormal_under_gauss_rule():
 	P = np.asarray(ortho_poly(np.asarray(nodes), 1.0, np.asarray(a, float), b))  # (n, n)
 	G = np.einsum("j,jd,je->de", np.asarray(weights), P, P)
 	assert np.allclose(G, np.eye(n), atol=1e-6)
+
+
+def test_ortho_poly_out_params():
+	"""Pythran drop-in: ``ortho_poly(x, mu_sqrt_rec, a, b, z, n)`` fills a
+	preallocated numpy ``z`` in place and returns None (`fttr.py:5-11`)."""
+	from primate_tpu.fttr import ortho_poly
+
+	a = np.full(6, 0.1)
+	b = np.concatenate([[0.0], np.full(5, 0.4)])
+	z = np.zeros(6)
+	assert ortho_poly(0.3, 1.0, a, b, z, 6) is None
+	assert np.allclose(z, np.asarray(ortho_poly(0.3, 1.0, a, b)))

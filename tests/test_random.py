@@ -108,3 +108,19 @@ def test_iso_order():
 		qe = np.array([(v := np.ravel(np.asarray(s(20)))) @ A @ v for _ in range(30)])
 		qe2 = np.einsum("ij,jk,ki->i", V.T, A, V)
 		assert np.allclose(qe, qe2), pdf
+
+
+def test_isotropic_out_param():
+	"""Reference drop-in: ``isotropic(out=arr)`` fills in place, returns None
+	(`random.py:67-70`); `Isotropic(threads=...)` is accepted (and on-device
+	generation makes it a no-op)."""
+	from primate_tpu.random import Isotropic, isotropic
+
+	out = np.empty((16, 4))
+	assert isotropic(pdf="rademacher", seed=9, out=out) is None
+	assert set(np.unique(out)) <= {-1.0, 1.0}
+	out2 = np.empty((16, 4))
+	assert isotropic(pdf="sphere", seed=9, out=out2) is None
+	assert np.allclose(np.linalg.norm(out2, axis=0), np.sqrt(16.0), atol=1e-5)
+	s = Isotropic(pdf="normal", seed=2, threads=8)
+	assert s((6, 3)).shape == (6, 3)

@@ -67,3 +67,26 @@ def test_sign_transfer():
 	b = np.array([0.5, 0.5, -2.0, -2.0, 0.0])
 	assert np.allclose(np.asarray(sign(a, b)), [3.0, 3.0, -2.5, -2.5, 0.0])
 	assert float(sign(-4.0, 0.0)) == 4.0  # b == 0 treated as positive
+
+
+def test_tqli_reference_calling_convention():
+	"""Drop-in parity with the Pythran signature ``tqli(d, e, Z, max_iter)``
+	(`tqli.py:15`, `tridiag.py:13`): a non-empty ndarray third argument selects
+	eigenvector computation with in-place writeback into ``d`` and ``Z``; a
+	size-0 ``Z`` means eigenvalues only."""
+	d, e = _random_tridiag(10, 7)
+	d, e = np.asarray(d, float), np.asarray(e, float)
+	T = np.asarray(tridiag_matrix(d, e))
+	true_w = np.linalg.eigvalsh(T)
+	d_io, Z = d.copy(), np.zeros((10, 10))
+	tqli(d_io, e.copy(), Z, 60)
+	assert np.allclose(np.sort(d_io), true_w, atol=1e-10)
+	for j in range(10):
+		assert np.linalg.norm(T @ Z[:, j] - d_io[j] * Z[:, j]) < 1e-8
+	d_io2 = d.copy()
+	tqli(d_io2, e.copy(), np.empty(0), 60)
+	assert np.allclose(np.sort(d_io2), true_w, atol=1e-10)
+	# our keyword convention never mutates its inputs
+	d_keep = d.copy()
+	rw = np.asarray(tqli(d, e, eigenvectors=False, maxiter=60))
+	assert np.allclose(np.sort(rw), true_w, atol=1e-10) and np.array_equal(d, d_keep)
