@@ -88,3 +88,36 @@ def test_sparse_pytree_jit_caching():
 	yb = apply(opB, v)
 	assert len(calls) == 1  # second call hit the jit cache
 	assert np.allclose(np.asarray(yb), 2 * np.asarray(ya), atol=1e-12)
+
+
+def test_csr_ell_fast_path_and_fallback():
+	"""CSR lays out an ELL (n, L) plane when row lengths are tight (SpMM becomes
+	gather + dense slot-sum — no scatter, ~3x segment_sum throughput on TPU) and
+	falls back to sorted segment_sum when padding would exceed ELL_MAX_FILL."""
+	import scipy.sparse as sps
+
+	rng = np.random.default_rng(3)
+	# banded: tight row lengths -> ELL built
+	n = 300
+	A = sps.diags(
+		[rng.normal(size=n - 1), rng.normal(size=n), rng.normal(size=n - 1)], [-1, 0, 1]
+	).tocsr().astype(np.float64)
+	op = CSROperator.from_scipy(A)
+	assert op.ell_data is not None and op.ell_data.shape == (n, 3)
+	V = rng.normal(size=(n, 5))
+	assert np.allclose(np.asarray(op.matmat(V)), A @ V, atol=1e-12)
+	assert np.allclose(np.asarray(op.matvec(V[:, 0])), A @ V[:, 0], atol=1e-12)
+	# ELL survives a jit round-trip through the pytree
+	import jax
+
+	y = jax.jit(lambda o, V: o.matmat(V))(op, jnp.asarray(V))
+	assert np.allclose(np.asarray(y), A @ V, atol=1e-12)
+	# one dense row -> padding factor ~ n/2 -> fallback, same results
+	B = sps.lil_matrix((n, n))
+	B[0, :] = 1.0
+	B.setdiag(2.0)
+	B = B.tocsr()
+	opB = CSROperator.from_scipy(B)
+	assert opB.ell_data is None
+	assert np.allclose(np.asarray(opB.matmat(V)), B @ V, atol=1e-12)
+	assert np.allclose(np.asarray(opB.rmatvec(V[:, 0])), B.T @ V[:, 0], atol=1e-12)
