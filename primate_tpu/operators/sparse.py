@@ -31,12 +31,19 @@ __all__ = ["COOOperator", "CSROperator", "BSROperator", "DIAOperator", "GramOper
 class COOOperator(LinearOperator):
 	"""Coordinate-format sparse operator: ``(data, row, col)`` triplets."""
 
-	def __init__(self, data: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray, shape: Tuple[int, int]):
+	def __init__(self, data: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray, shape: Tuple[int, int], rows_sorted: Optional[bool] = None):
 		self.data = jnp.asarray(data)
 		self.row = jnp.asarray(row, jnp.int32)
 		self.col = jnp.asarray(col, jnp.int32)
 		self.shape = tuple(shape)
 		self.dtype = self.data.dtype
+		if rows_sorted is None:
+			# Known at trace time (host check on concrete indices) — lets the
+			# segment reduction skip its scatter sort. scipy .tocoo() emits
+			# row-major order, so this is nearly always True in practice.
+			r = np.asarray(row) if not isinstance(row, jax.core.Tracer) else None
+			rows_sorted = bool(r is not None and (r.size == 0 or np.all(np.diff(r) >= 0)))
+		self.rows_sorted = bool(rows_sorted)
 
 	@classmethod
 	def from_scipy(cls, A, dtype=None) -> "COOOperator":
@@ -51,7 +58,7 @@ class COOOperator(LinearOperator):
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		prod = self.data[:, None] * V[self.col, :]
-		return jax.ops.segment_sum(prod, self.row, num_segments=self.shape[0])
+		return jax.ops.segment_sum(prod, self.row, num_segments=self.shape[0], indices_are_sorted=self.rows_sorted)
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		prod = self.data * v[self.row]
@@ -61,14 +68,14 @@ class COOOperator(LinearOperator):
 		return jnp.zeros(self.shape, self.dtype).at[self.row, self.col].add(self.data)
 
 	def tree_flatten(self):
-		return (self.data, self.row, self.col), (self.shape, self.dtype)
+		return (self.data, self.row, self.col), (self.shape, self.dtype, self.rows_sorted)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
 		# No jnp ops on children: unflatten must accept abstract placeholders.
 		obj = object.__new__(cls)
 		obj.data, obj.row, obj.col = children
-		obj.shape, obj.dtype = aux
+		obj.shape, obj.dtype, obj.rows_sorted = aux
 		return obj
 
 

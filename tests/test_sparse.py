@@ -121,3 +121,20 @@ def test_csr_ell_fast_path_and_fallback():
 	assert opB.ell_data is None
 	assert np.allclose(np.asarray(opB.matmat(V)), B @ V, atol=1e-12)
 	assert np.allclose(np.asarray(opB.rmatvec(V[:, 0])), B.T @ V[:, 0], atol=1e-12)
+
+
+def test_coo_rows_sorted_detection():
+	"""COO records row-major ordering at construction (scipy .tocoo() emits it)
+	so the segment reduction can skip its scatter sort; unsorted triplets are
+	detected and still reduce correctly."""
+	A = sps.random(100, 100, density=0.05, random_state=0).tocsr()
+	op = COOOperator.from_scipy(A)
+	assert op.rows_sorted is True
+	V = np.random.default_rng(0).normal(size=(100, 3))
+	assert np.allclose(np.asarray(op.matmat(V)), A @ V, atol=1e-10)
+	r, c, d = np.array([5, 1, 3]), np.array([0, 1, 2]), np.array([1.0, 2.0, 3.0])
+	op2 = COOOperator(d, r, c, (6, 3))
+	assert op2.rows_sorted is False
+	ref = np.zeros((6, 3))
+	ref[r, c] = d
+	assert np.allclose(np.asarray(op2.matmat(np.eye(3))), ref)
