@@ -191,15 +191,17 @@ def _lanczos_core(
 		if orth > 0:
 			age = (j - slot_ids) % ncv
 			valid = ((age < orth) & (age <= j)).astype(acc_dtype)  # (ncv,)
-			Qw = Q_win.astype(acc_dtype)
 			with jax.named_scope("lanczos_reorth"):  # xprof/trace label (SURVEY §5.1)
 				for _ in range(max(1, reorth_passes)):
 					# Broadcast-multiply + axis reductions, NOT dot_general:
 					# the contraction over n with the probe axis as batch
 					# lowers to per-probe GEMVs on the MXU (slow); as
 					# elementwise+reduce it streams the window on the VPU.
-					proj = jnp.sum(Qw * v[None, :, :], axis=1) * valid[:, None]  # (ncv, b)
-					v = v - jnp.sum(Qw * proj[:, None, :], axis=0)
+					# Q_win is used at its storage dtype — mixed-dtype multiply
+					# promotes inside the fusion, so no materialized f32 copy
+					# of the (ncv, n, nv) window per step.
+					proj = jnp.sum(Q_win * v[None, :, :], axis=1) * valid[:, None]  # (ncv, b)
+					v = v - jnp.sum(Q_win * proj[:, None, :].astype(acc_dtype), axis=0)
 
 		beta_next = jnp.sqrt(jnp.sum(v * v, axis=0))
 		newly_done = beta_next < residual_tol
@@ -210,10 +212,20 @@ def _lanczos_core(
 		# self-extinguishes — no full-array freeze selects needed.
 		q_next = (v / jnp.where(beta_next > residual_tol, beta_next, jnp.inf)[None, :]).astype(dtype)
 		if keep_window:
-			advance = ~(done | newly_done) & (j + 1 < deg)
 			slot = (j + 1) % ncv
-			old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
-			new_slot = jnp.where(advance[None, :], q_next.astype(b_dtype), old_slot)
+			if return_basis:
+				# Masked write: early-exit columns keep their last valid basis
+				# vectors (reference zero-fill semantics, `lanczos.h:139-141`).
+				advance = ~(done | newly_done) & (j + 1 < deg)
+				old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
+				new_slot = jnp.where(advance[None, :], q_next.astype(b_dtype), old_slot)
+			else:
+				# Window exists only for re-orthogonalization: q_next is exactly
+				# 0 for exited columns (guarded divide), so an unconditional
+				# write is equivalent for the projection math — and, with no
+				# read-before-write on the carry, XLA updates the (ncv, n, nv)
+				# buffer in place instead of copying it every step.
+				new_slot = q_next.astype(b_dtype)
 			Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
 
 		return (q_cur, q_next, Q_win, beta_next, done | newly_done, y), (alpha_out, beta_out)
