@@ -90,10 +90,11 @@ def lanczos_block_op(
 	return _lanczos_core(
 		op.matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
 		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
+		matmat_t=getattr(op, "matmat_t", None),
 	)
 
 
-@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype"))
+@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype", "matmat_t"))
 def lanczos_block(
 	matmat: Callable[[jnp.ndarray], jnp.ndarray],
 	V0: jnp.ndarray,
@@ -105,6 +106,7 @@ def lanczos_block(
 	return_basis: bool = True,
 	coeffs: Optional[jnp.ndarray] = None,
 	basis_dtype=None,
+	matmat_t: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> LanczosOutput:
 	"""Run ``deg`` Lanczos steps on a block of probes ``V0 (n, nv)`` — pure/jittable.
 
@@ -131,7 +133,7 @@ def lanczos_block(
 	"""
 	return _lanczos_core(
 		matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
-		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
+		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype, matmat_t=matmat_t,
 	)
 
 
@@ -147,6 +149,7 @@ def _lanczos_core(
 	return_basis: bool,
 	coeffs: Optional[jnp.ndarray],
 	basis_dtype=None,
+	matmat_t: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> LanczosOutput:
 	n, nv = V0.shape
 	dtype = V0.dtype
@@ -159,14 +162,25 @@ def _lanczos_core(
 	b_dtype = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
 	keep_window = return_basis or orth > 0
 
-	norm0 = jnp.sqrt(jnp.sum(V0.astype(acc_dtype) ** 2, axis=0))
-	q0 = (V0 / jnp.where(norm0 > 0, norm0, 1).astype(dtype)).astype(dtype)
+	# The whole sweep runs PROBE-MAJOR: state is (nv, n), window (ncv, nv, n).
+	# With the contiguous n axis on vector lanes, no array pads its lane
+	# dimension regardless of the probe count — an (n, nv) node-major block with
+	# nv < 128 pads every tile to 128 lanes, which measured ~4x per-step cost on
+	# chip for the standard 64-probe sweep. Operators apply via ``matmat_t``
+	# (probe-major stencils/GEMMs where natural, transpose-wrapped ``matmat``
+	# otherwise); outputs transpose back at exit, amortized over all deg steps.
+	if matmat_t is None:
+		matmat_t = lambda Vt: matmat(Vt.T).T  # noqa: E731
+	V0t = V0.T
+
+	norm0 = jnp.sqrt(jnp.sum(V0t.astype(acc_dtype) ** 2, axis=1))
+	q0 = (V0t / jnp.where(norm0 > 0, norm0, 1)[:, None].astype(dtype)).astype(dtype)
 	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
 
-	Q_win = jnp.zeros((ncv, n, nv), b_dtype).at[0].set(q0.astype(b_dtype)) if keep_window else jnp.zeros((0,), b_dtype)
-	y0 = jnp.zeros((n, nv), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
+	Q_win = jnp.zeros((ncv, nv, n), b_dtype).at[0].set(q0.astype(b_dtype)) if keep_window else jnp.zeros((0,), b_dtype)
+	y0 = jnp.zeros((nv, n), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
 	carry0 = (
-		jnp.zeros((n, nv), dtype),  # q_prev
+		jnp.zeros((nv, n), dtype),  # q_prev
 		q0,  # q_cur
 		Q_win,
 		jnp.zeros(nv, acc_dtype),  # beta_j (coupling into the current step)
@@ -181,36 +195,36 @@ def _lanczos_core(
 	def step(carry, j):
 		q_prev, q_cur, Q_win, beta_j, done, y = carry
 		if coeffs is not None:
-			y = y + coeffs[j][None, :].astype(acc_dtype) * q_cur.astype(acc_dtype)
+			y = y + coeffs[j][:, None].astype(acc_dtype) * q_cur.astype(acc_dtype)
 		with jax.named_scope("lanczos_matmat"):  # xprof/trace label (SURVEY §5.1)
-			v = matmat(q_cur).astype(acc_dtype)
-		v = v - beta_j[None, :] * q_prev.astype(acc_dtype)
-		alpha_j = jnp.sum(v * q_cur.astype(acc_dtype), axis=0)
-		v = v - alpha_j[None, :] * q_cur.astype(acc_dtype)
+			v = matmat_t(q_cur).astype(acc_dtype)
+		v = v - beta_j[:, None] * q_prev.astype(acc_dtype)
+		alpha_j = jnp.sum(v * q_cur.astype(acc_dtype), axis=1)
+		v = v - alpha_j[:, None] * q_cur.astype(acc_dtype)
 
 		if orth > 0:
 			age = (j - slot_ids) % ncv
 			valid = ((age < orth) & (age <= j)).astype(acc_dtype)  # (ncv,)
 			with jax.named_scope("lanczos_reorth"):  # xprof/trace label (SURVEY §5.1)
 				for _ in range(max(1, reorth_passes)):
-					# Broadcast-multiply + axis reductions, NOT dot_general:
+					# Broadcast-multiply + lane-axis reductions, NOT dot_general:
 					# the contraction over n with the probe axis as batch
 					# lowers to per-probe GEMVs on the MXU (slow); as
 					# elementwise+reduce it streams the window on the VPU.
 					# Q_win is used at its storage dtype — mixed-dtype multiply
 					# promotes inside the fusion, so no materialized f32 copy
-					# of the (ncv, n, nv) window per step.
-					proj = jnp.sum(Q_win * v[None, :, :], axis=1) * valid[:, None]  # (ncv, b)
-					v = v - jnp.sum(Q_win * proj[:, None, :].astype(acc_dtype), axis=0)
+					# of the (ncv, nv, n) window per step.
+					proj = jnp.sum(Q_win * v[None, :, :], axis=2) * valid[:, None]  # (ncv, b)
+					v = v - jnp.sum(Q_win * proj[:, :, None].astype(acc_dtype), axis=0)
 
-		beta_next = jnp.sqrt(jnp.sum(v * v, axis=0))
+		beta_next = jnp.sqrt(jnp.sum(v * v, axis=1))
 		newly_done = beta_next < residual_tol
 		alpha_out = jnp.where(done, 0.0, alpha_j)
 		beta_out = jnp.where(done, 0.0, beta_next)
 
 		# Guarded divide: once β vanishes, q_next ≈ 0 and the recurrence
 		# self-extinguishes — no full-array freeze selects needed.
-		q_next = (v / jnp.where(beta_next > residual_tol, beta_next, jnp.inf)[None, :]).astype(dtype)
+		q_next = (v / jnp.where(beta_next > residual_tol, beta_next, jnp.inf)[:, None]).astype(dtype)
 		if keep_window:
 			slot = (j + 1) % ncv
 			if return_basis:
@@ -218,12 +232,12 @@ def _lanczos_core(
 				# vectors (reference zero-fill semantics, `lanczos.h:139-141`).
 				advance = ~(done | newly_done) & (j + 1 < deg)
 				old_slot = lax.dynamic_index_in_dim(Q_win, slot, axis=0, keepdims=False)
-				new_slot = jnp.where(advance[None, :], q_next.astype(b_dtype), old_slot)
+				new_slot = jnp.where(advance[:, None], q_next.astype(b_dtype), old_slot)
 			else:
 				# Window exists only for re-orthogonalization: q_next is exactly
 				# 0 for exited columns (guarded divide), so an unconditional
 				# write is equivalent for the projection math — and, with no
-				# read-before-write on the carry, XLA updates the (ncv, n, nv)
+				# read-before-write on the carry, XLA updates the (ncv, nv, n)
 				# buffer in place instead of copying it every step.
 				new_slot = q_next.astype(b_dtype)
 			Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
@@ -234,8 +248,8 @@ def _lanczos_core(
 	return LanczosOutput(
 		alphas=alphas,
 		betas=betas,
-		Q=Q_win if keep_window else None,
-		y=y_fin if coeffs is not None else None,
+		Q=jnp.swapaxes(Q_win, 1, 2) if keep_window else None,  # → (ncv, n, nv) API layout
+		y=y_fin.T if coeffs is not None else None,
 	)
 
 

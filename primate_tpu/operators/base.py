@@ -56,6 +56,18 @@ class LinearOperator:
 		v = jnp.asarray(v)
 		return self._matmat(v[:, None])[:, 0]
 
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		"""Probe-major apply: ``(A Vtᵀ)ᵀ`` on a ``(k, n)`` block.
+
+		TPU layout detail: with probes on the *leading* axis, the contiguous
+		``n`` axis maps to vector lanes, so a ``k < 128`` probe block wastes no
+		lane padding — the Lanczos sweep carries its state probe-major and calls
+		this per step. The default derives from ``matmat`` via two transposes;
+		operators whose apply is natural in this layout (DIA stencils, dense
+		GEMMs) override it with a zero-transpose version.
+		"""
+		return self._matmat(Vt.T).T
+
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		# Estimation targets are symmetric; subclasses override when not.
 		return self.matvec(v)
@@ -84,6 +96,9 @@ class DenseOperator(LinearOperator):
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		return self.A @ V
+
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		return Vt @ self.A.T  # (A Vtᵀ)ᵀ — same GEMM, no transposes materialized
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		return self.A.T @ v
@@ -160,6 +175,11 @@ class AffineOperator(LinearOperator):
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		AV = self.A.matmat(V)
 		BV = V if self.B is None else self.B.matmat(V)
+		return AV + self.t.astype(AV.dtype) * BV
+
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		AV = self.A.matmat_t(Vt)
+		BV = Vt if self.B is None else self.B.matmat_t(Vt)
 		return AV + self.t.astype(AV.dtype) * BV
 
 	def tree_flatten(self):

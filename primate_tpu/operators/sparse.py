@@ -435,6 +435,21 @@ class DIAOperator(LinearOperator):
 			return dia_matmat(self, V)
 		return self._matmat_jnp(V)
 
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		# Probe-major stencil: out[b, i] = Σ_k band_k[i] · Vt[b, i + off_k].
+		# Shifts run along the contiguous lane axis; bands broadcast over the
+		# probe axis — still zero gathers, and no lane padding for any k.
+		if self.use_pallas:  # honor the explicit kernel request (node-major)
+			return self._matmat(Vt.T).T
+		n = self.shape[0]
+		moff = max((abs(o) for o in self.offsets), default=0)
+		Vp = jnp.pad(Vt, ((0, 0), (moff, moff))) if moff else Vt
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		out = jnp.zeros((Vt.shape[0], n), acc)
+		for k, off in enumerate(self.offsets):
+			out = out + self.bands[k, None, :].astype(acc) * Vp[:, moff + off : moff + off + n]
+		return out.astype(self.dtype)
+
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		# Aᵀ has band'_{-d}[i] = band_d[i - d]; estimation targets are
 		# symmetric so the default is rarely exercised — keep it exact anyway.
