@@ -25,7 +25,7 @@ N = 50_000
 DEG = 20
 ORTH = 5
 PROBES = 64
-REPS = 5
+REPS = 11
 
 
 def build_laplacian(n: int) -> sps.csr_matrix:
@@ -116,7 +116,11 @@ def main() -> None:
 	ours = float(np.median(times))
 
 	# --- baseline: reference-architecture host loop ----------------------
-	base_est, base_time = baseline_slq_logdet(A, DEG, ORTH, PROBES)
+	# Median of 3 runs: the host loop's wall time jitters run-to-run and the
+	# ratio below should not inherit that noise.
+	base_runs = [baseline_slq_logdet(A, DEG, ORTH, PROBES) for _ in range(3)]
+	base_est = base_runs[0][0]
+	base_time = float(np.median([t for _, t in base_runs]))
 
 	# Sanity: both estimators near the exact logdet (eigenvalues are known).
 	k = np.arange(1, N + 1)

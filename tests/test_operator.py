@@ -238,3 +238,37 @@ def test_matrix_function_fun_setter():
 	assert np.allclose(np.asarray(M.quad(x=v)), v @ expA @ v, atol=1e-6)
 	with pytest.raises(AssertionError):
 		M.fun = 42
+
+
+def test_matmat_t_parity_all_operator_kinds():
+	"""Probe-major apply `matmat_t(Vt) == (A Vtᵀ)ᵀ` for every operator kind.
+
+	The Lanczos sweep carries its state probe-major and applies operators
+	through `matmat_t`; native overrides (dense GEMM, DIA stencil, affine
+	pencil) must agree with the transpose-wrapped default to float tolerance.
+	"""
+	import scipy.sparse as sps
+	from primate_tpu.operators import DenseOperator, AffineOperator
+	from primate_tpu.operators.sparse import CSROperator, COOOperator, BSROperator, DIAOperator, GramOperator
+
+	rng = np.random.default_rng(11)
+	n = 64
+	Ad = np.asarray(pt.symmetric(n, pd=True, seed=1), dtype=np.float64)
+	As = sps.csr_matrix(sps.random(n, n, density=0.08, random_state=3) + sps.eye(n))
+	As = (As + As.T).tocsr()
+	L = sps.diags([-np.ones(n - 1), 3 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	Vt = rng.normal(size=(5, n))
+
+	ops = {
+		"dense": (DenseOperator(jnp.asarray(Ad)), Ad),
+		"csr": (CSROperator.from_scipy(As, dtype=jnp.float64), As.toarray()),
+		"coo": (COOOperator.from_scipy(As.tocoo(), dtype=jnp.float64), As.toarray()),
+		"bsr": (BSROperator.from_scipy(As, blocksize=(8, 8), dtype=jnp.float64), As.toarray()),
+		"dia": (DIAOperator.from_scipy(L, dtype=jnp.float64), L.toarray()),
+		"affine": (AffineOperator(jnp.asarray(Ad), t=0.5), Ad + 0.5 * np.eye(n)),
+		"gram": (GramOperator(jnp.asarray(Ad)), Ad.T @ Ad),
+	}
+	for name, (op, dense) in ops.items():
+		got = np.asarray(op.matmat_t(jnp.asarray(Vt)))
+		want = (dense @ Vt.T).T
+		assert np.allclose(got, want, atol=1e-8), f"{name}: matmat_t mismatch"
