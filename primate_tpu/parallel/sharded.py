@@ -65,6 +65,9 @@ class ShardedDenseOperator(LinearOperator):
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		return self.A @ V
 
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		return Vt @ self.A.T  # GSPMD partitions the same GEMM column-sharded
+
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		return self.A.T @ v
 
@@ -427,6 +430,44 @@ class ShardedDIAOperator(LinearOperator):
 			out_specs=P(op_ax, pr),
 		)(self.bands, Vp)
 		return out[:n]
+
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		# Probe-major sharded stencil: Vt (k, n) with the row axis sharded on
+		# axis 1. Same minimal halo (O(moff·k) per ring neighbor), shifts along
+		# the contiguous lane axis — the layout the Lanczos sweep carries, so
+		# no per-step transposes on the distributed path either.
+		n = self.shape[0]
+		ndev = self.mesh.shape[self.op_axis]
+		n_pad = self.bands.shape[1]
+		n_loc = n_pad // ndev
+		moff = max((abs(o) for o in self.offsets), default=0)
+		op_ax, pr_ax = self.op_axis, self.probe_axis
+		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		offsets = self.offsets
+		fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+		bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+
+		def shard_fn(bands_loc, Vl):
+			acc = jnp.promote_types(bands_loc.dtype, jnp.float32)
+			if moff:
+				tail_from_left = lax.ppermute(Vl[:, -moff:], op_ax, fwd)
+				head_from_right = lax.ppermute(Vl[:, :moff], op_ax, bwd)
+				V_ext = jnp.concatenate([tail_from_left, Vl, head_from_right], axis=1)
+			else:
+				V_ext = Vl
+			out = jnp.zeros((Vl.shape[0], n_loc), acc)
+			for d, off in enumerate(offsets):
+				out = out + bands_loc[d, None, :].astype(acc) * V_ext[:, moff + off : moff + off + n_loc]
+			return out.astype(bands_loc.dtype)
+
+		Vp = jnp.pad(Vt, ((0, 0), (0, n_pad - Vt.shape[1]))) if Vt.shape[1] != n_pad else Vt
+		out = jax.shard_map(
+			shard_fn,
+			mesh=self.mesh,
+			in_specs=(P(None, op_ax), P(pr, op_ax)),
+			out_specs=P(pr, op_ax),
+		)(self.bands, Vp)
+		return out[:, :n]
 
 	def todense(self) -> np.ndarray:
 		op = DIAOperator(np.asarray(self.bands)[:, : self.shape[0]], self.offsets, self.shape)

@@ -124,6 +124,8 @@ def test_sharded_dia_matmat(mesh8):
 		assert isinstance(op, ShardedDIAOperator)
 		V = np.random.default_rng(3).normal(size=(n, 5))
 		assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-10)
+		# probe-major sharded stencil (the layout the Lanczos sweep uses)
+		assert np.allclose(np.asarray(op.matmat_t(jnp.asarray(V.T))), (A @ V).T, atol=1e-10)
 		assert np.allclose(op.todense(), A.toarray())
 
 
