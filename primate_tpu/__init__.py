@@ -35,6 +35,7 @@ from .estimators import (
 	convergence_criterion,
 )
 from .integrate import quadrature
+from .kpm import ChebyshevFunction, kpm_density, kpm_trace
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
@@ -46,6 +47,7 @@ __all__ = [
 	"ConfidenceCriterion",
 	"ControlVariableEstimator",
 	"ConvergenceCriterion",
+	"ChebyshevFunction",
 	"CountCriterion",
 	"EstimatorResult",
 	"KneeCriterion",
@@ -61,6 +63,8 @@ __all__ = [
 	"hutch",
 	"hutchpp",
 	"isotropic",
+	"kpm_density",
+	"kpm_trace",
 	"lanczos",
 	"lanczos_block",
 	"matrix_function",

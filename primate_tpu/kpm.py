@@ -28,7 +28,7 @@ from .operators import aslinop
 from .random import as_key, sample_isotropic
 from .special import param_callable
 
-__all__ = ["chebyshev_moments", "kpm_trace", "kpm_density", "jackson_coefficients"]
+__all__ = ["chebyshev_moments", "kpm_trace", "kpm_density", "jackson_coefficients", "ChebyshevFunction"]
 
 
 def jackson_coefficients(m: int) -> jnp.ndarray:
@@ -177,3 +177,139 @@ def kpm_density(
 	n = op.shape[0]
 	phi = series / (np.pi * np.sqrt(1.0 - x**2)) / (n * r)  # mass normalized to 1
 	return ts, phi
+
+
+@jax.tree_util.register_pytree_node_class
+class ChebyshevFunction:
+	"""Implicit ``f(A)`` by Chebyshev expansion — the orthogonalization-free
+	complement to :class:`~primate_tpu.MatrixFunction`.
+
+	``matmat`` evaluates the degree-``deg`` Chebyshev approximant of ``f`` on
+	the spectral interval via the **Clenshaw recurrence** (two carried blocks,
+	one operator application per term, no re-orth window, no eigensolves);
+	``quad`` returns per-probe quadratic forms ``vᵀ f(A) v = Σ_j g_j a_j
+	(vᵀ T_j(Ã) v)`` from the forward moment recurrence — so
+	``hutch(ChebyshevFunction(A, f))`` IS the Kernel Polynomial Method with the
+	full adaptive-criterion machinery. Prefer it over Lanczos quadrature when
+	``f`` is smooth on the whole interval (exp, smoothstep, polynomials);
+	prefer Lanczos when ``f`` has spectrum-edge singularities (log, inv) that
+	Gauss quadrature resolves adaptively.
+
+	Both recurrences run probe-major — ``(nv, n)`` blocks through
+	``matmat_t`` — so any probe count streams at full lane utilization.
+
+	No reference equivalent (the reference is Lanczos-only; its imate
+	comparison table lists Chebyshev methods as the main capability gap,
+	`docs/src/imate_compare.qmd`).
+	"""
+
+	def __init__(
+		self,
+		A,
+		fun: Union[str, Callable, None] = None,
+		deg: int = 64,
+		interval: Optional[Tuple[float, float]] = None,
+		damping: str = "jackson",
+		dtype=None,
+		seed=None,
+		**fun_kwargs,
+	):
+		from .operators import aslinop
+
+		self._op = aslinop(A, dtype=dtype)
+		self.shape = self._op.shape
+		self.dtype = jnp.dtype(dtype) if dtype is not None else self._op.dtype
+		self._deg = int(deg)
+		self._damping = damping
+		f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
+		if interval is None:
+			interval = _spectral_interval(self._op, seed)
+		lo, hi = float(interval[0]), float(interval[1])
+		self._interval = (lo, hi)
+		c, r = (hi + lo) / 2.0, max((hi - lo) / 2.0, 1e-30)
+		a = _chebyshev_coefficients(f, self._deg, c, r)
+		g = np.asarray(jackson_coefficients(self._deg)) if damping == "jackson" else np.ones(self._deg)
+		# Damped coefficients are data (pytree leaf): same compiled program for
+		# any f/interval at a given degree.
+		self._ga = jnp.asarray(g * a, jnp.promote_types(self.dtype, jnp.float32))
+		self._c = jnp.asarray(c, self._ga.dtype)
+		self._r = jnp.asarray(r, self._ga.dtype)
+
+	@property
+	def interval(self) -> Tuple[float, float]:
+		return self._interval
+
+	def _apply_t(self, Xt: jnp.ndarray) -> jnp.ndarray:
+		"""Probe-major shifted apply ``Ã Xᵀ`` with Ã = (A − cI)/r."""
+		mm_t = getattr(self._op, "matmat_t", None)
+		AX = mm_t(Xt) if mm_t is not None else self._op.matmat(Xt.T).T
+		return (AX.astype(Xt.dtype) - self._c.astype(Xt.dtype) * Xt) / self._r.astype(Xt.dtype)
+
+	def matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		"""``f(A) V`` by Clenshaw: b_k = ga_k·V + 2Ã b_{k+1} − b_{k+2}."""
+		V = jnp.asarray(V, self.dtype)
+		single = V.ndim == 1
+		Vt = (V[:, None] if single else V).T
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		Vt = Vt.astype(acc)
+		m = self._deg
+		ga = self._ga.astype(acc)
+		if m == 1:
+			out = (ga[0] * Vt).T
+			return out[:, 0].astype(self.dtype) if single else out.astype(self.dtype)
+
+		def step(carry, gk):
+			b1, b2 = carry
+			b = gk * Vt + 2.0 * self._apply_t(b1) - b2
+			return (b, b1), None
+
+		z = jnp.zeros_like(Vt)
+		(b1, b2), _ = lax.scan(step, (z, z), ga[1:][::-1])
+		out = ga[0] * Vt + self._apply_t(b1) - b2
+		out = out.T
+		return out[:, 0].astype(self.dtype) if single else out.astype(self.dtype)
+
+	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		return self.matmat(v)
+
+	def __matmul__(self, x):
+		return self.matmat(x)
+
+	def quad(self, X: jnp.ndarray) -> jnp.ndarray:
+		"""Per-probe ``xᵀ f(A) x`` from the forward moment recurrence (one
+		operator application per Chebyshev term, nothing else)."""
+		X = jnp.asarray(X, self.dtype)
+		single = X.ndim == 1
+		Xt = (X[:, None] if single else X).T
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		Xt = Xt.astype(acc)
+		m = self._deg
+		ga = self._ga.astype(acc)
+		T0 = Xt
+		mu = ga[0] * jnp.sum(Xt * T0, axis=1)
+		if m > 1:
+			T1 = self._apply_t(Xt)
+			mu = mu + ga[1] * jnp.sum(Xt * T1, axis=1)
+
+			def step(carry, gk):
+				Tm1, Tm, acc_mu = carry
+				Tn = 2.0 * self._apply_t(Tm) - Tm1
+				acc_mu = acc_mu + gk * jnp.sum(Xt * Tn, axis=1)
+				return (Tm, Tn, acc_mu), None
+
+			if m > 2:
+				(_, _, mu), _ = lax.scan(step, (T0, T1, mu), ga[2:])
+		out = mu.astype(self.dtype)
+		return out[0] if single else out
+
+	def tree_flatten(self):
+		return (self._op, self._ga, self._c, self._r), (
+			self.shape, self.dtype, self._deg, self._damping, self._interval,
+		)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj._op, obj._ga, obj._c, obj._r = children
+		obj.shape, obj.dtype, obj._deg, obj._damping, obj._interval = aux
+		return obj

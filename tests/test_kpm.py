@@ -61,3 +61,46 @@ def test_jackson_coefficients_shape_and_decay():
 	g = np.asarray(jackson_coefficients(50))
 	assert g.shape == (50,)
 	assert abs(g[0] - 1.0) < 1e-6 and g[-1] < 0.01 and np.all(np.diff(g) < 1e-9)
+
+
+def test_chebyshev_function_matvec_matches_dense():
+	"""ChebyshevFunction @ v ≈ dense f(A) v for smooth f at moderate degree."""
+	A, ew = _spd(80, seed=2)
+	evw, evv = np.linalg.eigh(A)
+	v = np.random.default_rng(3).normal(size=80)
+	for fun, f in (("exp", np.exp), ("identity", lambda x: x)):
+		M = pt.ChebyshevFunction(A, fun=fun, deg=64, damping="none", seed=0)
+		want = evv @ (f(evw) * (evv.T @ v))
+		got = np.asarray(M @ v)
+		assert np.allclose(got, want, atol=1e-4 * max(1.0, np.abs(want).max())), fun
+	# batched block agrees with per-column
+	V = np.random.default_rng(4).normal(size=(80, 5))
+	M = pt.ChebyshevFunction(A, fun="exp", deg=64, damping="none", seed=0)
+	B = np.asarray(M.matmat(V))
+	for j in range(5):
+		assert np.allclose(B[:, j], np.asarray(M @ V[:, j]), atol=1e-8)
+
+
+def test_chebyshev_function_quad_matches_matvec():
+	"""quad(v) ≡ vᵀ (M @ v): the forward-moment and Clenshaw paths evaluate the
+	same damped approximant."""
+	A, _ = _spd(64, seed=5)
+	M = pt.ChebyshevFunction(A, fun="exp", deg=48, seed=0)
+	V = np.random.default_rng(6).normal(size=(64, 4))
+	q = np.asarray(M.quad(V))
+	direct = np.einsum("ij,ij->j", V, np.asarray(M.matmat(V)))
+	assert np.allclose(q, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_hutch_on_chebyshev_function_is_kpm():
+	"""hutch(ChebyshevFunction(A, f)) estimates tr(f(A)) — adaptive KPM."""
+	n = 256
+	L = sps.diags([-np.ones(n - 1), 3.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1])
+	from primate_tpu.operators.sparse import DIAOperator
+
+	op = DIAOperator.from_scipy(L)
+	k = np.arange(1, n + 1)
+	exact = float(np.sum(np.log(3.0 - 2.0 * np.cos(k * np.pi / (n + 1)))))
+	M = pt.ChebyshevFunction(op, fun="log", deg=96, seed=7)
+	est = pt.hutch(M, batch=64, converge="count", count=128, seed=11)
+	assert abs(est - exact) / abs(exact) < 0.1
