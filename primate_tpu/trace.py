@@ -330,6 +330,26 @@ def _xtrace_round_impl(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, 
 _xtrace_round = partial(jax.jit, static_argnames=("ns", "pdf", "with_estimates"))(_xtrace_round_impl)
 
 
+@partial(jax.jit, static_argnames=("schedule", "pdf"))
+def _xtrace_chain(op, key, sphere_flag, *, schedule: tuple, pdf: str):
+	"""ALL growth rounds of a predetermined (count-only) schedule as ONE
+	program: a single dispatch and a single device→host sync, vs one jitted
+	program per round (each dispatch costs a round trip on remote-attached
+	accelerators — measured ~14 ms/round over the TPU tunnel)."""
+	n = op.shape[0]
+	acc = op.dtype
+	state = (
+		jnp.zeros((n, 0), acc),
+		jnp.zeros((n, 0), acc),
+		jnp.zeros((n, 0), acc),
+		jnp.zeros((0, 0), acc),
+		jnp.zeros((0, 0), acc),
+	)
+	for it, ns in enumerate(schedule):
+		state, _ = _xtrace_round_impl(op, *state, key, it, sphere_flag, ns=ns, pdf=pdf, with_estimates=False)
+	return _xtrace_estimates(*state, sphere_flag)
+
+
 def xtrace(
 	A,
 	batch: int = 32,
@@ -427,15 +447,22 @@ def xtrace(
 		# end (each per-round sync costs a full round trip on remote-attached
 		# accelerators).
 		target = min(int(target), n)
-		m_cur, it = 0, 0
+		schedule = []
+		m_cur = 0
 		while m_cur < target:
 			ns = min(n - m_cur, int(batch))
 			if ns <= 0:
 				break
-			state, _ = step(state, it, ns, False)
+			schedule.append(ns)
 			m_cur += ns
-			it += 1
-		t_samples = _xtrace_estimates(*state[:5], sphere_flag)
+		if fused_rounds:
+			# One program for the whole predetermined schedule: single
+			# dispatch, single sync.
+			t_samples = _xtrace_chain(op, key, sphere_flag, schedule=tuple(schedule), pdf=pdf)
+		else:
+			for it, ns in enumerate(schedule):
+				state, _ = step(state, it, ns, False)
+			t_samples = _xtrace_estimates(*state[:5], sphere_flag)
 		estimator.update(t_samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
