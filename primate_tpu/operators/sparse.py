@@ -437,6 +437,22 @@ class DIAOperator(LinearOperator):
 			return dia_matmat(self, V)
 		return self._matmat_jnp(V)
 
+	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		# True 1-D stencil: the default (n, 1)-block route pads the single
+		# probe column to 128 lanes (128× traffic); a 1-D array packs lanes
+		# densely, which matters inside serial single-probe loops (`diag`).
+		v = jnp.asarray(v)
+		if v.ndim != 1:
+			return self._matmat(v)
+		n = self.shape[0]
+		moff = max((abs(o) for o in self.offsets), default=0)
+		vp = jnp.pad(v, (moff, moff)) if moff else v
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		out = jnp.zeros(n, acc)
+		for k, off in enumerate(self.offsets):
+			out = out + self.bands[k].astype(acc) * vp[moff + off : moff + off + n]
+		return out.astype(self.dtype)
+
 	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
 		# Probe-major stencil: out[b, i] = Σ_k band_k[i] · Vt[b, i + off_k].
 		# Shifts run along the contiguous lane axis; bands broadcast over the
