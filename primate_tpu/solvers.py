@@ -31,40 +31,52 @@ class CGState(NamedTuple):
 	done: jnp.ndarray  # (k,) bool
 
 
-@partial(jax.jit, static_argnames=("matmat", "maxiter"))
-def _cg_loop(matmat: Callable, B: jnp.ndarray, X0: jnp.ndarray, M_inv_diag, rtol, maxiter: int) -> CGState:
+@partial(jax.jit, static_argnames=("matmat", "maxiter", "matmat_t"))
+def _cg_loop(
+	matmat: Callable, B: jnp.ndarray, X0: jnp.ndarray, M_inv_diag, rtol, maxiter: int,
+	matmat_t: Optional[Callable] = None,
+) -> CGState:
+	# The loop carries its (X, R, P) state PROBE-MAJOR — (k, n), contiguous n
+	# on vector lanes — for the same reason the Lanczos sweep does: a (n, k<128)
+	# node-major block pads every tile to 128 lanes. GP-style solves with one
+	# or a few right-hand sides are the common case. State transposes back to
+	# the (n, k) API layout at exit.
+	if matmat_t is None:
+		matmat_t = lambda Xt: matmat(Xt.T).T  # noqa: E731
 	acc = jnp.promote_types(B.dtype, jnp.float32)
-	R0 = (B - matmat(X0)).astype(acc)
-	Z0 = R0 * M_inv_diag[:, None] if M_inv_diag is not None else R0
-	b_norm2 = jnp.sum(B.astype(acc) ** 2, axis=0)
+	Bt, X0t = B.T, X0.T
+	R0 = (Bt - matmat_t(X0t)).astype(acc)
+	Z0 = R0 * M_inv_diag[None, :] if M_inv_diag is not None else R0
+	b_norm2 = jnp.sum(Bt.astype(acc) ** 2, axis=1)
 	tol2 = (rtol**2) * jnp.maximum(b_norm2, jnp.finfo(acc).tiny)
 
 	init = CGState(
 		it=jnp.zeros((), jnp.int32),
-		X=X0.astype(acc),
+		X=X0t.astype(acc),
 		R=R0,
 		P=Z0,
-		rs=jnp.sum(R0 * Z0, axis=0),
-		done=jnp.sum(R0 * R0, axis=0) <= tol2,
+		rs=jnp.sum(R0 * Z0, axis=1),
+		done=jnp.sum(R0 * R0, axis=1) <= tol2,
 	)
 
 	def cond(s: CGState):
 		return jnp.logical_and(s.it < maxiter, jnp.logical_not(jnp.all(s.done)))
 
 	def body(s: CGState):
-		AP = matmat(s.P.astype(B.dtype)).astype(acc)
-		pAp = jnp.sum(s.P * AP, axis=0)
+		AP = matmat_t(s.P.astype(B.dtype)).astype(acc)
+		pAp = jnp.sum(s.P * AP, axis=1)
 		alpha = jnp.where(s.done | (pAp == 0), 0.0, s.rs / jnp.where(pAp == 0, 1.0, pAp))
-		X = s.X + alpha[None, :] * s.P
-		R = s.R - alpha[None, :] * AP
-		Z = R * M_inv_diag[:, None] if M_inv_diag is not None else R
-		rs_new = jnp.sum(R * Z, axis=0)
-		done = s.done | (jnp.sum(R * R, axis=0) <= tol2)
+		X = s.X + alpha[:, None] * s.P
+		R = s.R - alpha[:, None] * AP
+		Z = R * M_inv_diag[None, :] if M_inv_diag is not None else R
+		rs_new = jnp.sum(R * Z, axis=1)
+		done = s.done | (jnp.sum(R * R, axis=1) <= tol2)
 		beta = jnp.where(done | (s.rs == 0), 0.0, rs_new / jnp.where(s.rs == 0, 1.0, s.rs))
-		P = Z + beta[None, :] * s.P
+		P = Z + beta[:, None] * s.P
 		return CGState(it=s.it + 1, X=X, R=R, P=P, rs=rs_new, done=done)
 
-	return lax.while_loop(cond, body, init)
+	out = lax.while_loop(cond, body, init)
+	return CGState(it=out.it, X=out.X.T, R=out.R.T, P=out.P.T, rs=out.rs, done=out.done)
 
 
 def cg(
@@ -108,7 +120,7 @@ def cg(
 
 	if full:
 		# Diagnostic path (iterations / residuals) — not differentiable.
-		state = _cg_loop(op.matmat, B, X0, M_inv_diag, float(rtol), maxiter)
+		state = _cg_loop(op.matmat, B, X0, M_inv_diag, float(rtol), maxiter, matmat_t=getattr(op, "matmat_t", None))
 		X = state.X.astype(B.dtype)
 		X = X[:, 0] if single else X
 		res = np.sqrt(np.maximum(np.asarray(jax.device_get(jnp.sum(state.R * state.R, axis=0))), 0.0))
@@ -132,7 +144,14 @@ def cg(
 @partial(jax.jit, static_argnames=("rtol", "maxiter"))
 def _cg_program(op, B, M_inv_diag, *, rtol: float, maxiter: int):
 	def solve_fn(mv, B_in):
-		return _cg_loop(mv, B_in, jnp.zeros_like(B_in), M_inv_diag, rtol, maxiter).X.astype(B_in.dtype)
+		# symmetric=True: every solve custom_linear_solve requests (forward,
+		# tangent, cotangent) is against the SAME operator, so the native
+		# probe-major apply closed over from `op` is always the right one —
+		# `mv` is a reconstructed callable, never `op.matmat` by identity.
+		return _cg_loop(
+			mv, B_in, jnp.zeros_like(B_in), M_inv_diag, rtol, maxiter,
+			matmat_t=getattr(op, "matmat_t", None),
+		).X.astype(B_in.dtype)
 
 	return lax.custom_linear_solve(op.matmat, B, solve=solve_fn, symmetric=True)
 
