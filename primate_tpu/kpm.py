@@ -43,22 +43,27 @@ def _moment_scan(op, V: jnp.ndarray, m: int, c, r) -> jnp.ndarray:
 	"""Per-probe moments μ_j^(v) = vᵀ T_j(Ã) v for j < m → (m, nv).
 
 	``op`` is a pytree argument, so the compiled recurrence re-runs for any
-	same-shaped operator without retracing.
+	same-shaped operator without retracing. The recurrence carries its two
+	block vectors probe-major — (nv, n), contiguous n on vector lanes — so the
+	default nv=16..32 probe blocks stream without tile padding.
 	"""
 	acc = jnp.promote_types(V.dtype, jnp.float32)
+	Vt = V.T
+	mm_t = getattr(op, "matmat_t", None)
 
-	def apply_scaled(X):
-		return ((op.matmat(X) - c * X) / r).astype(X.dtype)
+	def apply_scaled(Xt):
+		AX = mm_t(Xt) if mm_t is not None else op.matmat(Xt.T).T
+		return ((AX.astype(Xt.dtype) - c * Xt) / r).astype(Xt.dtype)
 
-	T0 = V
-	T1 = apply_scaled(V)
-	mu0 = jnp.sum(V.astype(acc) * T0.astype(acc), axis=0)
-	mu1 = jnp.sum(V.astype(acc) * T1.astype(acc), axis=0)
+	T0 = Vt
+	T1 = apply_scaled(Vt)
+	mu0 = jnp.sum(Vt.astype(acc) * T0.astype(acc), axis=1)
+	mu1 = jnp.sum(Vt.astype(acc) * T1.astype(acc), axis=1)
 
 	def step(carry, _):
 		Tm1, Tm = carry
 		Tn = 2.0 * apply_scaled(Tm) - Tm1
-		mu = jnp.sum(V.astype(acc) * Tn.astype(acc), axis=0)
+		mu = jnp.sum(Vt.astype(acc) * Tn.astype(acc), axis=1)
 		return (Tm, Tn), mu
 
 	if m <= 2:
