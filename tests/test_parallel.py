@@ -198,3 +198,23 @@ def test_all_estimators_on_sharded(mesh8):
 	b = np.random.default_rng(5).normal(size=n)
 	x = np.asarray(solve(op, b, rtol=1e-10))
 	assert np.allclose(A @ x, b, atol=1e-6)
+
+
+def test_kpm_on_sharded_dia_matches_unsharded(mesh8):
+	"""ChebyshevFunction over a sharded operator: the Clenshaw/moment scans run
+	probe-major through the sharded matmat_t (ring-halo shard_map stencil)."""
+	import primate_tpu as pt
+	from primate_tpu.operators.sparse import DIAOperator
+
+	n = 256
+	A = _laplacian(n)
+	op_local = DIAOperator.from_scipy(A)
+	op_shard = shard_operator(op_local, mesh8)
+	interval = (0.0, 6.5)
+	M_l = pt.ChebyshevFunction(op_local, fun="exp", deg=48, interval=interval)
+	M_s = pt.ChebyshevFunction(op_shard, fun="exp", deg=48, interval=interval)
+	V = np.random.default_rng(9).normal(size=(n, 4))
+	assert np.allclose(np.asarray(M_s.matmat(jnp.asarray(V))), np.asarray(M_l.matmat(jnp.asarray(V))), atol=1e-8)
+	est_l = pt.hutch(M_l, batch=32, converge="count", count=64, seed=3)
+	est_s = pt.hutch(M_s, batch=32, converge="count", count=64, seed=3)
+	assert np.allclose(est_l, est_s, rtol=1e-6)
