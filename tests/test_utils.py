@@ -155,3 +155,45 @@ def test_mesh_devices_and_lanczos_block_op_cache():
 	o2 = f(DenseOperator(A2), V, deg=6, ncv=2, orth=0)
 	assert f._cache_size() == n_before  # no retrace for a same-structure operator
 	assert not np.allclose(np.asarray(o1.alphas), np.asarray(o2.alphas))
+
+
+def test_restrict_and_setdiff_kwargs():
+	"""Signature-based kwargs routing — the reference's whole "config system"
+	(`typing.py:5-14`): restrict keeps only params of f, setdiff the rest."""
+	from primate_tpu.utils.typing import restrict_kwargs, setdiff_kwargs
+
+	def f(a, b=1, *, c=2):
+		return a + b + c
+
+	kw = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+	assert restrict_kwargs(f, kw) == {"a": 1, "b": 2, "c": 3}
+	assert setdiff_kwargs(f, kw) == {"d": 4, "e": 5}
+	assert restrict_kwargs(f, {}) == {}
+	assert setdiff_kwargs(f, {}) == {}
+
+
+def test_get_include_ships_native_header():
+	"""`get_include()` points at the native headers (reference parity:
+	`primate.get_include()`, its `__init__.py:17-38`)."""
+	import os
+	import primate_tpu
+
+	inc = primate_tpu.get_include()
+	assert os.path.isdir(inc)
+	assert os.path.exists(os.path.join(inc, "sparse_prep.h"))
+
+
+def test_default_trace_criterion_composition():
+	"""hutch's default stop is count(200) | confidence(.95, atol=1.0)
+	(reference `trace.py:89-92`) and is a jittable composition."""
+	from primate_tpu.estimators import default_trace_criterion, is_jittable_criterion
+	from primate_tpu.estimators import MeanEstimator
+
+	crit = default_trace_criterion()
+	assert is_jittable_criterion(crit)
+	est = MeanEstimator(covariance=True)
+	import numpy as np
+
+	for _ in range(201):  # count bound fires regardless of variance
+		est.update(np.asarray([1000.0 * np.random.default_rng(0).normal()]))
+	assert bool(crit(est))
