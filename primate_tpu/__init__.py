@@ -23,6 +23,7 @@ __version__ = "0.1.0"
 from . import kpm, operators, random, recipes, special, stats
 from .density import cumulative_spectral_density, spectral_density
 from .diagonal import diag, xdiag
+from .eigen import eigsh
 from .estimators import (
 	ConfidenceCriterion,
 	ControlVariableEstimator,
@@ -58,6 +59,7 @@ __all__ = [
 	"convergence_criterion",
 	"diag",
 	"eigh_tridiag",
+	"eigsh",
 	"eigvalsh_tridiag",
 	"haar",
 	"hutch",

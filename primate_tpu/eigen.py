@@ -1,0 +1,121 @@
+"""Extremal eigenpairs of implicit symmetric operators (`eigsh`).
+
+Beyond-reference capability: the reference leans on scipy/ARPACK (`eigsh` in
+`operators.py:186-193` for `normalize_unit`) — a host-serial shift-invert
+Lanczos behind an FFI boundary. The TPU-native replacement is **blocked
+LOBPCG**: all k Ritz vectors advance together, every iteration is three block
+GEMMs plus a (3k x 3k) dense eigensolve — exactly the MXU-shaped work an
+accelerator wants (`jax.experimental.sparse.linalg.lobpcg_standard`).
+
+`which` handling uses spectral shifts instead of shift-INVERT (no
+factorizations exist for implicit operators):
+
+  * "LA"  — largest algebraic: LOBPCG directly.
+  * "SA"  — smallest algebraic: largest of ``c I − A`` with ``c`` an upper
+    spectral bound (cheap Rayleigh-Ritz estimate, inflated), mapped back.
+  * "LM"  — largest magnitude: both ends, keep the k largest ``|λ|``.
+  * "BE"  — both ends: ⌈k/2⌉ from each side (scipy semantics).
+"""
+
+from typing import Callable, Optional, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .operators import aslinop
+
+__all__ = ["eigsh"]
+
+
+def _lobpcg_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol) -> Tuple[jnp.ndarray, jnp.ndarray]:
+	from jax.experimental.sparse.linalg import lobpcg_standard
+
+	X0 = jax.random.normal(key, (n, k), dtype=dtype)
+	theta, U, _ = lobpcg_standard(matmat, X0, m=maxiter, tol=tol)
+	return theta, U
+
+
+def _upper_bound(op, seed) -> float:
+	"""Cheap inflated upper bound on the spectrum (Rayleigh-Ritz sweep)."""
+	from .lanczos import rayleigh_ritz
+
+	deg = int(min(32, op.shape[0]))
+	rw = np.asarray(rayleigh_ritz(op, deg=deg, orth=-1, seed=seed))
+	lo, hi = float(rw.min()), float(rw.max())
+	return hi + 0.1 * max(hi - lo, 1.0)
+
+
+def eigsh(
+	A,
+	k: int = 6,
+	which: str = "LA",
+	maxiter: int = 200,
+	tol: Optional[float] = None,
+	return_eigenvectors: bool = True,
+	seed=None,
+	dtype=None,
+) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
+	"""Extremal eigenpairs of a symmetric operator, scipy-`eigsh`-compatible.
+
+	Matrix-free: ``A`` is anything `aslinop` accepts (arrays, scipy sparse,
+	the sparse pytree operators, sharded operators, jittable callables).
+	Returns eigenvalues in ascending order (and eigenvectors as columns,
+	like `scipy.sparse.linalg.eigsh`).
+	"""
+	from .random import as_key
+
+	op = aslinop(A, dtype=dtype)
+	n = op.shape[0]
+	assert 0 < k < n, f"k must be in (0, n); got k={k}, n={n}"
+	which = which.upper()
+	assert which in ("LA", "SA", "LM", "BE"), f"Unknown which='{which}'"
+	f_dtype = jnp.promote_types(op.dtype, jnp.float32)
+	key = as_key(seed)
+	k_lo, k_hi = jax.random.split(key)
+
+	# Guard vectors: LOBPCG's trailing Ritz values converge last; solve for a
+	# few extra and truncate (standard practice, scipy does the analog via ncv).
+	pad = min(max(2, k // 4), n - k - 1) if n - k > 1 else 0
+
+	def top(kk, key2):
+		th, U = _lobpcg_top(lambda X: op.matmat(X.astype(op.dtype)).astype(f_dtype), n, kk, f_dtype, key2, maxiter, tol)
+		return th[:kk], U  # lobpcg returns descending theta
+
+	def bottom(kk, key2, c):
+		th, U = _lobpcg_top(
+			lambda X: (c * X - op.matmat(X.astype(op.dtype)).astype(f_dtype)), n, kk, f_dtype, key2, maxiter, tol
+		)
+		return c - th[:kk], U  # ascending eigenvalues of A
+
+	if which == "LA":
+		th, U = top(k + pad, k_hi)
+		w, V = np.asarray(th[:k]), np.asarray(U[:, :k])
+	elif which == "SA":
+		c = _upper_bound(op, seed)
+		th, U = bottom(k + pad, k_lo, c)
+		w, V = np.asarray(th[:k]), np.asarray(U[:, :k])
+	else:
+		k_top = (k + 1) // 2 if which == "BE" else k
+		k_bot = k - k // 2 if which == "BE" else k
+		th_t, U_t = top(k_top + pad, k_hi)
+		c = _upper_bound(op, seed)
+		th_b, U_b = bottom(k_bot + pad, k_lo, c)
+		cand_w = np.concatenate([np.asarray(th_t[:k_top]), np.asarray(th_b[:k_bot])])
+		cand_V = np.concatenate([np.asarray(U_t[:, :k_top]), np.asarray(U_b[:, :k_bot])], axis=1)
+		if which == "LM":
+			order = np.argsort(-np.abs(cand_w))[:k]
+		else:  # BE: exactly the selected ends
+			order = np.arange(cand_w.shape[0])
+		# Dedup eigenpairs found from both ends (vectors nearly parallel).
+		keep: list = []
+		for i in order:
+			if all(abs(float(cand_V[:, i] @ cand_V[:, j])) < 0.5 for j in keep):
+				keep.append(int(i))
+			if len(keep) == k:
+				break
+		w, V = cand_w[keep], cand_V[:, keep]
+
+	asc = np.argsort(w)
+	w, V = w[asc], V[:, asc]
+	return (w, V) if return_eigenvectors else w
