@@ -41,7 +41,7 @@ from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
 from .solvers import cg, solve
-from .trace import hutch, hutchpp, xtrace
+from .trace import hutch, hutchpp, xnystrace, xtrace
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
 __all__ = [
@@ -81,6 +81,7 @@ __all__ = [
 	"symmetric",
 	"trace",
 	"xdiag",
+	"xnystrace",
 	"xtrace",
 ]
 

@@ -44,7 +44,7 @@ from .operators import aslinop, is_valid_operator, quad_form
 from .random import as_key, sample_isotropic
 from .stats import CovState, cov_matrix, cov_update, make_cov_state
 
-__all__ = ["hutch", "hutchpp", "xtrace"]
+__all__ = ["hutch", "hutchpp", "xnystrace", "xtrace"]
 
 
 class _HutchCarry(NamedTuple):
@@ -238,6 +238,88 @@ def hutchpp(
 	result.estimate = est
 	result.nit = 2 * nb
 	result.samples = np.concatenate([np.asarray(rng_ests), np.asarray(defl_ests)])
+	return est, result
+
+
+@partial(jax.jit, static_argnames=("n", "m", "pdf"))
+def _xnystrace_program(A, key, *, n: int, m: int, pdf: str):
+	"""Fused XNysTrace: all m leave-one-out Nyström estimates in one program.
+
+	Let Ω be the n×m test matrix, Y = (A+νI)Ω (ν a tiny stabilizing shift),
+	H = ΩᵀY, P = H⁻¹ and G = YᵀY. Leaving column i out, the Nyström trace and
+	its single-probe Hutchinson correction collapse (via the Schur complement
+	of P at entry i and PH = I) to
+
+	    t_i = tr(PG) + (1 − (PGP)_{ii}) / P_{ii} − ν·n,
+
+	evaluated stably through the Cholesky factor L of H: with B = Y·L⁻ᵀ,
+	tr(PG) = ‖B‖²_F, (PGP)_{ii} = ‖(B·L⁻¹)_{:,i}‖², P_{ii} = ‖L⁻¹_{:,i}‖².
+	Everything is dense GEMMs + two triangular solves — no per-probe loop.
+	"""
+	dtype = A.dtype
+	acc = jnp.promote_types(dtype, jnp.float32)
+	Om = sample_isotropic(key, (n, m), pdf=pdf, dtype=dtype)
+	Y = (A.matmat(Om) if hasattr(A, "matmat") else A @ Om).astype(acc)
+	Om = Om.astype(acc)
+	# Shift: makes H=ΩᵀY safely PD when A is merely PSD (Epperly's ν·eps trick);
+	# the bias ν·n is subtracted exactly at the end.
+	nu = jnp.finfo(acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, acc))
+	Y = Y + nu * Om
+	H = Om.T @ Y
+	L = jnp.linalg.cholesky(0.5 * (H + H.T))
+	eye = jnp.eye(m, dtype=acc)
+	L_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+	B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True).T  # Y L^{-T}
+	BL = B @ L_inv  # B L^{-1}
+	tr_pg = jnp.sum(B * B)
+	pgp = jnp.sum(BL * BL, axis=0)  # diag(PGP)
+	p = jnp.sum(L_inv * L_inv, axis=0)  # diag(P)
+	t = tr_pg + (1.0 - pgp) / p - nu * n
+	return t
+
+
+def xnystrace(
+	A,
+	m: Optional[int] = None,
+	pdf: Union[str, Callable] = "normal",
+	seed=None,
+	full: bool = False,
+) -> Union[float, tuple]:
+	"""XNysTrace: leave-one-out Nyström trace estimator for **PSD** operators.
+
+	The Nyström-based sibling of :func:`xtrace` (Epperly-Tropp-Webber 2023,
+	"XTrace: making the most of every sample", alg. for PSD matrices): each of
+	the ``m`` probes doubles as a test vector for the Nyström sketch built from
+	the *other* ``m−1`` probes, so an ``m``-matvec budget yields ``m``
+	exchangeable unbiased samples — half the matvecs of XTrace per sample.
+	Exact (to rounding) whenever ``rank(A) < m``. Requires ``A ⪰ 0``; a tiny
+	spectral shift keeps the sketch Cholesky stable near singularity.
+
+	No incremental-QR analog exists in the reference (`src/primate/trace.py`
+	implements hutch/hutchpp/xtrace only) — this is a beyond-reference
+	capability; the fused program is three GEMMs + two triangular solves.
+
+	``m`` defaults to ``N // 3`` matvecs (comparable accuracy to the
+	:func:`hutchpp` default at 2/3 its matvec budget on fast-decaying spectra).
+	"""
+	is_valid_operator(A)
+	op = A if hasattr(A, "quad") else aslinop(A)
+	N = op.shape[0]
+	if int(np.prod(op.shape)) == 0:
+		return 0.0 if not full else (0.0, EstimatorResult())
+	m_ = (N // 3) if m is None else int(m)
+	m_ = max(2, min(m_, N))  # ≥2 so every leave-one-out sketch is nonempty
+	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
+	t_samples = _xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf)
+	estimator = MeanEstimator(covariance=True)
+	estimator.update(t_samples)
+	est = float(estimator.estimate)
+	if not full:
+		return est
+	result = EstimatorResult(estimator=estimator)
+	result.estimate = est
+	result.nit = m_
+	result.samples = np.asarray(t_samples)
 	return est, result
 
 
