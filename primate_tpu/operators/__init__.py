@@ -6,6 +6,7 @@ MatrixFunction / Toeplitz / spectrum normalization.
 
 from .base import (
 	AffineOperator,
+	DeflatedOperator,
 	DenseOperator,
 	FunctionOperator,
 	LinearOperator,
@@ -24,6 +25,7 @@ __all__ = [
 	"COOOperator",
 	"CSROperator",
 	"DIAOperator",
+	"DeflatedOperator",
 	"DenseOperator",
 	"FunctionOperator",
 	"GramOperator",

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 __all__ = [
 	"LinearOperator",
 	"DenseOperator",
+	"DeflatedOperator",
 	"FunctionOperator",
 	"AffineOperator",
 	"aslinop",
@@ -189,6 +190,57 @@ class AffineOperator(LinearOperator):
 	def tree_unflatten(cls, aux, children):
 		obj = object.__new__(cls)
 		obj.A, obj.B, obj.t = children
+		obj.shape, obj.dtype = aux
+		return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class DeflatedOperator(LinearOperator):
+	"""Projected operator ``P A P + fill·VVᵀ`` with ``P = I − VVᵀ``.
+
+	``V`` (n×k, orthonormal columns) spans a subspace to remove from ``A`` —
+	typically the extremal eigenvectors from :func:`~primate_tpu.eigsh`. The
+	deflated directions are re-filled with the benign eigenvalue ``fill`` (pick
+	one where downstream ``f`` is finite: 1.0 for log/inv, 0.0 for trace), so
+	``spec(op) = {fill}×k ∪ (spec(A) ∖ deflated)`` when V is A-invariant.
+
+	Variance reduction for stochastic estimators: ``tr(A) = tr(VᵀAV) +
+	tr(P A P)`` holds *exactly* for any orthonormal V (``VᵀP = 0``), so spiky
+	spectra stop dominating the Monte-Carlo variance. No reference analog
+	(the reference has no deflation machinery); composes with every estimator
+	and with :class:`MatrixFunction` — see :func:`primate_tpu.recipes.deflated_trace`.
+	"""
+
+	def __init__(self, A, V: jnp.ndarray, fill: float = 0.0):
+		self.A = aslinop(A)
+		self.V = jnp.asarray(V, self.A.dtype)
+		assert self.V.ndim == 2 and self.V.shape[0] == self.A.shape[0], "V must be (n, k)."
+		self.fill = jnp.asarray(fill, self.A.dtype)
+		self.shape = self.A.shape
+		self.dtype = self.A.dtype
+
+	def _project(self, W: jnp.ndarray) -> jnp.ndarray:
+		return W - self.V @ (self.V.T @ W)
+
+	def _matmat(self, W: jnp.ndarray) -> jnp.ndarray:
+		PW = self._project(W)
+		out = self._project(self.A.matmat(PW))
+		return out + self.fill * (self.V @ (self.V.T @ W))
+
+	def matmat_t(self, Wt: jnp.ndarray) -> jnp.ndarray:
+		C = Wt @ self.V  # (k_probes, k)
+		PWt = Wt - C @ self.V.T
+		APWt = self.A.matmat_t(PWt)
+		out = APWt - (APWt @ self.V) @ self.V.T
+		return out + self.fill * (C @ self.V.T)
+
+	def tree_flatten(self):
+		return (self.A, self.V, self.fill), (self.shape, self.dtype)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.A, obj.V, obj.fill = children
 		obj.shape, obj.dtype = aux
 		return obj
 
