@@ -218,3 +218,34 @@ def test_kpm_on_sharded_dia_matches_unsharded(mesh8):
 	est_l = pt.hutch(M_l, batch=32, converge="count", count=64, seed=3)
 	est_s = pt.hutch(M_s, batch=32, converge="count", count=64, seed=3)
 	assert np.allclose(est_l, est_s, rtol=1e-6)
+
+
+def test_eigsh_on_sharded_operator(mesh8):
+	"""eigsh (blocked LOBPCG) drives a sharded operator matrix-free."""
+	n = 256
+	L = _laplacian(n)
+	op = shard_operator(L.todia(), mesh8, probe_axis=None)
+	kk = np.arange(1, n + 1)
+	ew = np.sort(3.0 - 2.0 * np.cos(kk * np.pi / (n + 1)))
+	w = pt.eigsh(op, k=3, which="LA", seed=0, return_eigenvectors=False)
+	assert np.allclose(w, ew[-3:], atol=1e-5)
+
+
+def test_xnystrace_on_sharded_operator(mesh8):
+	"""xnystrace's fused program runs over a sharded operator unchanged."""
+	n = 256
+	L = _laplacian(n)
+	op = shard_operator(L.todia(), mesh8, probe_axis=None)
+	est = pt.xnystrace(op, m=128, seed=1)
+	assert abs(est - 3.0 * n) < 0.02 * 3.0 * n
+
+
+def test_deflated_trace_on_sharded_operator(mesh8):
+	"""deflated_trace composes eigsh + DeflatedOperator + hutch over a mesh."""
+	from primate_tpu.recipes import deflated_trace
+
+	n = 256
+	L = _laplacian(n)
+	op = shard_operator(L.todia(), mesh8, probe_axis=None)
+	est = deflated_trace(op, k=4, seed=2, converge="count", count=256)
+	assert abs(est - 3.0 * n) < 10 / np.sqrt(n) * 3.0
