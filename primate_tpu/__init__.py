@@ -40,7 +40,7 @@ from .kpm import ChebyshevFunction, kpm_density, kpm_trace
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
-from .solvers import cg, solve
+from .solvers import NystromPreconditioner, cg, nystrom_precond, solve
 from .trace import hutch, hutchpp, xnystrace, xtrace
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
@@ -54,8 +54,10 @@ __all__ = [
 	"KneeCriterion",
 	"MatrixFunction",
 	"MeanEstimator",
+	"NystromPreconditioner",
 	"ToleranceCriterion",
 	"Toeplitz",
+	"cg",
 	"convergence_criterion",
 	"diag",
 	"eigh_tridiag",
@@ -71,11 +73,13 @@ __all__ = [
 	"lanczos_block",
 	"matrix_function",
 	"normalize_unit",
+	"nystrom_precond",
 	"operators",
 	"quadrature",
 	"random",
 	"OrthogonalPolynomialBasis",
 	"rayleigh_ritz",
+	"solve",
 	"special",
 	"stats",
 	"symmetric",

@@ -19,7 +19,76 @@ from jax import lax
 
 from .operators import aslinop
 
-__all__ = ["cg", "solve"]
+__all__ = ["NystromPreconditioner", "cg", "nystrom_precond", "solve"]
+
+
+@jax.tree_util.register_pytree_node_class
+class DiagPreconditioner:
+	"""Jacobi preconditioner: ``Z = D⁻¹ R`` as an elementwise multiply."""
+
+	def __init__(self, inv_diag: jnp.ndarray):
+		self.inv_diag = inv_diag
+
+	def apply_t(self, Rt: jnp.ndarray) -> jnp.ndarray:  # probe-major (k, n)
+		return Rt * self.inv_diag[None, :]
+
+	def tree_flatten(self):
+		return (self.inv_diag,), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+class NystromPreconditioner:
+	"""Randomized Nyström preconditioner (Frangella-Tropp-Udell 2021).
+
+	From a rank-``s`` Nyström approximation ``Â = U Λ Uᵀ`` of SPD ``A``, the
+	preconditioner ``P⁻¹ = (λ_s+μ)·U(Λ+μ)⁻¹Uᵀ + (I − UUᵀ)`` clusters the top of
+	the spectrum at ``λ_s + μ``, so PCG converges at the rate of the *deflated*
+	condition number. Construction is one sketch SpMM + a Cholesky + an (n×s)
+	SVD; each application is two GEMMs — the TPU-native preconditioner for the
+	GP workflow (vs incomplete factorizations, which are serial and
+	sparsity-bound). Beyond-reference capability (no solver exists there).
+	"""
+
+	def __init__(self, U: jnp.ndarray, coef: jnp.ndarray):
+		self.U = U  # (n, s) orthonormal
+		self.coef = coef  # (s,) = (λ_s+μ)/(λ_i+μ) − 1
+
+	def apply_t(self, Rt: jnp.ndarray) -> jnp.ndarray:  # probe-major (k, n)
+		C = Rt @ self.U  # (k, s)
+		return Rt + (C * self.coef[None, :]) @ self.U.T
+
+	def tree_flatten(self):
+		return (self.U, self.coef), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+def nystrom_precond(A, rank: int = 64, mu: float = 0.0, seed=None) -> NystromPreconditioner:
+	"""Build a rank-``rank`` :class:`NystromPreconditioner` for SPD ``A`` (+μI)."""
+	from .random import as_key, sample_isotropic
+
+	op = aslinop(A)
+	n = op.shape[0]
+	s = int(max(1, min(rank, n)))
+	acc = jnp.promote_types(op.dtype, jnp.float32)
+	Om = sample_isotropic(as_key(seed), (n, s), pdf="normal", dtype=op.dtype)
+	Om, _ = jnp.linalg.qr(Om.astype(acc))
+	Y = (op.matmat(Om.astype(op.dtype))).astype(acc)
+	nu = jnp.finfo(acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, acc))
+	Y = Y + nu * Om
+	L = jnp.linalg.cholesky(0.5 * ((Om.T @ Y) + (Y.T @ Om)))
+	B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True).T  # (n, s)
+	U, sv, _ = jnp.linalg.svd(B, full_matrices=False)
+	lam = jnp.maximum(sv**2 - nu, 0.0)
+	lam_s = lam[-1]
+	coef = (lam_s + mu) / (lam + mu + jnp.finfo(acc).tiny) - 1.0
+	return NystromPreconditioner(U=U, coef=coef)
 
 
 class CGState(NamedTuple):
@@ -33,7 +102,7 @@ class CGState(NamedTuple):
 
 @partial(jax.jit, static_argnames=("matmat", "maxiter", "matmat_t"))
 def _cg_loop(
-	matmat: Callable, B: jnp.ndarray, X0: jnp.ndarray, M_inv_diag, rtol, maxiter: int,
+	matmat: Callable, B: jnp.ndarray, X0: jnp.ndarray, pre, rtol, maxiter: int,
 	matmat_t: Optional[Callable] = None,
 ) -> CGState:
 	# The loop carries its (X, R, P) state PROBE-MAJOR — (k, n), contiguous n
@@ -46,7 +115,7 @@ def _cg_loop(
 	acc = jnp.promote_types(B.dtype, jnp.float32)
 	Bt, X0t = B.T, X0.T
 	R0 = (Bt - matmat_t(X0t)).astype(acc)
-	Z0 = R0 * M_inv_diag[None, :] if M_inv_diag is not None else R0
+	Z0 = pre.apply_t(R0) if pre is not None else R0
 	b_norm2 = jnp.sum(Bt.astype(acc) ** 2, axis=1)
 	tol2 = (rtol**2) * jnp.maximum(b_norm2, jnp.finfo(acc).tiny)
 
@@ -68,7 +137,7 @@ def _cg_loop(
 		alpha = jnp.where(s.done | (pAp == 0), 0.0, s.rs / jnp.where(pAp == 0, 1.0, pAp))
 		X = s.X + alpha[:, None] * s.P
 		R = s.R - alpha[:, None] * AP
-		Z = R * M_inv_diag[None, :] if M_inv_diag is not None else R
+		Z = pre.apply_t(R) if pre is not None else R
 		rs_new = jnp.sum(R * Z, axis=1)
 		done = s.done | (jnp.sum(R * R, axis=1) <= tol2)
 		beta = jnp.where(done | (s.rs == 0), 0.0, rs_new / jnp.where(s.rs == 0, 1.0, s.rs))
@@ -85,15 +154,20 @@ def cg(
 	X0: Optional[jnp.ndarray] = None,
 	rtol: float = 1e-6,
 	maxiter: Optional[int] = None,
-	precond: Optional[Union[str, jnp.ndarray]] = None,
+	precond: Optional[Union[str, jnp.ndarray, "NystromPreconditioner"]] = None,
 	full: bool = False,
+	precond_rank: int = 64,
+	precond_seed=None,
 ):
 	"""Solve ``A X = B`` for SPD ``A`` by (preconditioned) conjugate gradients.
 
 	``B`` may be a vector or an ``(n, k)`` block — all right-hand sides advance
 	in one fused loop (each step is a single SpMM). ``precond``: ``"jacobi"``
-	(diagonal of A, estimated exactly when the operator is dense/DIA,
-	otherwise by :func:`~primate_tpu.diag`) or an explicit diagonal array.
+	(diagonal of A, estimated exactly when the operator is dense/DIA, otherwise
+	by :func:`~primate_tpu.diag`), ``"nystrom"`` (rank-``precond_rank``
+	randomized Nyström — the right choice when the spectrum has outliers, as GP
+	kernels do), an explicit diagonal array, or a prebuilt
+	:class:`NystromPreconditioner` (reuse it across solves against the same A).
 
 	Returns ``X`` (same shape as ``B``); with ``full=True`` also
 	``(iterations, residual_norms)``.
@@ -110,13 +184,18 @@ def cg(
 
 	M_inv_diag = None
 	if precond is not None:
-		if isinstance(precond, str):
-			assert precond == "jacobi", f"Unknown preconditioner '{precond}'"
-			d = _operator_diagonal(op)
+		if isinstance(precond, (NystromPreconditioner, DiagPreconditioner)):
+			M_inv_diag = precond
+		elif precond == "nystrom":
+			M_inv_diag = nystrom_precond(op, rank=precond_rank, seed=precond_seed)
 		else:
-			d = jnp.asarray(precond)
-		acc = jnp.promote_types(B.dtype, jnp.float32)
-		M_inv_diag = jnp.where(d != 0, 1.0 / d, 1.0).astype(acc)
+			if isinstance(precond, str):
+				assert precond == "jacobi", f"Unknown preconditioner '{precond}'"
+				d = _operator_diagonal(op)
+			else:
+				d = jnp.asarray(precond)
+			acc = jnp.promote_types(B.dtype, jnp.float32)
+			M_inv_diag = DiagPreconditioner(jnp.where(d != 0, 1.0 / d, 1.0).astype(acc))
 
 	if full:
 		# Diagnostic path (iterations / residuals) — not differentiable.
