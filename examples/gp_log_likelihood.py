@@ -30,7 +30,12 @@ def neg_log_likelihood(theta, X, y, key, deg=24, nv=32):
 	M = pt.MatrixFunction(K, fun="log", deg=deg, orth=8)
 	V = sample_isotropic(key, (X.shape[0], nv), pdf="rademacher", dtype=K.dtype)
 	logdet = jnp.mean(M.quad(V))
-	alpha = pt.solve(K, y, rtol=1e-8)
+	# GP kernels have exactly the outlier-heavy spectrum the randomized Nyström
+	# preconditioner was built for; gradients flow through the preconditioned
+	# solve via custom_linear_solve (the preconditioner itself is treated as
+	# solve machinery, not differentiated through).
+	pre = pt.nystrom_precond(jax.lax.stop_gradient(K), rank=48, seed=0)
+	alpha = pt.solve(K, y, rtol=1e-8, precond=pre)
 	return 0.5 * (logdet + y @ alpha + X.shape[0] * jnp.log(2 * jnp.pi))
 
 

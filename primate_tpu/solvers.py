@@ -83,9 +83,18 @@ def nystrom_precond(A, rank: int = 64, mu: float = 0.0, seed=None) -> NystromPre
 	nu = jnp.finfo(acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, acc))
 	Y = Y + nu * Om
 	L = jnp.linalg.cholesky(0.5 * ((Om.T @ Y) + (Y.T @ Om)))
-	B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True).T  # (n, s)
-	U, sv, _ = jnp.linalg.svd(B, full_matrices=False)
-	lam = jnp.maximum(sv**2 - nu, 0.0)
+	# Small (s×s) triangular inverse + GEMM instead of a triangular solve with
+	# an (s, n) RHS — back-substitution at that shape serializes on TPU.
+	L_inv = jax.scipy.linalg.solve_triangular(L, jnp.eye(s, dtype=acc), lower=True)
+	B = Y @ L_inv.T  # (n, s)
+	# Left singular vectors via eigh of the small (s×s) Gram matrix instead of
+	# an (n×s) SVD: one GEMM + a tiny eigendecomposition. Squares B's condition
+	# number, but a preconditioner only needs the spectrum approximately.
+	d, W = jnp.linalg.eigh(B.T @ B)
+	d, W = d[::-1], W[:, ::-1]  # descending, like the SVD convention
+	safe = jnp.maximum(d, jnp.finfo(acc).tiny)
+	U = B @ (W * jax.lax.rsqrt(safe)[None, :])
+	lam = jnp.maximum(d - nu, 0.0)
 	lam_s = lam[-1]
 	coef = (lam_s + mu) / (lam + mu + jnp.finfo(acc).tiny) - 1.0
 	return NystromPreconditioner(U=U, coef=coef)

@@ -267,10 +267,13 @@ def _xnystrace_program(A, key, *, n: int, m: int, pdf: str):
 	Y = Y + nu * Om
 	H = Om.T @ Y
 	L = jnp.linalg.cholesky(0.5 * (H + H.T))
-	eye = jnp.eye(m, dtype=acc)
-	L_inv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-	B = jax.scipy.linalg.solve_triangular(L, Y.T, lower=True).T  # Y L^{-T}
-	BL = B @ L_inv  # B L^{-1}
+	# One small (m×m) triangular inverse, then GEMMs: a triangular solve with an
+	# (m, n) right-hand side is sequential back-substitution — the worst shape
+	# for a systolic array — while Y @ L⁻ᵀ is a plain MXU GEMM. m ≪ n and H is
+	# shift-stabilized, so the explicit inverse is numerically safe here.
+	L_inv = jax.scipy.linalg.solve_triangular(L, jnp.eye(m, dtype=acc), lower=True)
+	B = Y @ L_inv.T  # = Y L^{-T}
+	BL = B @ L_inv  # = B L^{-1}
 	tr_pg = jnp.sum(B * B)
 	pgp = jnp.sum(BL * BL, axis=0)  # diag(PGP)
 	p = jnp.sum(L_inv * L_inv, axis=0)  # diag(P)
