@@ -91,6 +91,7 @@ def config3_hutchpp_xtrace_bsr(n=4096, seed=7):
 	tr = float(S.diagonal().sum())
 	dt_pp, est_pp = _timed(lambda: pt.hutchpp(op, m=240, seed=seed))
 	dt_xt, est_xt = _timed(lambda: pt.xtrace(op, batch=64, converge="count", count=256, seed=seed))
+	dt_xn, est_xn = _timed(lambda: pt.xnystrace(op, m=480, seed=seed))  # = hutchpp's matvec budget
 	dt_xd, est_xd = _timed(lambda: pt.xdiag(op, m=256, seed=seed))
 	return {
 		"metric": "hutchpp_xtrace_bsr_4k",
@@ -99,6 +100,7 @@ def config3_hutchpp_xtrace_bsr(n=4096, seed=7):
 		"true": tr,
 		"hutchpp": {"t": dt_pp, "est": float(est_pp)},
 		"xtrace": {"t": dt_xt, "est": float(est_xt)},
+		"xnystrace": {"t": dt_xn, "est": float(est_xn)},
 		"xdiag_sum": {"t": dt_xd, "est": float(np.sum(est_xd))},
 	}
 
