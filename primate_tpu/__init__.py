@@ -22,7 +22,7 @@ __version__ = "0.1.0"
 
 from . import kpm, operators, random, recipes, special, stats
 from .density import cumulative_spectral_density, spectral_density
-from .diagonal import diag, xdiag
+from .diagonal import diag, diagpp, xdiag
 from .eigen import eigsh
 from .estimators import (
 	ConfidenceCriterion,
@@ -60,6 +60,7 @@ __all__ = [
 	"cg",
 	"convergence_criterion",
 	"diag",
+	"diagpp",
 	"eigh_tridiag",
 	"eigsh",
 	"eigvalsh_tridiag",

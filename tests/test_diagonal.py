@@ -57,3 +57,40 @@ def test_xdiag_exact_at_full_budget():
 	A = pt.symmetric(n, pd=True, seed=rng)
 	d = pt.xdiag(A, m=2 * n, seed=5)
 	assert np.abs(d - np.diag(np.asarray(A))).max() < 1e-1
+
+
+def test_diagpp_exact_low_rank():
+	"""Exact (to rounding) when rank(A) ≤ nb: the residual vanishes."""
+	import primate_tpu as pt
+
+	n, r = 64, 12
+	ew = np.concatenate([np.zeros(n - r), np.linspace(1.0, 4.0, r)])
+	A = pt.symmetric(n, ew=ew, seed=2)
+	d_true = np.diag(np.asarray(A))
+	d = pt.diagpp(A, m=r + 4, seed=3)
+	assert np.allclose(d, d_true, atol=1e-5)
+
+
+def test_diagpp_beats_plain_diag_on_decaying_spectrum():
+	"""At equal matvec budgets, deflation must cut the error on a decaying spectrum."""
+	import primate_tpu as pt
+
+	n = 96
+	ew = 10.0 * 0.85 ** np.arange(n)
+	A = pt.symmetric(n, pd=True, ew=ew, seed=4)
+	d_true = np.diag(np.asarray(A))
+	errs_pp, errs_gh = [], []
+	for s in range(6):
+		d_pp = pt.diagpp(A, m=16, seed=s)  # 48 matvecs
+		d_gh = pt.diag(A, seed=s, converge="count", count=48, maxiter=48)
+		errs_pp.append(np.linalg.norm(d_pp - d_true))
+		errs_gh.append(np.linalg.norm(np.asarray(d_gh) - d_true))
+	assert np.mean(errs_pp) < 0.5 * np.mean(errs_gh), (np.mean(errs_pp), np.mean(errs_gh))
+
+
+def test_diagpp_empty_and_seeded():
+	import primate_tpu as pt
+
+	assert pt.diagpp(np.zeros((0, 0))).shape == (0,)
+	A = pt.symmetric(32, pd=True, seed=5)
+	assert np.allclose(pt.diagpp(A, m=8, seed=9), pt.diagpp(A, m=8, seed=9))
