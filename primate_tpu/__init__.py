@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 from . import kpm, operators, random, recipes, special, stats
 from .density import cumulative_spectral_density, spectral_density
 from .diagonal import diag, diagpp, xdiag
-from .eigen import eigsh
+from .eigen import eigsh, svds
 from .estimators import (
 	ConfidenceCriterion,
 	ControlVariableEstimator,
@@ -83,6 +83,7 @@ __all__ = [
 	"solve",
 	"special",
 	"stats",
+	"svds",
 	"symmetric",
 	"trace",
 	"xdiag",

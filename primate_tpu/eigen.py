@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .operators import aslinop
 
-__all__ = ["eigsh"]
+__all__ = ["eigsh", "svds"]
 
 
 def _lobpcg_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -71,12 +71,29 @@ def eigsh(
 	which = which.upper()
 	assert which in ("LA", "SA", "LM", "BE"), f"Unknown which='{which}'"
 	f_dtype = jnp.promote_types(op.dtype, jnp.float32)
+
+	# LOBPCG needs 5·(search dim) < n; below that the operator is tiny anyway —
+	# densify (n matvecs) and eigendecompose directly.
+	if 5 * (k + 2) >= n:
+		Ad = jnp.asarray(op.todense(), f_dtype)
+		ws, Vs = np.linalg.eigh(np.asarray(0.5 * (Ad + Ad.T)))
+		if which == "LA":
+			sel = np.arange(n - k, n)
+		elif which == "SA":
+			sel = np.arange(k)
+		elif which == "LM":
+			sel = np.sort(np.argsort(-np.abs(ws))[:k])
+		else:  # BE: k//2 from the low end, the rest (incl. the odd extra) from the high end
+			sel = np.concatenate([np.arange(k // 2), np.arange(n - (k - k // 2), n)])
+		w, V = ws[sel], Vs[:, sel]
+		return (w, V) if return_eigenvectors else w
+
 	key = as_key(seed)
 	k_lo, k_hi = jax.random.split(key)
 
 	# Guard vectors: LOBPCG's trailing Ritz values converge last; solve for a
 	# few extra and truncate (standard practice, scipy does the analog via ncv).
-	pad = min(max(2, k // 4), n - k - 1) if n - k > 1 else 0
+	pad = min(max(2, k // 4), n - k - 1, max(0, (n - 1) // 5 - k)) if n - k > 1 else 0
 
 	def top(kk, key2):
 		th, U = _lobpcg_top(lambda X: op.matmat(X.astype(op.dtype)).astype(f_dtype), n, kk, f_dtype, key2, maxiter, tol)
@@ -119,3 +136,45 @@ def eigsh(
 	asc = np.argsort(w)
 	w, V = w[asc], V[:, asc]
 	return (w, V) if return_eigenvectors else w
+
+
+def svds(
+	X,
+	k: int = 6,
+	maxiter: int = 200,
+	tol: Optional[float] = None,
+	return_vectors: bool = True,
+	seed=None,
+	dtype=None,
+):
+	"""Top-``k`` singular triplets of a (rectangular) matrix-free operator.
+
+	scipy-`svds`-shaped surface for implicit data matrices: runs blocked LOBPCG
+	(:func:`eigsh`) on the **Gram operator** ``XᵀX`` — never formed, two
+	operator applications per iteration (the reference's gram-mode trick,
+	`eigen_operators.h:58,69-75`, upgraded from spectral sums to actual
+	triplets). Left vectors recovered as ``U = X V Σ⁻¹``.
+
+	Returns ``(U, s, Vh)`` with ``s`` ascending (scipy convention), or just
+	``s`` when ``return_vectors=False``.
+	"""
+	from .operators.sparse import GramOperator
+
+	op = aslinop(X, dtype=dtype)
+	m, n = op.shape
+	assert 0 < k < min(m, n), f"k must be in (0, min(m, n)); got k={k}, shape={op.shape}"
+	gram = GramOperator(op, transpose_first=(n <= m))  # eig-solve the smaller Gram side
+	w, W = eigsh(gram, k=k, which="LA", maxiter=maxiter, tol=tol, seed=seed)
+	s = np.sqrt(np.maximum(w, 0.0))
+	if not return_vectors:
+		return s
+	safe = np.where(s > 0, s, 1.0)
+	if n <= m:  # W are right singular vectors
+		V = W
+		U = np.asarray(op.matmat(jnp.asarray(V, op.dtype))) / safe[None, :]
+	else:  # solved XXᵀ: W are left singular vectors
+		U = W
+		from .operators.sparse import _rmatmat
+
+		V = np.asarray(_rmatmat(op, jnp.asarray(U, op.dtype))) / safe[None, :]
+	return U, s, V.T

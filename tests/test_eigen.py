@@ -62,3 +62,33 @@ def test_eigsh_validates():
 		pt.eigsh(A, k=16)
 	with pytest.raises(AssertionError):
 		pt.eigsh(A, k=2, which="XX")
+
+
+def test_svds_matches_numpy():
+	rng = np.random.default_rng(11)
+	X = rng.normal(size=(80, 40)) @ np.diag(np.linspace(0.1, 4.0, 40)) 
+	U, s, Vh = pt.svds(X, k=5, seed=0)
+	s_true = np.linalg.svd(X, compute_uv=False)
+	assert np.allclose(np.sort(s), np.sort(s_true)[-5:], rtol=1e-5)
+	# Triplet consistency: X ≈ U diag(s) Vh on the recovered subspace
+	assert np.allclose(X @ Vh.T, U * s[None, :], atol=1e-4)
+	assert np.allclose(U.T @ U, np.eye(5), atol=1e-4)
+
+
+def test_svds_wide_matrix():
+	rng = np.random.default_rng(12)
+	X = rng.normal(size=(30, 90))
+	U, s, Vh = pt.svds(X, k=3, seed=1)
+	s_true = np.linalg.svd(X, compute_uv=False)
+	assert np.allclose(np.sort(s), np.sort(s_true)[-3:], rtol=1e-5)
+	assert np.allclose(X @ Vh.T, U * s[None, :], atol=1e-4)
+	assert np.allclose(Vh @ Vh.T, np.eye(3), atol=1e-4)
+
+
+def test_svds_values_only_and_validation():
+	rng = np.random.default_rng(13)
+	X = rng.normal(size=(50, 20))
+	s = pt.svds(X, k=2, seed=2, return_vectors=False)
+	assert s.shape == (2,)
+	with pytest.raises(AssertionError):
+		pt.svds(X, k=20)
