@@ -41,6 +41,7 @@ from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
 from .solvers import NystromPreconditioner, cg, nystrom_precond, solve
+from .special import param_callable, stacked
 from .trace import hutch, hutchpp, xnystrace, xtrace
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
@@ -82,6 +83,8 @@ __all__ = [
 	"rayleigh_ritz",
 	"solve",
 	"special",
+	"stacked",
+	"param_callable",
 	"stats",
 	"svds",
 	"symmetric",

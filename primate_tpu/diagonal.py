@@ -33,11 +33,11 @@ __all__ = ["diag", "diagpp", "xdiag"]
 
 class _DiagCarry(NamedTuple):
 	it: jnp.ndarray  # () int32
-	numer: jnp.ndarray  # (N,) Σ v ∘ (Av)
-	denom: jnp.ndarray  # (N,) Σ v ∘ v
-	mean: MeanState  # dim-N streaming mean of the ratio estimates
-	delta: jnp.ndarray  # (N,)
-	m2: jnp.ndarray  # (N,) per-dim Welford sum of squared deviations
+	numer: jnp.ndarray  # (d·N,) Σ v ∘ (Av), flattened over any stack axes
+	denom: jnp.ndarray  # (N,) Σ v ∘ v (shared across the stack)
+	mean: MeanState  # dim-(d·N) streaming mean of the ratio estimates
+	delta: jnp.ndarray  # (d·N,)
+	m2: jnp.ndarray  # (d·N,) per-dim Welford sum of squared deviations
 
 
 def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
@@ -49,17 +49,20 @@ def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
 	return EstSnapshot(n=c.mean.n, estimate=c.mean.mu, delta=c.delta, var=var, values=None)
 
 
-@partial(jax.jit, static_argnames=("n", "pdf", "maxiter"))
-def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int):
+@partial(jax.jit, static_argnames=("n", "pdf", "maxiter", "nout"))
+def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int, nout: int = 1):
+	"""Fused ratio-normalized diagonal loop; ``nout > 1`` when the operator's
+	matvec is STACKED (e.g. a MatrixFunction with a `special.stacked` family —
+	diag(f_t(A)) for every t from ONE Lanczos sweep per probe)."""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
 	init = _DiagCarry(
 		it=jnp.zeros((), jnp.int32),
-		numer=jnp.zeros(n, acc),
+		numer=jnp.zeros(nout * n, acc),
 		denom=jnp.zeros(n, acc),
-		mean=make_mean_state(n, acc),
-		delta=jnp.full(n, jnp.inf, acc),
-		m2=jnp.zeros(n, acc),
+		mean=make_mean_state(nout * n, acc),
+		delta=jnp.full(nout * n, jnp.inf, acc),
+		m2=jnp.zeros(nout * n, acc),
 	)
 
 	def cond(c):
@@ -68,11 +71,12 @@ def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int):
 	def body(c):
 		k = jax.random.fold_in(key, c.it)
 		v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=dtype)[:, 0]
-		u = (A.matvec(v) if hasattr(A, "matvec") else (A @ v)).astype(acc)
+		u = (A.matvec(v) if hasattr(A, "matvec") else (A @ v)).astype(acc)  # (n,) or (nout, n)
 		v = v.astype(acc)
-		numer = c.numer + u * v
+		numer = c.numer + (u * v).reshape(-1)
 		denom = c.denom + v * v
-		est = numer / jnp.where(denom == 0, 1.0, denom)
+		safe = jnp.where(denom == 0, 1.0, denom)
+		est = (numer.reshape(nout, n) / safe).reshape(-1)
 		new_mean = mean_update(c.mean, est[None, :])
 		m2 = c.m2 + (est - c.mean.mu) * (est - new_mean.mu)  # elementwise Welford
 		return _DiagCarry(
@@ -111,13 +115,22 @@ def diag(
 
 	key = as_key(seed)
 
+	# Stacked operators (matvec → (nt..., N), e.g. MatrixFunction with a
+	# `special.stacked` family) estimate every member's diagonal from shared
+	# Lanczos sweeps; the estimate comes back with the stack axes leading.
+	u_aval = jax.eval_shape(
+		lambda a, v: a.matvec(v) if hasattr(a, "matvec") else a @ v, op, jax.ShapeDtypeStruct((N,), op.dtype)
+	)
+	stack_shape = u_aval.shape[:-1]
+	nout = int(np.prod(stack_shape)) if stack_shape else 1
+
 	from .estimators import is_jittable_criterion
 
 	if callback is None and not record and is_jittable_criterion(criterion):
-		carry = _diag_fused(op, criterion, key, n=N, pdf=pdf, maxiter=int(maxiter))
+		carry = _diag_fused(op, criterion, key, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout)
 		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
-		estimate = np.asarray(carry.mean.mu)
+		estimate = np.asarray(carry.mean.mu).reshape(stack_shape + (N,))
 		if not full:
 			return estimate
 		result = EstimatorResult(
@@ -130,22 +143,23 @@ def diag(
 		return estimate, result
 
 	# Host-stepped path for callbacks / sample recording.
-	estimator = MeanEstimator(dim=N, covariance=False, record=record)
+	estimator = MeanEstimator(dim=nout * N, covariance=False, record=record)
 	result = EstimatorResult(estimator, criterion)
-	numer = jnp.zeros(N)
+	numer = jnp.zeros(nout * N)
 	denom = jnp.zeros(N)
 	it = 0
 	while not bool(criterion(estimator)) and it < maxiter:
 		v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=op.dtype)[:, 0]
 		u = op.matvec(v) if hasattr(op, "matvec") else op @ v
-		numer = numer + u * v
+		numer = numer + (u * v).reshape(-1)
 		denom = denom + v * v
-		estimator.update((numer / denom)[None, :])
+		estimator.update((numer.reshape(nout, N) / denom).reshape(1, -1))
 		if callback is not None:
 			callback(result)
 		it += 1
-	result.estimate = estimator.estimate
-	return (estimator.estimate, result) if full else estimator.estimate
+	estimate = np.asarray(estimator.estimate).reshape(stack_shape + (N,))
+	result.estimate = estimate
+	return (estimate, result) if full else estimate
 
 
 @partial(jax.jit, static_argnames=("n", "nb", "pdf"))

@@ -178,7 +178,9 @@ def _lanczos_core(
 	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
 
 	Q_win = jnp.zeros((ncv, nv, n), b_dtype).at[0].set(q0.astype(b_dtype)) if keep_window else jnp.zeros((0,), b_dtype)
-	y0 = jnp.zeros((nv, n), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
+	# coeffs (deg, nv) — or (deg, ..., nv) for a STACKED family of expansions
+	# sharing this sweep (multi-f two-pass matvec); y broadcasts accordingly.
+	y0 = jnp.zeros(coeffs.shape[1:] + (n,), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
 	carry0 = (
 		jnp.zeros((nv, n), dtype),  # q_prev
 		q0,  # q_cur
@@ -195,7 +197,7 @@ def _lanczos_core(
 	def step(carry, j):
 		q_prev, q_cur, Q_win, beta_j, done, y = carry
 		if coeffs is not None:
-			y = y + coeffs[j][:, None].astype(acc_dtype) * q_cur.astype(acc_dtype)
+			y = y + coeffs[j][..., None].astype(acc_dtype) * q_cur.astype(acc_dtype)
 		with jax.named_scope("lanczos_matmat"):  # xprof/trace label (SURVEY §5.1)
 			v = matmat_t(q_cur).astype(acc_dtype)
 		v = v - beta_j[:, None] * q_prev.astype(acc_dtype)
@@ -249,7 +251,7 @@ def _lanczos_core(
 		alphas=alphas,
 		betas=betas,
 		Q=jnp.swapaxes(Q_win, 1, 2) if keep_window else None,  # → (ncv, n, nv) API layout
-		y=y_fin.T if coeffs is not None else None,
+		y=jnp.swapaxes(y_fin, -1, -2) if coeffs is not None else None,  # → (..., n, nv)
 	)
 
 

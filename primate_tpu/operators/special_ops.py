@@ -135,12 +135,17 @@ class MatrixFunction(LinearOperator):
 		return self._deg * self.shape[0] * nv * itemsize > (1 << 30)
 
 	def _coeffs(self, out) -> jnp.ndarray:
-		"""Expansion coefficients of f(T)e₁ in the Lanczos basis → (b, deg)."""
+		"""Expansion coefficients of f(T)e₁ in the Lanczos basis → (b, deg).
+
+		A STACKED spectral function (``f(θ)`` with extra leading axes, e.g. from
+		:func:`~primate_tpu.special.stacked`) yields ``(..., b, deg)`` — one
+		coefficient set per family member, all from this single sweep.
+		"""
 		a = out.alphas.T  # (b, deg)
 		e = out.betas[: self._deg - 1].T  # (b, deg-1)
 		rw, Y = eigh_tridiag(a, e)  # (b, deg), (b, deg, deg)
-		w = jnp.atleast_2d(self.fun(rw)) * Y[:, 0, :]  # f(θ) ∘ Y[0,:]
-		return jnp.einsum("bij,bj->bi", Y, w)
+		w = self.fun(rw) * Y[:, 0, :]  # f(θ) ∘ Y[0,:], broadcast over stack axes
+		return jnp.einsum("bij,...bj->...bi", Y, w)
 
 	def _matmat(self, X: jnp.ndarray) -> jnp.ndarray:
 		X = jnp.asarray(X, dtype=self.dtype)
@@ -150,16 +155,26 @@ class MatrixFunction(LinearOperator):
 			# deterministic recurrence accumulating y = Σ c_t q_t.
 			out = self._lanczos(X, ncv=max(2, min(self._orth, self._deg)), return_basis=False)
 			c = self._coeffs(out)
-			out2 = self._lanczos(X, ncv=max(2, min(self._orth, self._deg)), return_basis=False, coeffs=c.T)
-			return (x_norm[None, :] * out2.y).astype(self.dtype)
+			out2 = self._lanczos(
+				X, ncv=max(2, min(self._orth, self._deg)), return_basis=False, coeffs=jnp.moveaxis(c, -1, 0)
+			)
+			return (x_norm * out2.y).astype(self.dtype)  # (..., n, b)
 		out = self._lanczos(X, ncv=self._deg)
 		c = self._coeffs(out)
 		# out.Q: (deg, n, b) — slot t holds q_t (ncv == deg never wraps).
-		y = jnp.einsum("knb,bk->nb", out.Q.astype(c.dtype), c)
-		return (x_norm[None, :] * y).astype(self.dtype)
+		y = jnp.einsum("knb,...bk->...nb", out.Q.astype(c.dtype), c)
+		return (x_norm * y).astype(self.dtype)
+
+	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		v = jnp.asarray(v)
+		return self._matmat(v[:, None])[..., 0]  # (n,) — or (nt, n) for stacked f
 
 	def quad(self, x: jnp.ndarray) -> jnp.ndarray:
-		"""Batched Lanczos-quadrature estimates of ``diag(xᵀ f(A) x)`` → (b,)."""
+		"""Batched Lanczos-quadrature estimates of ``diag(xᵀ f(A) x)`` → (b,).
+
+		With a stacked spectral function the whole family is evaluated against
+		the same Gauss rules — ONE sweep — and the result is ``(nt, b)``.
+		"""
 		from ..integrate import spectral_quad_form
 
 		X = jnp.asarray(x, dtype=self.dtype)

@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .operators import MatrixFunction, aslinop
+from .special import stacked
 from .trace import hutch
 
 __all__ = [
@@ -102,32 +103,42 @@ def trace_inv(A, deg: int = 30, orth: int = 5, **kwargs):
 
 
 def estrada_index(A, deg: int = 20, orth: int = 5, t: float = 1.0, **kwargs):
-	"""Estrada index ``tr(exp(t·A))`` of a graph adjacency/Laplacian operator."""
+	"""Estrada index ``tr(exp(t·A))`` of a graph adjacency/Laplacian operator.
+
+	An array ``t`` evaluates every timepoint from the SAME Lanczos sweeps
+	(stacked spectral function) and returns an array of estimates.
+	"""
+	if np.ndim(t) > 0:
+		return _slq(A, stacked("exp", t), deg, orth, **kwargs)
 	return _slq(A, "exp", deg, orth, fun_kwargs={"t": t}, **kwargs)
 
 
-def heat_kernel_trace(A, t: float = 1.0, deg: int = 20, orth: int = 5, **kwargs):
-	"""``tr(exp(−t·A))`` — the heat trace of a Laplacian at diffusion time t."""
+def heat_kernel_trace(A, t: Union[float, np.ndarray] = 1.0, deg: int = 20, orth: int = 5, **kwargs):
+	"""``tr(exp(−t·A))`` — the heat trace of a Laplacian at diffusion time t.
+
+	An array ``t`` returns the whole heat-trace curve for the cost (in operator
+	applications) of a single timepoint: the Gauss quadrature rules come from
+	one Lanczos sweep per probe batch and are function-independent, so only the
+	O(deg) node reweighting is per-``t`` (:func:`~primate_tpu.special.stacked`).
+	"""
+	if np.ndim(t) > 0:
+		return _slq(A, stacked("exp", -np.asarray(t)), deg, orth, **kwargs)
 	return _slq(A, "exp", deg, orth, fun_kwargs={"t": -t}, **kwargs)
 
 
 def heat_kernel_signature(A, timepoints, deg: int = 20, orth: int = 5, **kwargs):
 	"""Heat-kernel signature: ``diag(exp(−t·A))`` for each ``t`` in ``timepoints``.
 
-	``exp(−t·A) = exp(B)`` with ``B = (−t)·A``: the timepoint enters as the
-	scale LEAF of a :class:`ScaledOperator`, so the whole diag program
-	compiles once and re-runs for every ``t`` (a closure capturing ``t`` in
-	the spectral function would be static aux data and re-trace per value).
+	All timepoints share ONE fused diag program and ONE Lanczos sweep per
+	probe (the Krylov subspace of ``−t·A`` is that of ``A``; only the O(deg)
+	spectral reweighting is per-``t``) — ``nt`` timepoints cost the matvecs of
+	one. Returns ``(nt, n)``.
 	"""
 	from .diagonal import diag
-	from .operators import ScaledOperator
 
-	op = aslinop(A)
-	out = []
-	for t in np.atleast_1d(timepoints):
-		M = MatrixFunction(ScaledOperator(op, t=0.0, s=-float(t)), fun="exp", deg=deg, orth=orth)
-		out.append(np.asarray(diag(M, **kwargs)))
-	return np.stack(out)
+	ts = np.atleast_1d(np.asarray(timepoints, dtype=float))
+	M = MatrixFunction(aslinop(A), fun=stacked("exp", -ts), deg=deg, orth=orth)
+	return np.asarray(diag(M, **kwargs)).reshape(len(ts), -1)
 
 
 def numrank(A, threshold: float = 1e-6, deg: int = 20, orth: int = 5, **kwargs):
@@ -164,20 +175,30 @@ def eigencount(A, interval: tuple, deg: int = 30, orth: int = 5, width: Optional
 	return round(float(est))
 
 
-def schatten(A, p: float = 1.0, deg: int = 20, orth: int = 5, gram: bool = False, **kwargs):
+def schatten(A, p: Union[float, np.ndarray] = 1.0, deg: int = 20, orth: int = 5, gram: bool = False, **kwargs):
 	"""Schatten p-norm ``(Σ σᵢᵖ)^{1/p}``.
 
 	For symmetric PSD ``A`` the singular values are the eigenvalues, so
 	``‖A‖ₚᵖ = tr(Aᵖ)``. For rectangular/indefinite data pass ``gram=True``
 	with the data matrix: σᵢ(A)ᵖ = λᵢ(AᵀA)^{p/2} without forming the Gram.
+
+	An array ``p`` estimates every norm from the SAME Lanczos sweeps (stacked
+	spectral function) and returns an array.
 	"""
+	multi = np.ndim(p) > 0
+	ps = np.atleast_1d(np.asarray(p, dtype=float))
 	if gram:
 		from .operators import GramOperator
 
 		op = GramOperator(aslinop(A))
-		est = _slq(op, lambda x: jnp.maximum(x, 0.0) ** (p / 2.0), deg, orth, **kwargs)
+		f = stacked(lambda x, q: jnp.maximum(x, 0.0) ** (q / 2.0), ps) if multi else (
+			lambda x: jnp.maximum(x, 0.0) ** (float(p) / 2.0)
+		)
+		est = _slq(op, f, deg, orth, **kwargs)
 	else:
-		est = _slq(A, lambda x: jnp.abs(x) ** p, deg, orth, **kwargs)
+		f = stacked(lambda x, q: jnp.abs(x) ** q, ps) if multi else (lambda x: jnp.abs(x) ** float(p))
+		est = _slq(A, f, deg, orth, **kwargs)
+	root = (lambda v: np.asarray(v) ** (1.0 / ps)) if multi else (lambda v: float(v) ** (1.0 / float(p)))
 	if isinstance(est, tuple):
-		return (float(est[0]) ** (1.0 / p), *est[1:])
-	return float(est) ** (1.0 / p)
+		return (root(est[0]), *est[1:])
+	return root(est)

@@ -15,7 +15,16 @@ from typing import Any, Callable, Optional, Union
 
 import jax.numpy as jnp
 
-__all__ = ["param_callable", "softsign", "smoothstep", "exp", "step", "identity", "BUILTIN_MATRIX_FUNCTIONS"]
+__all__ = [
+	"param_callable",
+	"stacked",
+	"softsign",
+	"smoothstep",
+	"exp",
+	"step",
+	"identity",
+	"BUILTIN_MATRIX_FUNCTIONS",
+]
 
 BUILTIN_MATRIX_FUNCTIONS = ["identity", "abs", "sqrt", "log", "inv", "exp", "smoothstep", "numrank", "softsign"]
 
@@ -103,6 +112,50 @@ def _cached_builtin(fun: str, kwargs_items: tuple) -> Callable:
 	if fun == "numrank":
 		return step(c=kwargs.pop("threshold", 1e-6), nonnegative=True)
 	raise ValueError(f"Unknown function: {fun}.")
+
+
+@lru_cache(maxsize=256)
+def _cached_stacked(fun: str, param: str, values: tuple, kwargs_items: tuple) -> Callable:
+	fs = [param_callable(fun, **{param: v}, **dict(kwargs_items)) for v in values]
+
+	def _stacked(x):
+		return jnp.stack([f(x) for f in fs])
+
+	_stacked.nout = len(fs)
+	return _stacked
+
+
+def stacked(fun: Union[str, Callable], values, param: str = "t", **kwargs) -> Callable:
+	"""A STACKED spectral function: one callable evaluating a parameterized family.
+
+	``stacked(fun, values)(x)[i] == fun(x, param=values[i])`` — the result gains
+	one leading stack axis of length ``len(values)``. `MatrixFunction` (both
+	``matvec`` and ``quad``), :func:`~primate_tpu.hutch`, and
+	:func:`~primate_tpu.diag` all accept stacked functions and evaluate the
+	whole family from **one** Lanczos sweep per probe batch: the quadrature
+	nodes/weights (and the Krylov basis) do not depend on ``f``, so e.g.
+	``tr(exp(-t·A))`` at 20 timepoints costs the same operator applications as
+	at one. The reference's vector-valued-``fun`` support
+	(`operators.py:63-66,91-97`) is the serial analog.
+
+	``fun`` is a builtin name (parameter injected as ``param``, default "t") or
+	a callable taking ``(x, value)``. Extra ``kwargs`` are fixed across the
+	family. Builtin families are memoized so jitted estimator programs re-use
+	their compilation across instances.
+	"""
+	import numpy as np
+
+	vals = tuple(float(v) for v in np.atleast_1d(np.asarray(values)).ravel())
+	if isinstance(fun, str):
+		items = tuple(sorted(kwargs.items()))
+		return _cached_stacked(fun, param, vals, items)
+	assert callable(fun), "Matrix function must be a string or callable."
+
+	def _stacked(x):
+		return jnp.stack([fun(x, v) for v in vals])
+
+	_stacked.nout = len(vals)
+	return _stacked
 
 
 def param_callable(fun: Union[str, Callable, None], **kwargs) -> Callable:

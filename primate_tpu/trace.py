@@ -49,25 +49,28 @@ __all__ = ["hutch", "hutchpp", "xnystrace", "xtrace"]
 
 class _HutchCarry(NamedTuple):
 	it: jnp.ndarray  # () int32 — batches executed
-	cov: CovState  # scalar-sample Welford state
-	delta: jnp.ndarray  # (1,) last mean movement
+	cov: CovState  # dim-d Welford state (d = 1, or nt for a stacked quad)
+	delta: jnp.ndarray  # (d,) last mean movement
 	values: Optional[jnp.ndarray]  # (maxiter*batch,) recorded samples or None
 
 
 def _carry_snapshot(c: _HutchCarry) -> EstSnapshot:
-	var = cov_matrix(c.cov, ddof=1)[0, 0]
+	# Scalar variance proxy: mean of the per-output sample variances (for a
+	# scalar estimate this IS the sample variance; for a stacked estimate it
+	# plays the same role as diag's dim-N proxy).
+	var = jnp.mean(jnp.diagonal(cov_matrix(c.cov, ddof=1)))
 	return EstSnapshot(n=c.cov.n, estimate=c.cov.mu, delta=c.delta, var=var, values=c.values)
 
 
-@partial(jax.jit, static_argnames=("n", "batch", "pdf", "maxiter", "record"))
-def _hutch_fused(A, criterion, key, *, n: int, batch: int, pdf: str, maxiter: int, record: bool):
+@partial(jax.jit, static_argnames=("n", "batch", "pdf", "maxiter", "record", "dim"))
+def _hutch_fused(A, criterion, key, *, n: int, batch: int, pdf: str, maxiter: int, record: bool, dim: int = 1):
 	"""The fused adaptive Girard-Hutchinson program (see module docstring)."""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
 	init = _HutchCarry(
 		it=jnp.zeros((), jnp.int32),
-		cov=make_cov_state(1, acc),
-		delta=jnp.full(1, jnp.inf, acc),
+		cov=make_cov_state(dim, acc),
+		delta=jnp.full(dim, jnp.inf, acc),
 		values=jnp.full(maxiter * batch, jnp.nan, acc) if record else None,
 	)
 
@@ -77,8 +80,8 @@ def _hutch_fused(A, criterion, key, *, n: int, batch: int, pdf: str, maxiter: in
 	def body(c: _HutchCarry):
 		k = jax.random.fold_in(key, c.it)
 		V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=dtype)
-		s = quad_form(A, V).astype(acc)  # (batch,)
-		new_cov = cov_update(c.cov, s[:, None])
+		s = quad_form(A, V).astype(acc)  # (batch,) — or (nt..., batch) stacked
+		new_cov = cov_update(c.cov, s.reshape(dim, batch).T if s.ndim > 1 else s[:, None])
 		delta = new_cov.mu - c.cov.mu
 		values = None
 		if record:
@@ -150,14 +153,30 @@ def hutch(
 	key = as_key(seed)
 	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
 
+	# A STACKED spectral function (operator.quad returns (nt..., batch), see
+	# special.stacked) estimates the whole family from the shared sweeps: the
+	# Welford state becomes nt-dimensional and the estimate an (nt...,) array.
+	s_aval = jax.eval_shape(quad_form, op, jax.ShapeDtypeStruct((N, int(batch)), op.dtype))
+	stack_shape = s_aval.shape[:-1]
+	dim = int(np.prod(stack_shape)) if stack_shape else 1
+	if dim > 1 and record:
+		raise NotImplementedError("record=True (and knee criteria) require a scalar-valued quad; got a stacked one.")
+
 	if callback is None and is_jittable_criterion(criterion):
-		carry = _hutch_fused(op, criterion, key, n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record)
+		carry = _hutch_fused(
+			op, criterion, key, n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record, dim=dim
+		)
 		# ONE device→host transfer for the whole final carry: every later read
 		# is host numpy (each separate pull costs a full round trip, which
 		# dominates wall time on remote-attached accelerators).
 		carry = jax.device_get(carry)
 		estimator = MeanEstimator.from_state(carry.cov, delta=carry.delta, values=carry.values)
-		estimate = float(np.asarray(carry.cov.mu)[0]) if int(carry.cov.n) > 0 else np.nan
+		if int(carry.cov.n) == 0:
+			estimate = np.nan
+		elif dim == 1 and not stack_shape:
+			estimate = float(np.asarray(carry.cov.mu)[0])
+		else:
+			estimate = np.asarray(carry.cov.mu).reshape(stack_shape)
 		if not full:
 			return estimate
 		result = EstimatorResult(
@@ -171,12 +190,12 @@ def hutch(
 
 	# Host-stepped path: jitted batch step + per-batch callback (also the
 	# fallback for user criteria that are not registered pytrees).
-	estimator = MeanEstimator(covariance=True, record=record)
+	estimator = MeanEstimator(dim=dim, covariance=True, record=record)
 	result = EstimatorResult(estimator, criterion)
 	it = 0
 	while not bool(criterion(estimator)) and it < maxiter:
-		samples = _hutch_step(op, key, it, n=N, batch=int(batch), pdf=pdf)
-		estimator.update(samples)
+		samples = np.asarray(_hutch_step(op, key, it, n=N, batch=int(batch), pdf=pdf))
+		estimator.update(samples.reshape(dim, -1).T if samples.ndim > 1 else samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
 		if callback is not None:
