@@ -105,8 +105,12 @@ def config3_hutchpp_xtrace_bsr(n=4096, seed=7):
 	}
 
 
-def config4_heat_kernel_mesh(side=1000, deg=20, probes=32, t=-1.0, seed=3):
-	"""Estrada/heat-kernel trace on a side²-node mesh Laplacian (1M at side=1000)."""
+def config4_heat_kernel_mesh(side=1000, deg=20, probes=32, t=-1.0, seed=3, nt=8):
+	"""Heat-kernel traces on a side²-node mesh Laplacian (1M at side=1000).
+
+	BASELINE asks for "batched f's": the single-t estimate plus an ``nt``-point
+	heat-trace curve tr(exp(-t·A)) from ONE set of Lanczos sweeps
+	(`special.stacked` — the quadrature rules are f-independent)."""
 	import primate_tpu as pt
 	from primate_tpu.operators.sparse import DIAOperator
 
@@ -114,7 +118,16 @@ def config4_heat_kernel_mesh(side=1000, deg=20, probes=32, t=-1.0, seed=3):
 	op = DIAOperator.from_scipy(A, dtype=jnp.float32)
 	M = pt.MatrixFunction(op, fun="exp", t=t, deg=deg, orth=0, dtype=jnp.float32)
 	dt, est = _timed(lambda: pt.hutch(M, batch=probes, converge="count", count=probes, seed=seed))
-	return {"metric": f"heat_kernel_mesh_{side * side}", "value": dt, "unit": "s", "estimate": float(est)}
+	ts = np.geomspace(0.05, 4.0, nt) * (-t)
+	Mc = pt.MatrixFunction(op, fun=pt.stacked("exp", -ts), deg=deg, orth=0, dtype=jnp.float32)
+	dt_curve, curve = _timed(lambda: pt.hutch(Mc, batch=probes, converge="count", count=probes, seed=seed))
+	return {
+		"metric": f"heat_kernel_mesh_{side * side}",
+		"value": dt,
+		"unit": "s",
+		"estimate": float(est),
+		"curve": {"nt": int(nt), "t": dt_curve, "per_timepoint_s": dt_curve / nt, "estimates": np.asarray(curve).tolist()},
+	}
 
 
 def config5_sharded_gp(n=262_144, deg=16, probes=32, seed=5):

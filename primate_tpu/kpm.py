@@ -136,16 +136,24 @@ def kpm_trace(
 	``tr(f(A)) ≈ Σ_j g_j a_j μ_j`` with Chebyshev coefficients ``a_j`` of f,
 	damping ``g_j`` (``"jackson"`` or ``"none"``), and stochastic moments
 	``μ_j``. One matvec per moment, nv probes batched.
+
+	The moments are function-independent, so a SEQUENCE of functions (list /
+	tuple of names or callables, e.g. exp(-t·x) over timepoints) re-uses the
+	single moment sweep and returns one estimate per member — the KPM analog
+	of :func:`~primate_tpu.special.stacked`.
 	"""
-	f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
+	multi = isinstance(fun, (list, tuple))
+	funs = list(fun) if multi else [fun]
+	fs = [param_callable(fi, **fun_kwargs) if (fi is None or isinstance(fi, str)) else fi for fi in funs]
 	op = aslinop(A)
 	if interval is None:
 		interval = _spectral_interval(op, seed)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
-	a = _chebyshev_coefficients(f, m, c, r)
+	a = np.stack([_chebyshev_coefficients(f, m, c, r) for f in fs])  # (nt, m)
 	g = np.asarray(jackson_coefficients(m)) if damping == "jackson" else np.ones(m)
-	return float((g * a * mus).sum())
+	ests = (g * a * np.asarray(mus)).sum(axis=-1)
+	return ests if multi else float(ests[0])
 
 
 def kpm_density(

@@ -104,3 +104,16 @@ def test_hutch_on_chebyshev_function_is_kpm():
 	M = pt.ChebyshevFunction(op, fun="log", deg=96, seed=7)
 	est = pt.hutch(M, batch=64, converge="count", count=128, seed=11)
 	assert abs(est - exact) / abs(exact) < 0.1
+
+
+def test_kpm_trace_multi_function_shares_moments():
+	"""A sequence of f's re-uses one moment sweep: member 0 == the single-f call."""
+	A, ew = _spd(100, seed=9)
+	ts = [0.5, 1.0, 2.0]
+	funs = [(lambda t: (lambda x: np.exp(-t * x)))(t) for t in ts]
+	ests = pt.kpm_trace(A, funs, m=96, nv=64, seed=1)
+	gt = np.array([np.sum(np.exp(-t * ew)) for t in ts])
+	assert ests.shape == (3,)
+	assert np.allclose(ests, gt, rtol=0.1)
+	e0 = pt.kpm_trace(A, funs[0], m=96, nv=64, seed=1)
+	assert isinstance(e0, float) and np.isclose(e0, ests[0], rtol=1e-12)
