@@ -112,11 +112,11 @@ def _chebyshev_coefficients(fun: Callable, m: int, c: float, r: float, quad_poin
 	"""Chebyshev expansion coefficients of f on [c-r, c+r] (Gauss-Chebyshev)."""
 	k = np.arange(quad_points)
 	x = np.cos(np.pi * (k + 0.5) / quad_points)  # Chebyshev nodes in (-1, 1)
-	fx = np.asarray(fun(jnp.asarray(c + r * x)))
+	fx = np.asarray(fun(jnp.asarray(c + r * x)))  # (qp,) — or (nt..., qp) stacked
 	j = np.arange(m)[:, None]
 	Tjx = np.cos(j * np.arccos(x)[None, :])
-	coeff = 2.0 / quad_points * (Tjx * fx[None, :]).sum(axis=1)
-	coeff[0] /= 2.0
+	coeff = 2.0 / quad_points * np.einsum("jq,...q->...j", Tjx, fx)
+	coeff[..., 0] /= 2.0
 	return coeff
 
 
@@ -150,7 +150,8 @@ def kpm_trace(
 		interval = _spectral_interval(op, seed)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
-	a = np.stack([_chebyshev_coefficients(f, m, c, r) for f in fs])  # (nt, m)
+	a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])  # (nt, m)
+	multi = multi or a.shape[0] > 1  # a `special.stacked` callable is also a family
 	g = np.asarray(jackson_coefficients(m)) if damping == "jackson" else np.ones(m)
 	ests = (g * a * np.asarray(mus)).sum(axis=-1)
 	return ests if multi else float(ests[0])
@@ -234,13 +235,20 @@ class ChebyshevFunction:
 		self.dtype = jnp.dtype(dtype) if dtype is not None else self._op.dtype
 		self._deg = int(deg)
 		self._damping = damping
-		f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
 		if interval is None:
 			interval = _spectral_interval(self._op, seed)
 		lo, hi = float(interval[0]), float(interval[1])
 		self._interval = (lo, hi)
 		c, r = (hi + lo) / 2.0, max((hi - lo) / 2.0, 1e-30)
-		a = _chebyshev_coefficients(f, self._deg, c, r)
+		# A FAMILY of functions (list/tuple, or a `special.stacked` callable)
+		# shares the expansion: the T_j recurrence is f-independent, so only
+		# the coefficient rows differ — matmat/quad gain a leading stack axis.
+		if isinstance(fun, (list, tuple)):
+			fs = [param_callable(fi, **fun_kwargs) if (fi is None or isinstance(fi, str)) else fi for fi in fun]
+			a = np.stack([_chebyshev_coefficients(f, self._deg, c, r) for f in fs])
+		else:
+			f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
+			a = _chebyshev_coefficients(f, self._deg, c, r)  # (m,) — or (nt, m) stacked
 		g = np.asarray(jackson_coefficients(self._deg)) if damping == "jackson" else np.ones(self._deg)
 		# Damped coefficients are data (pytree leaf): same compiled program for
 		# any f/interval at a given degree.
@@ -259,28 +267,38 @@ class ChebyshevFunction:
 		return (AX.astype(Xt.dtype) - self._c.astype(Xt.dtype) * Xt) / self._r.astype(Xt.dtype)
 
 	def matmat(self, V: jnp.ndarray) -> jnp.ndarray:
-		"""``f(A) V`` by Clenshaw: b_k = ga_k·V + 2Ã b_{k+1} − b_{k+2}."""
+		"""``f(A) V`` by Clenshaw: b_k = ga_k·V + 2Ã b_{k+1} − b_{k+2}.
+
+		A stacked coefficient family returns ``(nt, n, b)`` — the Clenshaw
+		carries gain a leading nt axis (n stays on lanes, probe-major)."""
 		V = jnp.asarray(V, self.dtype)
 		single = V.ndim == 1
-		Vt = (V[:, None] if single else V).T
+		Vt = (V[:, None] if single else V).T  # (b, n)
 		acc = jnp.promote_types(self.dtype, jnp.float32)
 		Vt = Vt.astype(acc)
-		m = self._deg
-		ga = self._ga.astype(acc)
+		is_stacked = self._ga.ndim > 1
+		ga = jnp.atleast_2d(self._ga.astype(acc))  # (nt, m)
+		nt, m = ga.shape
+
+		def app(B):  # Ã applied over leading axes: (nt, b, n) -> (nt, b, n)
+			return self._apply_t(B.reshape(-1, B.shape[-1])).reshape(B.shape)
+
 		if m == 1:
-			out = (ga[0] * Vt).T
-			return out[:, 0].astype(self.dtype) if single else out.astype(self.dtype)
+			out = ga[:, 0][:, None, None] * Vt[None]
+		else:
 
-		def step(carry, gk):
-			b1, b2 = carry
-			b = gk * Vt + 2.0 * self._apply_t(b1) - b2
-			return (b, b1), None
+			def step(carry, gk):  # gk (nt,)
+				b1, b2 = carry
+				b = gk[:, None, None] * Vt[None] + 2.0 * app(b1) - b2
+				return (b, b1), None
 
-		z = jnp.zeros_like(Vt)
-		(b1, b2), _ = lax.scan(step, (z, z), ga[1:][::-1])
-		out = ga[0] * Vt + self._apply_t(b1) - b2
-		out = out.T
-		return out[:, 0].astype(self.dtype) if single else out.astype(self.dtype)
+			z = jnp.zeros((nt,) + Vt.shape, acc)
+			(b1, b2), _ = lax.scan(step, (z, z), ga[:, 1:][:, ::-1].T)
+			out = ga[:, 0][:, None, None] * Vt[None] + app(b1) - b2
+		out = jnp.swapaxes(out, -1, -2)  # (nt, n, b)
+		if not is_stacked:
+			out = out[0]
+		return (out[..., 0] if single else out).astype(self.dtype)
 
 	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		return self.matmat(v)
@@ -290,30 +308,37 @@ class ChebyshevFunction:
 
 	def quad(self, X: jnp.ndarray) -> jnp.ndarray:
 		"""Per-probe ``xᵀ f(A) x`` from the forward moment recurrence (one
-		operator application per Chebyshev term, nothing else)."""
+		operator application per Chebyshev term, nothing else).
+
+		The T_j recurrence is f-independent, so a stacked coefficient family
+		costs no extra operator applications: the per-probe moments are
+		reweighted per member and the result is ``(nt, b)``."""
 		X = jnp.asarray(X, self.dtype)
 		single = X.ndim == 1
 		Xt = (X[:, None] if single else X).T
 		acc = jnp.promote_types(self.dtype, jnp.float32)
 		Xt = Xt.astype(acc)
-		m = self._deg
-		ga = self._ga.astype(acc)
+		is_stacked = self._ga.ndim > 1
+		ga = jnp.atleast_2d(self._ga.astype(acc))  # (nt, m)
+		m = ga.shape[1]
 		T0 = Xt
-		mu = ga[0] * jnp.sum(Xt * T0, axis=1)
+		mu = ga[:, 0][:, None] * jnp.sum(Xt * T0, axis=1)  # (nt, b)
 		if m > 1:
 			T1 = self._apply_t(Xt)
-			mu = mu + ga[1] * jnp.sum(Xt * T1, axis=1)
+			mu = mu + ga[:, 1][:, None] * jnp.sum(Xt * T1, axis=1)
 
-			def step(carry, gk):
+			def step(carry, gk):  # gk (nt,)
 				Tm1, Tm, acc_mu = carry
 				Tn = 2.0 * self._apply_t(Tm) - Tm1
-				acc_mu = acc_mu + gk * jnp.sum(Xt * Tn, axis=1)
+				acc_mu = acc_mu + gk[:, None] * jnp.sum(Xt * Tn, axis=1)
 				return (Tm, Tn, acc_mu), None
 
 			if m > 2:
-				(_, _, mu), _ = lax.scan(step, (T0, T1, mu), ga[2:])
+				(_, _, mu), _ = lax.scan(step, (T0, T1, mu), ga[:, 2:].T)
+		if not is_stacked:
+			mu = mu[0]
 		out = mu.astype(self.dtype)
-		return out[0] if single else out
+		return out[..., 0] if single else out
 
 	def tree_flatten(self):
 		return (self._op, self._ga, self._c, self._r), (

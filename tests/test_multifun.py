@@ -152,3 +152,40 @@ def test_stacked_record_rejected(fixture):
 	M = MatrixFunction(A, fun=stacked("exp", -TS), deg=10, orth=-1, dtype=np.float64)
 	with pytest.raises(NotImplementedError):
 		hutch(M, converge="count", count=64, record=True)
+
+
+# ---- Chebyshev/KPM analog: the T_j recurrence is f-independent ----
+
+
+def test_chebyshev_stacked_matvec_and_quad(fixture):
+	import primate_tpu as pt
+
+	A, w, U = fixture
+	n = A.shape[0]
+	fam = [(lambda t: (lambda x: np.exp(-t * x)))(t) for t in TS]
+	C = pt.ChebyshevFunction(A, fun=fam, deg=64, damping="none")
+	v = np.random.default_rng(3).standard_normal(n)
+	y = np.asarray(C.matvec(jnp.asarray(v)))
+	gt = np.stack([U @ (np.exp(-t * w) * (U.T @ v)) for t in TS])
+	assert y.shape == (len(TS), n) and np.allclose(y, gt, atol=1e-6)
+
+	X = jnp.asarray(np.random.default_rng(4).standard_normal((n, 8)))
+	q = np.asarray(C.quad(X))
+	assert q.shape == (len(TS), 8)
+	for i, t in enumerate(TS):
+		Ci = pt.ChebyshevFunction(A, fun="exp", t=-float(t), deg=64, damping="none", interval=C.interval)
+		assert np.allclose(q[i], np.asarray(Ci.quad(X)), rtol=1e-9)
+	# `special.stacked` callables produce the same coefficient rows
+	C2 = pt.ChebyshevFunction(A, fun=stacked("exp", -TS), deg=64, damping="none", interval=C.interval)
+	assert np.allclose(np.asarray(C2.quad(X)), q, rtol=1e-9)
+
+
+def test_hutch_on_stacked_chebyshev_is_multi_kpm(fixture):
+	import primate_tpu as pt
+
+	A, w, U = fixture
+	fam = [(lambda t: (lambda x: np.exp(-t * x)))(t) for t in TS]
+	C = pt.ChebyshevFunction(A, fun=fam, deg=64, damping="none")
+	est = pt.hutch(C, batch=16, converge="count", count=400, seed=7)
+	gt = np.array([np.sum(np.exp(-t * w)) for t in TS])
+	assert est.shape == (len(TS),) and np.allclose(est, gt, rtol=0.1)
