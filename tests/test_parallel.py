@@ -249,3 +249,23 @@ def test_deflated_trace_on_sharded_operator(mesh8):
 	op = shard_operator(L.todia(), mesh8, probe_axis=None)
 	est = deflated_trace(op, k=4, seed=2, converge="count", count=256)
 	assert abs(est - 3.0 * n) < 10 / np.sqrt(n) * 3.0
+
+
+def test_stacked_family_on_sharded(mesh8):
+	"""A stacked heat-trace curve over a sharded operator: the fused multi-f
+	program composes with distributed SpMM Lanczos unchanged."""
+	from primate_tpu.operators.sparse import DIAOperator
+
+	n = 96
+	A = _laplacian(n)
+	w = np.linalg.eigvalsh(A.toarray())
+	ts = np.array([0.25, 1.0])
+	sharded = shard_operator(DIAOperator.from_scipy(A), mesh8)
+	M = pt.MatrixFunction(sharded, fun=pt.stacked("exp", -ts), deg=40, orth=40)
+	est = pt.hutch(M, seed=17, converge="count", count=512, batch=16)
+	gt = np.array([np.sum(np.exp(-t * w)) for t in ts])
+	assert est.shape == (2,) and np.allclose(est, gt, rtol=0.1)
+	# determinism across shardings: unsharded same-seed run agrees exactly
+	M0 = pt.MatrixFunction(DIAOperator.from_scipy(A), fun=pt.stacked("exp", -ts), deg=40, orth=40)
+	est0 = pt.hutch(M0, seed=17, converge="count", count=512, batch=16)
+	assert np.allclose(est, est0, rtol=1e-6)
