@@ -21,6 +21,7 @@ are batched into GEMM/SpMM on the MXU, and randomness is stateless threefry.
 __version__ = "0.1.0"
 
 from . import kpm, operators, random, recipes, special, stats
+from .bidiag import lanczos_bidiag
 from .density import cumulative_spectral_density, spectral_density
 from .diagonal import diag, diagpp, xdiag
 from .eigen import eigsh, svds
@@ -73,6 +74,7 @@ __all__ = [
 	"kpm_trace",
 	"lanczos",
 	"lanczos_block",
+	"lanczos_bidiag",
 	"matrix_function",
 	"normalize_unit",
 	"nystrom_precond",

@@ -1,0 +1,224 @@
+"""Golub-Kahan-Lanczos block bidiagonalization as a batched `lax.scan`.
+
+Beyond-reference capability: the reference handles rectangular data only
+through its Gram-mode sparse operator (``AᵀA`` matvecs,
+`src/primate/include/eigen_operators.h:58,69-75`) and then runs symmetric
+Lanczos on the product. GKL builds the same Krylov information — an upper
+bidiagonal ``B`` with ``A V = U B`` — **without ever applying the squared
+operator**: each step is one ``A`` apply and one ``Aᵀ`` apply, and the
+(squared) singular values only appear in the tiny ``deg×deg`` Jacobi matrix
+``BᵀB`` formed at the end. That keeps the recurrence's conditioning at
+``κ(A)`` instead of ``κ(A)²`` — the standard stability argument for
+Lanczos-bidiagonalization quadrature on Gram spectra (Golub & Meurant,
+"Matrices, Moments and Quadrature").
+
+TPU-first: all nv probes advance together, state is carried PROBE-MAJOR
+(``(nv, n)`` / ``(nv, m)`` blocks, contiguous operator axis on vector lanes)
+and the operator applies through ``matmat_t`` / ``rmatmat_t`` — the same
+layout discipline as `lanczos._lanczos_core`.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["lanczos_bidiag", "bidiag_jacobi", "BidiagOutput"]
+
+
+class BidiagOutput(NamedTuple):
+	"""Batched GKL results: probe axis last.
+
+	alphas: (deg, nv) diagonal of the upper-bidiagonal B (α_1..α_deg ≥ 0).
+	betas:  (deg-1, nv) superdiagonal (β_1..β_{deg-1} ≥ 0).
+	U:      (deg, m, nv) left Lanczos vectors (``return_basis=True`` only).
+	V:      (deg, n, nv) right Lanczos vectors (``return_basis=True`` only).
+	"""
+
+	alphas: jnp.ndarray
+	betas: jnp.ndarray
+	U: Optional[jnp.ndarray] = None
+	V: Optional[jnp.ndarray] = None
+
+
+def bidiag_jacobi(alphas: jnp.ndarray, betas: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+	"""Jacobi matrix ``J = BᵀB`` of the GKL bidiagonal → tridiagonal ``(d, e)``.
+
+	``d_j = α_j² + β_{j-1}²`` (β_0 = 0), ``e_j = α_j β_j``. Feeding (d, e) to
+	:func:`~primate_tpu.integrate.spectral_quad_form` gives the Gauss rule for
+	``v₁ᵀ f(AᵀA) v₁`` — identical (in exact arithmetic) to symmetric Lanczos on
+	the Gram operator, but computed from un-squared recurrence coefficients.
+	Shapes: alphas (deg, ...), betas (deg-1, ...) → d (deg, ...), e (deg-1, ...).
+	"""
+	a2 = alphas.astype(jnp.promote_types(alphas.dtype, jnp.float32)) ** 2
+	b2 = betas.astype(a2.dtype) ** 2
+	pad = jnp.zeros_like(a2[:1])
+	d = a2 + jnp.concatenate([pad, b2], axis=0)
+	e = alphas[:-1].astype(a2.dtype) * betas.astype(a2.dtype)
+	return d, e
+
+
+@partial(jax.jit, static_argnames=("deg", "orth", "reorth_passes", "return_basis", "adjoint"))
+def lanczos_bidiag_op(
+	op,
+	V0: jnp.ndarray,
+	deg: int,
+	orth: int = 0,
+	rtol: float = 1e-8,
+	reorth_passes: int = 2,
+	return_basis: bool = False,
+	adjoint: bool = False,
+) -> BidiagOutput:
+	"""`lanczos_bidiag` core with the operator as a PYTREE argument (see
+	`lanczos.lanczos_block_op` for why: the compiled sweep is keyed on the
+	operator's structure, not a bound method's identity).
+
+	``adjoint=True`` bidiagonalizes ``Aᵀ`` (probes live on the m side) — used
+	for Gram operators in ``AAᵀ`` mode without materializing a transpose.
+	"""
+	if adjoint:
+		app_t = lambda Vt: op.rmatmat_t(Vt)  # noqa: E731
+		rapp_t = lambda Ut: op.matmat_t(Ut)  # noqa: E731
+	else:
+		app_t = lambda Vt: op.matmat_t(Vt)  # noqa: E731
+		rapp_t = lambda Ut: op.rmatmat_t(Ut)  # noqa: E731
+	return _bidiag_core(
+		app_t, rapp_t, V0, deg=deg, orth=orth, rtol=rtol,
+		reorth_passes=reorth_passes, return_basis=return_basis,
+	)
+
+
+def _masked_cgs(x: jnp.ndarray, W: jnp.ndarray, valid: jnp.ndarray, passes: int) -> jnp.ndarray:
+	"""Project ``x (nv, k)`` off the masked window ``W (ncv, nv, k)`` (CGS)."""
+	for _ in range(max(1, passes)):
+		proj = jnp.sum(W * x[None, :, :], axis=2) * valid[:, None]  # (ncv, nv)
+		x = x - jnp.sum(W * proj[:, :, None].astype(x.dtype), axis=0)
+	return x
+
+
+def _bidiag_core(
+	app_t,
+	rapp_t,
+	V0: jnp.ndarray,
+	*,
+	deg: int,
+	orth: int,
+	rtol: float,
+	reorth_passes: int,
+	return_basis: bool,
+) -> BidiagOutput:
+	n, nv = V0.shape
+	dtype = V0.dtype
+	acc = jnp.promote_types(dtype, jnp.float32)
+
+	Vt0 = V0.T.astype(acc)  # (nv, n) probe-major
+	norm0 = jnp.sqrt(jnp.sum(Vt0**2, axis=1))
+	v1 = Vt0 / jnp.where(norm0 > 0, norm0, 1.0)[:, None]
+
+	p = app_t(v1.astype(dtype)).astype(acc)  # (nv, m)
+	m = p.shape[1]
+	tol = jnp.sqrt(jnp.asarray(max(m, n), acc)) * jnp.asarray(rtol, acc)
+	alpha1 = jnp.sqrt(jnp.sum(p * p, axis=1))
+	u1 = p / jnp.where(alpha1 > tol, alpha1, jnp.inf)[:, None]
+
+	keep_window = return_basis or orth > 0
+	ncv = deg if return_basis else int(np.clip(orth, 1, deg))
+	if keep_window:
+		U_win = jnp.zeros((ncv, nv, m), acc).at[0].set(u1)
+		V_win = jnp.zeros((ncv, nv, n), acc).at[0].set(v1)
+	else:
+		U_win = jnp.zeros((0,), acc)
+		V_win = jnp.zeros((0,), acc)
+	slot_ids = jnp.arange(ncv)
+
+	def step(carry, j):
+		u, v, alpha, done, U_win, V_win = carry
+		# Right vector: r = Aᵀu_j − α_j v_j
+		r = rapp_t(u.astype(dtype)).astype(acc) - alpha[:, None] * v
+		if orth > 0:
+			age = (j - slot_ids) % ncv
+			valid = ((age < orth) & (age <= j)).astype(acc)
+			r = _masked_cgs(r, V_win, valid, reorth_passes)
+		beta = jnp.sqrt(jnp.sum(r * r, axis=1))
+		v_next = r / jnp.where(beta > tol, beta, jnp.inf)[:, None]
+		# Left vector: p = A v_{j+1} − β_j u_j
+		p = app_t(v_next.astype(dtype)).astype(acc) - beta[:, None] * u
+		if orth > 0:
+			age = (j - slot_ids) % ncv
+			valid = ((age < orth) & (age <= j)).astype(acc)
+			p = _masked_cgs(p, U_win, valid, reorth_passes)
+		alpha_next = jnp.sqrt(jnp.sum(p * p, axis=1))
+		u_next = p / jnp.where(alpha_next > tol, alpha_next, jnp.inf)[:, None]
+
+		newly_done = (beta < tol) | (alpha_next < tol)
+		beta_out = jnp.where(done, 0.0, beta)
+		alpha_out = jnp.where(done | (beta < tol), 0.0, alpha_next)
+
+		if keep_window:
+			slot = (j + 1) % ncv
+			advance = ~(done | newly_done) if return_basis else jnp.ones_like(done)
+			oldV = lax.dynamic_index_in_dim(V_win, slot, axis=0, keepdims=False)
+			oldU = lax.dynamic_index_in_dim(U_win, slot, axis=0, keepdims=False)
+			V_win = lax.dynamic_update_index_in_dim(
+				V_win, jnp.where(advance[:, None], v_next, oldV), slot, axis=0
+			)
+			U_win = lax.dynamic_update_index_in_dim(
+				U_win, jnp.where(advance[:, None], u_next, oldU), slot, axis=0
+			)
+		return (u_next, v_next, alpha_next, done | newly_done, U_win, V_win), (beta_out, alpha_out)
+
+	carry0 = (u1, v1, alpha1, jnp.zeros(nv, bool), U_win, V_win)
+	(_, _, _, _, U_fin, V_fin), (betas, alphas_rest) = lax.scan(step, carry0, jnp.arange(deg - 1))
+	alphas = jnp.concatenate([alpha1[None], alphas_rest], axis=0)  # (deg, nv)
+	return BidiagOutput(
+		alphas=alphas,
+		betas=betas,
+		U=jnp.swapaxes(U_fin, 1, 2) if return_basis else None,  # (deg, m, nv)
+		V=jnp.swapaxes(V_fin, 1, 2) if return_basis else None,  # (deg, n, nv)
+	)
+
+
+def lanczos_bidiag(
+	A,
+	V0: Optional[jnp.ndarray] = None,
+	deg: int = 20,
+	orth: int = 0,
+	rtol: float = 1e-8,
+	reorth_passes: int = 2,
+	return_basis: bool = False,
+	seed=None,
+	dtype=None,
+) -> BidiagOutput:
+	"""Golub-Kahan-Lanczos bidiagonalization of a (rectangular) operator.
+
+	``deg`` steps produce per-probe upper-bidiagonal factors ``B`` with
+	``A V_deg = U_deg B`` — each step one ``A`` apply + one ``Aᵀ`` apply on the
+	whole probe block. ``orth`` re-orthogonalizes both U- and V-sides against a
+	window of that many previous vectors (−1 = full re-orth); early exit per
+	probe on an invariant subspace (residual < √max(m,n)·rtol) emits zeros, so
+	the bidiagonal decouples exactly like `lanczos`'s zero-fill.
+
+	Singular values of ``B`` approximate extremal singular values of ``A``;
+	:func:`bidiag_jacobi` turns (α, β) into the Jacobi matrix of ``AᵀA`` for
+	Gauss quadrature of ``v₁ᵀ f(AᵀA) v₁`` at ``κ(A)`` (not ``κ(A)²``)
+	recurrence conditioning.
+	"""
+	from .operators import aslinop
+	from .random import as_key
+
+	op = aslinop(A, dtype=dtype)
+	m, n = op.shape
+	deg = int(np.clip(deg, 1, min(m, n)))
+	orth = deg if (orth < 0 or orth > deg) else int(orth)
+	if V0 is None:
+		V0 = jax.random.normal(as_key(seed), (n, 1), op.dtype)
+	V0 = jnp.asarray(V0, op.dtype)
+	V0 = V0[:, None] if V0.ndim == 1 else V0
+	assert V0.shape[0] == n, f"V0 must have {n} rows; got {V0.shape}"
+	return lanczos_bidiag_op(
+		op, V0, deg=deg, orth=orth, rtol=rtol,
+		reorth_passes=reorth_passes, return_basis=return_basis,
+	)

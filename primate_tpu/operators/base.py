@@ -73,6 +73,15 @@ class LinearOperator:
 		# Estimation targets are symmetric; subclasses override when not.
 		return self.matvec(v)
 
+	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		"""Adjoint block apply ``Aᵀ V`` (vmapped rmatvec fallback)."""
+		return jax.vmap(self.rmatvec, in_axes=1, out_axes=1)(V)
+
+	def rmatmat_t(self, Ut: jnp.ndarray) -> jnp.ndarray:
+		"""Probe-major adjoint apply ``(Aᵀ Utᵀ)ᵀ`` on a ``(k, m)`` block
+		(the Golub-Kahan sweep's second hot primitive; see ``matmat_t``)."""
+		return self.rmatmat(Ut.T).T
+
 	def __matmul__(self, x) -> jnp.ndarray:
 		x = jnp.asarray(x)
 		return self.matvec(x) if x.ndim == 1 else self.matmat(x)
@@ -103,6 +112,12 @@ class DenseOperator(LinearOperator):
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		return self.A.T @ v
+
+	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		return self.A.T @ V
+
+	def rmatmat_t(self, Ut: jnp.ndarray) -> jnp.ndarray:
+		return Ut @ self.A  # (Aᵀ Utᵀ)ᵀ — one GEMM, no transposes materialized
 
 	def todense(self) -> jnp.ndarray:
 		return self.A

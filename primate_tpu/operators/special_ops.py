@@ -177,9 +177,28 @@ class MatrixFunction(LinearOperator):
 		"""
 		from ..integrate import spectral_quad_form
 
+		from .sparse import GramOperator
+
 		X = jnp.asarray(x, dtype=self.dtype)
 		X = X[:, None] if X.ndim == 1 else X
 		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
+		if isinstance(self._A, GramOperator):
+			# Gram spectra go through Golub-Kahan bidiagonalization of the
+			# DATA operator: same matvec budget (one A + one Aᵀ per step), but
+			# the recurrence conditions at κ(A) instead of κ(A)² — the squared
+			# values only appear in the deg×deg Jacobi matrix BᵀB.
+			from ..bidiag import bidiag_jacobi, lanczos_bidiag_op
+
+			out = lanczos_bidiag_op(
+				self._A.A, X, deg=self._deg, orth=self._orth, rtol=self._rtol,
+				reorth_passes=self._reorth_passes, adjoint=not self._A.transpose_first,
+			)
+			d, e = bidiag_jacobi(out.alphas, out.betas)
+			# BᵀB is PSD by construction; eigh can still return −ε Ritz values
+			# on rank-deficient data, which would NaN sqrt/log-style functions.
+			fun = self.fun
+			vals = spectral_quad_form(d.T, e.T, lambda x: fun(jnp.maximum(x, 0.0)))
+			return (vals * x_norm_sq).astype(self.dtype)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
 		out = self._lanczos(X, ncv=ncv, return_basis=False)  # quadrature needs only (α, β)
 		# Degeneracy-stable custom-JVP quadrature form: same primal as the
