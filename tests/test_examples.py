@@ -46,3 +46,25 @@ assert np.isfinite(e) and np.all(np.isfinite(phi))
 print("ok", e)
 """
 	)
+
+
+def test_rectangular_spectra_example():
+	_run(
+		"""
+import numpy as np, jax.numpy as jnp
+import primate_tpu as pt
+from examples.rectangular_spectra import StreamedData
+rng = np.random.default_rng(0)
+m, n, r = 200, 60, 5
+L = rng.standard_normal((m, r)).astype(np.float32) / np.sqrt(m)
+R = (rng.standard_normal((n, r)) * np.geomspace(10., 2., r)).astype(np.float32)
+G = rng.standard_normal((m, n)).astype(np.float32) / np.sqrt(m)
+X = StreamedData(L, R, G, 0.05)
+s_true = np.linalg.svd(L @ R.T + 0.05 * G, compute_uv=False)
+sp = pt.recipes.schatten(X, p=np.array([1.0, 2.0]), gram=True, deg=20, orth=8, converge="count", count=128, seed=1)
+assert np.allclose(sp, [np.sum(s_true), np.linalg.norm(s_true)], rtol=0.15)
+U, s, Vh = pt.svds(X, k=3, seed=2)
+assert np.allclose(np.sort(s)[::-1], s_true[:3], rtol=1e-3)
+print("ok", sp)
+"""
+	)
