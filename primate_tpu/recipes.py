@@ -97,9 +97,37 @@ def logdet(A, deg: int = 20, orth: int = 5, **kwargs):
 	return _slq(A, "log", deg, orth, **kwargs)
 
 
-def trace_inv(A, deg: int = 30, orth: int = 5, **kwargs):
-	"""``tr(A⁻¹)`` — e.g. the GP log-likelihood gradient term."""
-	return _slq(A, "inv", deg, orth, **kwargs)
+def trace_inv(
+	A,
+	deg: int = 30,
+	orth: int = 5,
+	method: str = "slq",
+	precond=None,
+	rtol: float = 1e-6,
+	maxiter: Optional[int] = None,
+	**kwargs,
+):
+	"""``tr(A⁻¹)`` — e.g. the GP log-likelihood gradient term.
+
+	``method="slq"`` (default): stochastic Lanczos quadrature with ``1/x`` —
+	``deg`` matvecs per probe, bias set by the Krylov degree.
+	``method="cg"``: Hutchinson over CG solves ``vᵀ(A⁻¹v)`` — unbiased up to
+	the solve tolerance, and with ``precond="nystrom"`` (or ``"jacobi"``, or a
+	prebuilt :class:`~primate_tpu.NystromPreconditioner`) the per-probe cost
+	drops to the *deflated* condition number, which on outlier-heavy spectra
+	(GP kernels) beats any fixed-degree quadrature. Each probe batch is one
+	fused while_loop of SpMMs.
+	"""
+	if method == "slq":
+		return _slq(A, "inv", deg, orth, **kwargs)
+	assert method == "cg", f"method must be 'slq' or 'cg', got {method!r}"
+	from .operators import FunctionOperator
+	from .solvers import cg
+
+	op = aslinop(A)
+	solve_block = lambda V: cg(op, V, rtol=rtol, maxiter=maxiter, precond=precond)  # noqa: E731
+	inv_op = FunctionOperator(solve_block, shape=op.shape, dtype=op.dtype, batched=True)
+	return hutch(inv_op, **kwargs)
 
 
 def estrada_index(A, deg: int = 20, orth: int = 5, t: float = 1.0, **kwargs):

@@ -65,3 +65,21 @@ def test_heat_kernel_signature_shape():
 	assert hks.shape == (2, n)
 	true = np.stack([np.diag(__import__("scipy").linalg.expm(-t * L)) for t in (0.1, 1.0)])
 	assert np.abs(hks - true).mean() < 0.25
+
+
+def test_trace_inv_cg_backend():
+	"""Hutchinson over preconditioned CG solves: unbiased to solve tolerance,
+	and identical probes make it agree with SLQ at high degree."""
+	import primate_tpu as pt
+	from primate_tpu.solvers import nystrom_precond
+
+	n = 200
+	ew = np.concatenate([np.geomspace(100, 5, 8), np.random.default_rng(0).uniform(0.5, 2.0, n - 8)])
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=1), np.float64)
+	gt = float(np.sum(1.0 / ew))
+	P = nystrom_precond(A, rank=16, seed=5)
+	est_cg = recipes.trace_inv(A, method="cg", precond=P, rtol=1e-10, converge="count", count=256, seed=2)
+	assert abs(est_cg - gt) / gt < 0.05
+	est_slq = recipes.trace_inv(A, deg=60, orth=-1, converge="count", count=256, seed=2)
+	# same probe stream, both solvers converged -> near-identical estimates
+	assert np.isclose(est_cg, est_slq, rtol=1e-6)
