@@ -84,8 +84,8 @@ def _hutch_fused(A, criterion, key, *, n: int, batch: int, pdf: str, maxiter: in
 		new_cov = cov_update(c.cov, s.reshape(dim, batch).T if s.ndim > 1 else s[:, None])
 		delta = new_cov.mu - c.cov.mu
 		values = None
-		if record:
-			values = lax.dynamic_update_slice(c.values, s, (c.it * batch,))
+		if record:  # dim == 1 here (guarded in the driver); flatten any (1, batch) stack
+			values = lax.dynamic_update_slice(c.values, s.reshape(-1), (c.it * batch,))
 		return _HutchCarry(it=c.it + 1, cov=new_cov, delta=delta, values=values)
 
 	final = lax.while_loop(cond, body, init)

@@ -189,3 +189,13 @@ def test_hutch_on_stacked_chebyshev_is_multi_kpm(fixture):
 	est = pt.hutch(C, batch=16, converge="count", count=400, seed=7)
 	gt = np.array([np.sum(np.exp(-t * w)) for t in TS])
 	assert est.shape == (len(TS),) and np.allclose(est, gt, rtol=0.1)
+
+
+def test_record_with_single_member_stack(fixture):
+	"""dim == 1 stacked functions still support recording (knee criteria)."""
+	A, w, U = fixture
+	M = MatrixFunction(A, fun=stacked("exp", [-1.0]), deg=20, orth=-1, dtype=np.float64)
+	est, res = hutch(M, batch=8, converge="count", count=64, record=True, seed=1, full=True)
+	assert est.shape == (1,)
+	vals = np.asarray(res.estimator.values)
+	assert vals.shape[0] == 64 and np.all(np.isfinite(vals))
