@@ -126,7 +126,13 @@ def config4_heat_kernel_mesh(side=1000, deg=20, probes=32, t=-1.0, seed=3, nt=8)
 		"value": dt,
 		"unit": "s",
 		"estimate": float(est),
-		"curve": {"nt": int(nt), "t": dt_curve, "per_timepoint_s": dt_curve / nt, "estimates": np.asarray(curve).tolist()},
+		"curve": {
+			"nt": int(nt),
+			"timepoints": ts.tolist(),
+			"elapsed_s": dt_curve,
+			"per_timepoint_s": dt_curve / nt,
+			"estimates": np.asarray(curve).tolist(),
+		},
 	}
 
 
@@ -160,7 +166,16 @@ CONFIGS = {
 
 if __name__ == "__main__":
 	import json
+	import os
 	import sys
+
+	# Persistent compile cache (same rationale as bench.py): these configs
+	# measure execution, and cold compiles over a congested remote-TPU tunnel
+	# can take tens of minutes for the 1M-row programs.
+	cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+	os.makedirs(cache_dir, exist_ok=True)
+	jax.config.update("jax_compilation_cache_dir", cache_dir)
+	jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 	which = [int(a) for a in sys.argv[1:] if a.isdigit()] or sorted(CONFIGS)
 	for i in which:

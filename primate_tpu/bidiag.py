@@ -136,19 +136,18 @@ def _bidiag_core(
 
 	def step(carry, j):
 		u, v, alpha, done, U_win, V_win = carry
+		if orth > 0:  # same window policy for both sides, depends only on j
+			age = (j - slot_ids) % ncv
+			valid = ((age < orth) & (age <= j)).astype(acc)
 		# Right vector: r = Aᵀu_j − α_j v_j
 		r = rapp_t(u.astype(dtype)).astype(acc) - alpha[:, None] * v
 		if orth > 0:
-			age = (j - slot_ids) % ncv
-			valid = ((age < orth) & (age <= j)).astype(acc)
 			r = _masked_cgs(r, V_win, valid, reorth_passes)
 		beta = jnp.sqrt(jnp.sum(r * r, axis=1))
 		v_next = r / jnp.where(beta > tol, beta, jnp.inf)[:, None]
 		# Left vector: p = A v_{j+1} − β_j u_j
 		p = app_t(v_next.astype(dtype)).astype(acc) - beta[:, None] * u
 		if orth > 0:
-			age = (j - slot_ids) % ncv
-			valid = ((age < orth) & (age <= j)).astype(acc)
 			p = _masked_cgs(p, U_win, valid, reorth_passes)
 		alpha_next = jnp.sqrt(jnp.sum(p * p, axis=1))
 		u_next = p / jnp.where(alpha_next > tol, alpha_next, jnp.inf)[:, None]
@@ -159,7 +158,12 @@ def _bidiag_core(
 
 		if keep_window:
 			slot = (j + 1) % ncv
-			advance = ~(done | newly_done) if return_basis else jnp.ones_like(done)
+			# v_next stays a valid basis vector whenever β_j survived — even on
+			# an α-breakdown step, where B's column j+1 still references it
+			# (A v_{j+1} = β_j u_j + α_{j+1} u_{j+1}); dropping it would break
+			# A V = U B on rank-deficient operators. u_next is exactly 0 after
+			# its own breakdown (guarded divide), so one shared mask suffices.
+			advance = (~done) & (beta >= tol) if return_basis else jnp.ones_like(done)
 			oldV = lax.dynamic_index_in_dim(V_win, slot, axis=0, keepdims=False)
 			oldU = lax.dynamic_index_in_dim(U_win, slot, axis=0, keepdims=False)
 			V_win = lax.dynamic_update_index_in_dim(

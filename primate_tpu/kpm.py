@@ -142,8 +142,10 @@ def kpm_trace(
 	single moment sweep and returns one estimate per member — the KPM analog
 	of :func:`~primate_tpu.special.stacked`.
 	"""
-	multi = isinstance(fun, (list, tuple))
-	funs = list(fun) if multi else [fun]
+	# `special.stacked` callables advertise their family size via .nout, so a
+	# ONE-member family still returns a (1,)-array (matching the Lanczos path).
+	multi = isinstance(fun, (list, tuple)) or getattr(fun, "nout", None) is not None
+	funs = list(fun) if isinstance(fun, (list, tuple)) else [fun]
 	fs = [param_callable(fi, **fun_kwargs) if (fi is None or isinstance(fi, str)) else fi for fi in funs]
 	op = aslinop(A)
 	if interval is None:

@@ -561,7 +561,6 @@ def _pad_empty_block_rows(data: np.ndarray, indices: np.ndarray, indptr: np.ndar
 
 
 def _rmatmat(op: LinearOperator, V: jnp.ndarray) -> jnp.ndarray:
-	"""Apply the adjoint to a block (vmapped rmatvec fallback)."""
-	if hasattr(op, "A") and isinstance(getattr(op, "A", None), jnp.ndarray):
-		return op.A.T @ V
-	return jax.vmap(op.rmatvec, in_axes=1, out_axes=1)(V)
+	"""Apply the adjoint to a block — delegates to the operator's ``rmatmat``
+	(native GEMM for dense, vmapped-rmatvec fallback on the base class)."""
+	return op.rmatmat(V)

@@ -189,8 +189,12 @@ class MatrixFunction(LinearOperator):
 			# values only appear in the deg×deg Jacobi matrix BᵀB.
 			from ..bidiag import bidiag_jacobi, lanczos_bidiag_op
 
+			# GKL exhausts after min(m, n) steps regardless of the Gram side's
+			# dimension — clamp so tall AAᵀ-mode operators don't burn applies
+			# on guaranteed-breakdown steps.
+			deg = int(min(self._deg, min(self._A.A.shape)))
 			out = lanczos_bidiag_op(
-				self._A.A, X, deg=self._deg, orth=self._orth, rtol=self._rtol,
+				self._A.A, X, deg=deg, orth=min(self._orth, deg), rtol=self._rtol,
 				reorth_passes=self._reorth_passes, adjoint=not self._A.transpose_first,
 			)
 			d, e = bidiag_jacobi(out.alphas, out.betas)

@@ -7,6 +7,7 @@ device program. All accept the estimator knobs of :func:`~primate_tpu.hutch`
 (``batch``, ``converge``, ``seed``, ``full``, ...).
 """
 
+from functools import lru_cache
 from typing import Optional, Union
 
 import numpy as np
@@ -32,6 +33,17 @@ __all__ = [
 def _slq(A, fun, deg: int, orth: int, fun_kwargs: Optional[dict] = None, **est_kwargs):
 	M = MatrixFunction(A, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
 	return hutch(M, **est_kwargs)
+
+
+@lru_cache(maxsize=64)
+def _cg_solver_fn(rtol: float, maxiter: Optional[int]):
+	"""Stable (memoized) ``(op, precond, V) ↦ A⁻¹V`` callable for FunctionOperator."""
+	from .solvers import cg
+
+	def solve_block(op, precond, V):
+		return cg(op, V, rtol=rtol, maxiter=maxiter, precond=precond)
+
+	return solve_block
 
 
 def deflated_trace(
@@ -122,11 +134,30 @@ def trace_inv(
 		return _slq(A, "inv", deg, orth, **kwargs)
 	assert method == "cg", f"method must be 'slq' or 'cg', got {method!r}"
 	from .operators import FunctionOperator
-	from .solvers import cg
+	from .solvers import nystrom_precond
 
 	op = aslinop(A)
-	solve_block = lambda V: cg(op, V, rtol=rtol, maxiter=maxiter, precond=precond)  # noqa: E731
-	inv_op = FunctionOperator(solve_block, shape=op.shape, dtype=op.dtype, batched=True)
+	# Resolve string preconditioners ONCE on the host — a bare string would
+	# trace the sketch/QR/eigh build into the fused while_loop body and re-run
+	# it every probe batch. A prebuilt preconditioner is a pytree capture.
+	if precond == "nystrom":
+		precond = nystrom_precond(op, seed=kwargs.get("seed"))
+	elif precond == "jacobi":
+		from .solvers import DiagPreconditioner, _operator_diagonal
+
+		d = _operator_diagonal(op)
+		acc = jnp.promote_types(op.dtype, jnp.float32)
+		precond = DiagPreconditioner(jnp.where(d != 0, 1.0 / d, 1.0).astype(acc))
+	# (op, precond) ride as pytree CAPTURES under a cached solver fn, so the
+	# fused hutch program is keyed on structure — not on a per-call closure
+	# that would bake A in as a constant and retrace every call.
+	inv_op = FunctionOperator(
+		_cg_solver_fn(float(rtol), None if maxiter is None else int(maxiter)),
+		shape=op.shape,
+		dtype=op.dtype,
+		batched=True,
+		captures=(op, precond),
+	)
 	return hutch(inv_op, **kwargs)
 
 

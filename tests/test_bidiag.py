@@ -145,3 +145,16 @@ def test_gkl_conditioning_beats_gram_lanczos_f32():
 	err_sq = abs(q_sq - gt) / abs(gt)
 	assert err_gkl < 0.05
 	assert err_gkl < err_sq  # squaring loses accuracy first
+
+
+def test_factorization_survives_alpha_breakdown():
+	"""A V = U B must hold on rank-deficient operators: the α-breakdown step's
+	v_next is still referenced by B's last column and must be stored."""
+	rng = np.random.default_rng(4)
+	A = rng.standard_normal((30, 5)) @ rng.standard_normal((5, 20))  # rank 5
+	out = pt.lanczos_bidiag(A, rng.standard_normal(20), deg=12, orth=-1, return_basis=True, dtype=np.float64)
+	al, be = np.asarray(out.alphas)[:, 0], np.asarray(out.betas)[:, 0]
+	B = np.diag(al) + np.diag(be, 1)
+	U = np.asarray(out.U)[:, :, 0]
+	V = np.asarray(out.V)[:, :, 0]
+	assert np.max(np.abs(A @ V.T - U.T @ B)) < 1e-8

@@ -199,3 +199,11 @@ def test_record_with_single_member_stack(fixture):
 	assert est.shape == (1,)
 	vals = np.asarray(res.estimator.values)
 	assert vals.shape[0] == 64 and np.all(np.isfinite(vals))
+
+
+def test_kpm_trace_single_member_stack_returns_array(fixture):
+	import primate_tpu as pt
+
+	A, w, U = fixture
+	est = pt.kpm_trace(A, stacked("exp", [-1.0]), m=64, nv=32, seed=1)
+	assert np.asarray(est).shape == (1,)
