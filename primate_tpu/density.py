@@ -66,8 +66,24 @@ def spectral_density(
 	key = as_key(seed)
 	V = sample_isotropic(key, (n, int(nv)), pdf=pdf, dtype=op.dtype)
 
-	out = lanczos_block_op(op, V, deg=deg, ncv=max(2, min(max(orth, 2), deg)), orth=orth, return_basis=False)
-	nodes, weights = quadrature(out.alphas.T, out.betas[: deg - 1].T, deg=deg, quad="gw")  # (nv, deg) each
+	from .operators.sparse import GramOperator
+
+	if isinstance(op, GramOperator):
+		# Singular-value densities: Gram spectra go through Golub-Kahan
+		# bidiagonalization of the data operator (κ(A) recurrence conditioning,
+		# same matvec budget) — matching MatrixFunction.quad's dispatch.
+		from .bidiag import bidiag_jacobi, lanczos_bidiag_op
+
+		bdeg = int(min(deg, min(op.A.shape)))
+		bout = lanczos_bidiag_op(
+			op.A, V, deg=bdeg, orth=min(orth, bdeg), adjoint=not op.transpose_first
+		)
+		d, e = bidiag_jacobi(bout.alphas, bout.betas)
+		nodes, weights = quadrature(d.T, e.T, deg=bdeg, quad="gw")  # (nv, bdeg) each
+		nodes = jnp.maximum(nodes, 0.0)  # BᵀB is PSD; eigh may return −ε
+	else:
+		out = lanczos_block_op(op, V, deg=deg, ncv=max(2, min(max(orth, 2), deg)), orth=orth, return_basis=False)
+		nodes, weights = quadrature(out.alphas.T, out.betas[: deg - 1].T, deg=deg, quad="gw")  # (nv, deg) each
 
 	if bounds is None:
 		lo = float(jnp.min(nodes))

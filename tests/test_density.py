@@ -49,3 +49,24 @@ def test_density_auto_bounds_cover_spectrum():
 	A = pt.symmetric(80, ew=ew, seed=7)
 	ts, phi = spectral_density(A, deg=40, nv=8, orth=-1, seed=8)
 	assert ts[0] <= 1.05 and ts[-1] >= 2.95
+
+
+def test_singular_value_density_via_gram_gkl():
+	"""DOS of a Gram operator routes through GKL: the density mass sits on the
+	squared singular values of the data matrix."""
+	import primate_tpu as pt
+	from primate_tpu.operators.sparse import GramOperator
+
+	import jax.numpy as jnp
+
+	rng = np.random.default_rng(7)
+	A = rng.standard_normal((80, 30))
+	s2 = np.linalg.svd(A, compute_uv=False) ** 2
+	ts, phi = pt.spectral_density(GramOperator(jnp.asarray(A)), deg=30, nv=16, orth=-1, seed=1)
+	assert np.all(np.isfinite(phi)) and np.all(ts >= -1e-6)
+	# mass normalizes to ~1 and the mean of the density matches E[sigma^2]/n
+	dt = np.diff(ts, prepend=ts[0])
+	mass = float(np.sum(phi * dt))
+	mean_est = float(np.sum(ts * phi * dt) / mass)
+	assert abs(mass - 1.0) < 0.1
+	assert abs(mean_est - s2.mean()) / s2.mean() < 0.2
