@@ -91,7 +91,7 @@ def config3_hutchpp_xtrace_bsr(n=4096, seed=7):
 	tr = float(S.diagonal().sum())
 	dt_pp, est_pp = _timed(lambda: pt.hutchpp(op, m=240, seed=seed))
 	dt_xt, est_xt = _timed(lambda: pt.xtrace(op, batch=64, converge="count", count=256, seed=seed))
-	dt_xn, est_xn = _timed(lambda: pt.xnystrace(op, m=480, seed=seed))  # = hutchpp's matvec budget
+	dt_xn, est_xn = _timed(lambda: pt.xnystrace(op, m=720, seed=seed))  # = hutchpp's true 3·nb matvec budget
 	dt_xd, est_xd = _timed(lambda: pt.xdiag(op, m=256, seed=seed))
 	return {
 		"metric": "hutchpp_xtrace_bsr_4k",

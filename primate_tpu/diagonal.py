@@ -24,6 +24,7 @@ from .estimators import (
 	MeanEstimator,
 	convergence_criterion,
 )
+from .linalg import colwise_dot
 from .operators import aslinop, is_valid_operator
 from .random import as_key, sample_isotropic
 from .stats import MeanState, make_mean_state, mean_update
@@ -109,9 +110,16 @@ def diag(
 	N = op.shape[0]
 	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
 	criterion = convergence_criterion(converge, **kwargs)
+	from .estimators import criterion_needs_values
+
+	if criterion_needs_values(criterion):
+		# Knee detection is defined on a SCALAR cumulative-mean curve; a dim-N
+		# diagonal estimator has no such stream — fail fast instead of silently
+		# never firing and burning maxiter batches.
+		raise NotImplementedError("Knee-style criteria (recorded-sample based) are not defined for diag's dim-N estimator.")
 
 	if int(np.prod(op.shape)) == 0:
-		return 0.0 if not full else (0.0, EstimatorResult())
+		return np.zeros(0) if not full else (np.zeros(0), EstimatorResult())
 
 	key = as_key(seed)
 
@@ -154,11 +162,15 @@ def diag(
 		numer = numer + (u * v).reshape(-1)
 		denom = denom + v * v
 		estimator.update((numer.reshape(nout, N) / denom).reshape(1, -1))
+		result.estimate = np.asarray(estimator.estimate).reshape(stack_shape + (N,))
+		result.nit = estimator.n_samples
 		if callback is not None:
 			callback(result)
 		it += 1
 	estimate = np.asarray(estimator.estimate).reshape(stack_shape + (N,))
 	result.estimate = estimate
+	result.nit = estimator.n_samples
+	result.message = getattr(criterion, "message", lambda e: "")(estimator)
 	return (estimate, result) if full else estimate
 
 
@@ -213,9 +225,6 @@ def diagpp(A, m: Optional[int] = None, pdf: str = "rademacher", seed=None) -> np
 	return np.asarray(_diagpp_program(op, as_key(seed), n=n, nb=nb, pdf=pdf))
 
 
-def _colwise_dot(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
-	return jnp.einsum("ij,ij->j", X, Y)[:, None]
-
 
 @partial(jax.jit, static_argnames=("n", "m", "pdf"))
 def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
@@ -236,7 +245,7 @@ def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
 	dQZ = jnp.einsum("ij,ij->i", Q, Z)[:, None]  # diag(Q Zᵀ)
 	dQSSZ = jnp.einsum("ij,ij->i", QS, Z @ S)[:, None]
 	dNTQ = jnp.einsum("ij,ij->i", N, Q @ T)[:, None]
-	dST = _colwise_dot(S, T)  # (m, 1) column dots
+	dST = colwise_dot(S, T)  # (m, 1) column dots
 	dNQSST = jnp.einsum("ij,ij->i", N, QS * dST[:, 0][None, :])[:, None]
 
 	d = dQZ + (-dQSSZ + dNY - dNTQ + dNQSST) / m
@@ -246,7 +255,9 @@ def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
 def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndarray:
 	"""Estimate ``diag(A)`` with the XDiag leave-one-out estimator.
 
-	Uses ``m / 2`` operator applications for an m-sample estimate. Parity:
+	Uses ``m / 2`` probe columns — ``m`` operator applications total (the
+	sketch pass ``A·N`` plus the test pass ``A·Q``; the reference's "m/2
+	matvecs" wording, `diagonal.py:102`, counts only the first). Parity:
 	reference `diagonal.py:99-138`.
 	"""
 	is_valid_operator(A)

@@ -335,6 +335,8 @@ class ConfidenceCriterion(ConvergenceCriterion):
 
 	def message(self, est) -> str:
 		snap = _as_snapshot(est)
+		if snap.var is None:  # host estimator without variance tracking
+			return f"Est: {arr_summary(np.asarray(snap.estimate))} (#S:{int(snap.n)}; variance untracked)"
 		moe, _ = self._error(snap)
 		return (
 			f"Est: {arr_summary(np.asarray(snap.estimate))} +/- {float(moe):.3f} "
@@ -525,8 +527,11 @@ class MeanEstimator:
 	def snapshot(self) -> EstSnapshot:
 		state = self._moments._state
 		var = None
-		if isinstance(state, CovState) and self.dim == 1:
-			var = cov_matrix(state, ddof=1)[0, 0]
+		if isinstance(state, CovState):
+			# Scalar proxy for any dim: mean of the per-output sample variances
+			# (== the sample variance at dim 1) — matches the fused-loop
+			# snapshots, so confidence criteria work on stacked estimators.
+			var = jnp.mean(jnp.diagonal(cov_matrix(state, ddof=1)))
 		values = jnp.asarray(self.values) if self.values else None
 		est = state.mu if self.n_samples > 0 else jnp.full(self.dim, jnp.nan, state.mu.dtype)
 		return EstSnapshot(n=state.n, estimate=est, delta=jnp.asarray(self.delta), var=var, values=values)

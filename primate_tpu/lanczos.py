@@ -63,6 +63,10 @@ def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_bas
 	if ncv is None:
 		ncv = deg if return_basis else int(np.clip(max(orth, 2), 2, deg))
 	ncv = int(np.clip(ncv, min(2, deg), deg))
+	# A user ncv smaller than orth cannot hold the requested window — the
+	# mod-ncv age mask would silently re-orthogonalize against ncv vectors
+	# only. Clamp like the reference's orth ≤ ncv rule (`lanczos.py:13-16`).
+	orth = min(orth, ncv)
 	return deg, orth, ncv
 
 
@@ -279,7 +283,8 @@ def lanczos(
 
 	Returns ``(a, b)``: diagonal (deg,) and off-diagonal (deg-1,) of the Jacobi
 	matrix (with a trailing probe axis when batched); with ``return_basis=True``
-	also the basis ``Q (n, ncv[, nv])``; with ``sparse_mat=True`` the dense
+	also the basis ``Q`` — ``(n, ncv)`` for a single ``v0``, ``(nv, n, ncv)``
+	probe-major for a block; with ``sparse_mat=True`` the dense
 	tridiagonal matrix itself (JAX has no host-sparse spdiags — downstream
 	eigensolves densify anyway since deg ≲ 100).
 

@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-__all__ = ["update_trinv", "update_trinv_block", "qr_append"]
+__all__ = ["update_trinv", "update_trinv_block", "qr_append", "colwise_dot"]
 
 
 def update_trinv(B_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -84,3 +84,9 @@ def qr_append(
 	R_new = R_new.at[:m, m:].set(B)
 	R_new = R_new.at[m:, m:].set(C)
 	return Q_new, R_new
+
+
+def colwise_dot(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
+	"""Columnwise dots ``diag(XᵀY)`` as an ``(k, 1)`` column (shared by the
+	XTrace/XDiag leave-one-out identity blocks)."""
+	return jnp.einsum("ij,ij->j", X, Y)[:, None]

@@ -94,3 +94,30 @@ def test_diagpp_empty_and_seeded():
 	assert pt.diagpp(np.zeros((0, 0))).shape == (0,)
 	A = pt.symmetric(32, pd=True, seed=5)
 	assert np.allclose(pt.diagpp(A, m=8, seed=9), pt.diagpp(A, m=8, seed=9))
+
+
+def test_diag_callback_sees_progress():
+	"""Callbacks receive live estimate/nit (previously stuck at 0)."""
+	import primate_tpu as pt
+
+	A = np.asarray(pt.symmetric(40, pd=True, seed=0))
+	seen = []
+	pt.diag(A, converge="count", count=8, seed=1, callback=lambda r: seen.append((r.nit, np.asarray(r.estimate).copy())))
+	assert seen and seen[0][0] == 1 and seen[-1][0] >= 8
+	assert np.any(seen[-1][1] != 0)
+
+
+def test_diag_knee_rejected():
+	import primate_tpu as pt
+	import pytest as _pytest
+
+	A = np.asarray(pt.symmetric(20, pd=True, seed=0))
+	with _pytest.raises(NotImplementedError):
+		pt.diag(A, converge="knee")
+
+
+def test_diag_empty_operator_returns_array():
+	import primate_tpu as pt
+
+	est = pt.diag(np.zeros((0, 0)))
+	assert isinstance(est, np.ndarray) and est.shape == (0,)

@@ -207,3 +207,12 @@ def test_kpm_trace_single_member_stack_returns_array(fixture):
 	A, w, U = fixture
 	est = pt.kpm_trace(A, stacked("exp", [-1.0]), m=64, nv=32, seed=1)
 	assert np.asarray(est).shape == (1,)
+
+
+def test_hutch_stacked_default_criterion_message(fixture):
+	"""The default (count | confidence) criterion must evaluate and message
+	cleanly on a stacked estimator (dim > 1 Welford state)."""
+	A, w, U = fixture
+	M = MatrixFunction(A, fun=stacked("exp", -TS), deg=20, orth=-1, dtype=np.float64)
+	est, res = hutch(M, batch=16, seed=3, full=True)
+	assert est.shape == (len(TS),) and isinstance(res.message, str)

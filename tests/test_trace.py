@@ -150,3 +150,13 @@ def test_xtrace_fused_round_matches_eager_path():
 		assert t2.shape == (0,)
 	for a, b in zip(state, state2):
 		assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hutchpp_reports_honest_matvec_count():
+	"""nit = 3*nb (sketch + exact term + deflated probes); the reference
+	reports 2*nb for the same three passes (`trace.py:180`) — not replicated."""
+	import primate_tpu as pt
+
+	A = np.asarray(pt.symmetric(30, pd=True, seed=0))
+	est, res = pt.hutchpp(A, m=9, seed=1, full=True)
+	assert res.nit == 27
