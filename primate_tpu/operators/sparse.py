@@ -525,6 +525,14 @@ class GramOperator(LinearOperator):
 			return _rmatmat(self.A, self.A.matmat(V))
 		return self.A.matmat(_rmatmat(self.A, V))
 
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		# Probe-major Gram apply through the data operator's native (k, ·)
+		# primitives: (AᵀA Vtᵀ)ᵀ = rmatmat_t(matmat_t(Vt)) — zero transposes
+		# for dense/DIA/sharded data operators.
+		if self.transpose_first:
+			return self.A.rmatmat_t(self.A.matmat_t(Vt))
+		return self.A.matmat_t(self.A.rmatmat_t(Vt))
+
 	def tree_flatten(self):
 		return (self.A,), self.transpose_first
 

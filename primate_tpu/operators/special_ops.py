@@ -296,6 +296,12 @@ class ScaledOperator(LinearOperator):
 		AV = self.A.matmat(V)
 		return (self.s * (AV + self.t * V)).astype(AV.dtype)
 
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		# Probe-major shift-and-scale: delegate to A's native (k, n) apply so
+		# normalized operators keep the zero-transpose Lanczos/Clenshaw path.
+		AV = self.A.matmat_t(Vt)
+		return (self.s * (AV + self.t * Vt)).astype(AV.dtype)
+
 	def tree_flatten(self):
 		return (self.A, self.t, self.s), (self.shape, self.dtype)
 
