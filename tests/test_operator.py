@@ -259,6 +259,9 @@ def test_matmat_t_parity_all_operator_kinds():
 	L = sps.diags([-np.ones(n - 1), 3 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
 	Vt = rng.normal(size=(5, n))
 
+	from primate_tpu.operators.special_ops import ScaledOperator
+
+	X_rect = rng.normal(size=(n + 13, n))  # rectangular data for the Gram modes
 	ops = {
 		"dense": (DenseOperator(jnp.asarray(Ad)), Ad),
 		"csr": (CSROperator.from_scipy(As, dtype=jnp.float64), As.toarray()),
@@ -267,6 +270,8 @@ def test_matmat_t_parity_all_operator_kinds():
 		"dia": (DIAOperator.from_scipy(L, dtype=jnp.float64), L.toarray()),
 		"affine": (AffineOperator(jnp.asarray(Ad), t=0.5), Ad + 0.5 * np.eye(n)),
 		"gram": (GramOperator(jnp.asarray(Ad)), Ad.T @ Ad),
+		"gram_ata": (GramOperator(jnp.asarray(X_rect), transpose_first=True), X_rect.T @ X_rect),
+		"scaled": (ScaledOperator(jnp.asarray(Ad), t=0.7, s=0.3), 0.3 * (Ad + 0.7 * np.eye(n))),
 	}
 	for name, (op, dense) in ops.items():
 		got = np.asarray(op.matmat_t(jnp.asarray(Vt)))
