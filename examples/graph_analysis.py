@@ -7,6 +7,20 @@ eigenvalue counts, and the density of states by both SLQ and KPM.
 Run: python examples/graph_analysis.py
 """
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))  # repo-checkout runs
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip() not in ("", "axon"):
+	# Honor an explicit JAX_PLATFORMS=cpu despite site hooks that re-register
+	# accelerator plugins and override the env var programmatically.
+	import jax as _jax
+
+	_jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"].strip())
+
 import numpy as np
 import scipy.sparse as sps
 
