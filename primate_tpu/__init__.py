@@ -36,7 +36,7 @@ from .estimators import (
 	ToleranceCriterion,
 	convergence_criterion,
 )
-from .integrate import quadrature
+from .integrate import lobatto_rule, quadrature, radau_rule
 from .kpm import ChebyshevFunction, kpm_density, kpm_trace
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
@@ -79,7 +79,9 @@ __all__ = [
 	"normalize_unit",
 	"nystrom_precond",
 	"operators",
+	"lobatto_rule",
 	"quadrature",
+	"radau_rule",
 	"random",
 	"OrthogonalPolynomialBasis",
 	"rayleigh_ritz",

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .fttr import fttr_weights
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
-__all__ = ["quadrature", "spectral_quad_form", "spectral_density"]
+__all__ = ["quadrature", "radau_rule", "lobatto_rule", "spectral_quad_form", "spectral_density"]
 
 
 def spectral_density(*args, **kwargs):
@@ -82,6 +82,85 @@ def _spectral_quad_form_jvp(fun, primals, tangents):
 	M = jnp.einsum("...ki,...kj->...ij", Y, dJY)
 	tangent = jnp.einsum("...i,...ij,...j->...", y0, L * M, y0)
 	return val, tangent
+
+
+def _solve_shifted(d: jnp.ndarray, e: jnp.ndarray, rhs_last: jnp.ndarray, shift) -> jnp.ndarray:
+	"""Solve ``(J(d, e) − shift·I) x = rhs_last · e_k`` batched; returns ``x_k``.
+
+	The Jacobi matrices are tiny (deg ≲ 100) and arrive in probe batches, so a
+	dense batched solve is the TPU-natural route (same reasoning as the
+	densify+eigh tridiagonal eigensolver in `tridiag.py`).
+	"""
+	from .tridiag import tridiag_matrix
+
+	J = tridiag_matrix(d, e)
+	k = d.shape[-1]
+	A = J - shift * jnp.eye(k, dtype=J.dtype)
+	rhs = jnp.zeros(d.shape[:-1] + (k, 1), J.dtype).at[..., -1, 0].set(rhs_last)
+	return jnp.linalg.solve(A, rhs)[..., -1, 0]
+
+
+def radau_rule(
+	d: jnp.ndarray, e: jnp.ndarray, beta_end: jnp.ndarray, x0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+	r"""Gauss–Radau rule with one node fixed at ``x0`` (Golub 1973).
+
+	Given the Jacobi matrix ``J_k(d, e)`` of a ``k``-step Lanczos sweep and the
+	*next* coupling ``beta_end = β_k`` (the final residual norm the sweep
+	already produces — `lanczos_block` returns it as ``betas[-1]``), the
+	(k+1)-point rule comes from the extended Jacobi matrix with modified corner
+
+		d̂_{k+1} = x0 + δ_k,   (J_k − x0·I) δ = β_k² e_k,
+
+	whose Gauss rule has a node *exactly* at ``x0`` (Golub & Meurant,
+	*Matrices, Moments and Quadrature*, §6.2). With ``x0`` outside the spectrum
+	the remaining nodes stay inside, and for integrands with sign-definite
+	derivatives the rule brackets the true integral from the side opposite to
+	the plain Gauss rule — see :func:`primate_tpu.recipes.trace_bounds`.
+
+	``d (..., k)``, ``e (..., k-1)``, ``beta_end (...,)`` batched; returns
+	``(nodes, weights)`` of shape ``(..., k+1)``. Jittable/differentiable.
+	"""
+	d, e, beta_end = jnp.asarray(d), jnp.asarray(e), jnp.asarray(beta_end)
+	x0 = jnp.asarray(x0, d.dtype)
+	delta_k = _solve_shifted(d, e, beta_end**2, x0)
+	d_ext = jnp.concatenate([d, (x0 + delta_k)[..., None]], axis=-1)
+	e_ext = jnp.concatenate([e, beta_end[..., None]], axis=-1)
+	theta, Y = eigh_tridiag(d_ext, e_ext)
+	return theta, Y[..., 0, :] ** 2
+
+
+def lobatto_rule(
+	d: jnp.ndarray, e: jnp.ndarray, beta_end: jnp.ndarray, x0, x1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+	r"""Gauss–Lobatto rule with nodes fixed at both ``x0 < x1`` (Golub 1973).
+
+	Extends ``J_k(d, e)`` by one row/column whose corner ``d̂_{k+1}`` and
+	coupling ``β̂_k`` solve the 2×2 system built from
+
+		(J_k − x0·I) δ = e_k,   (J_k − x1·I) μ = e_k,
+		d̂ = (x1·δ_k − x0·μ_k)/(δ_k − μ_k),   β̂² = (x1 − x0)/(δ_k − μ_k),
+
+	placing nodes exactly at both prescribed endpoints (Golub & Meurant §6.3).
+	``beta_end`` is accepted for signature symmetry with :func:`radau_rule`
+	but unused — the Lobatto coupling is *derived*, not measured. Batched like
+	:func:`radau_rule`; returns ``(nodes, weights)`` of shape ``(..., k+1)``.
+	"""
+	d, e = jnp.asarray(d), jnp.asarray(e)
+	del beta_end
+	x0 = jnp.asarray(x0, d.dtype)
+	x1 = jnp.asarray(x1, d.dtype)
+	ones = jnp.ones(d.shape[:-1], d.dtype)
+	delta_k = _solve_shifted(d, e, ones, x0)  # > 0 when x0 < λmin (J − x0·I PD)
+	mu_k = _solve_shifted(d, e, ones, x1)  # < 0 when x1 > λmax
+	denom = delta_k - mu_k
+	safe = jnp.where(denom == 0, 1.0, denom)
+	d_hat = (x1 * delta_k - x0 * mu_k) / safe
+	beta2 = (x1 - x0) / safe
+	d_ext = jnp.concatenate([d, d_hat[..., None]], axis=-1)
+	e_ext = jnp.concatenate([e, jnp.sqrt(jnp.maximum(beta2, 0.0))[..., None]], axis=-1)
+	theta, Y = eigh_tridiag(d_ext, e_ext)
+	return theta, Y[..., 0, :] ** 2
 
 
 def quadrature(

@@ -122,3 +122,55 @@ def test_ortho_poly_out_params():
 	z = np.zeros(6)
 	assert ortho_poly(0.3, 1.0, a, b, z, 6) is None
 	assert np.allclose(z, np.asarray(ortho_poly(0.3, 1.0, a, b)))
+
+
+def test_radau_rule_places_node_and_brackets():
+	"""Radau nodes land exactly at the prescribed endpoint; for log (bernstein
+	class) the radau-at-λmin rule bounds each probe's quadratic form from below
+	and plain Gauss from above (Golub-Meurant ch. 6-7)."""
+	from primate_tpu.integrate import radau_rule
+	from primate_tpu.lanczos import lanczos_block
+	import jax.numpy as jnp
+
+	rng = np.random.default_rng(42)
+	n, deg, nv = 48, 10, 12
+	ew = rng.uniform(0.5, 4.0, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=1), np.float64)
+	a0, b0 = 0.95 * ew.min(), 1.05 * ew.max()
+	V = rng.normal(size=(n, nv))
+	out = lanczos_block(lambda X: jnp.asarray(A) @ X, jnp.asarray(V), deg=deg, ncv=deg, orth=deg)
+	d, e, be = out.alphas.T, out.betas[: deg - 1].T, out.betas[deg - 1]
+
+	nodes, weights = radau_rule(d, e, be, a0)
+	assert nodes.shape == (nv, deg + 1) and weights.shape == (nv, deg + 1)
+	assert float(np.abs(np.asarray(nodes) - a0).min(axis=1).max()) < 1e-10
+	assert np.allclose(np.asarray(weights).sum(axis=1), 1.0, atol=1e-10)
+
+	lam, U = np.linalg.eigh(A)
+	truth = np.einsum("ij,ij->j", V, (U @ np.diag(np.log(lam)) @ U.T) @ V)
+	norm2 = (V**2).sum(axis=0)
+	lo_est = np.asarray(jnp.sum(jnp.log(nodes) * weights, axis=1)) * norm2
+	g_nodes, g_weights = pt.quadrature(d, e, deg=deg)
+	hi_est = np.asarray(jnp.sum(jnp.log(g_nodes) * g_weights, axis=1)) * norm2
+	assert np.all(lo_est <= truth + 1e-8)
+	assert np.all(hi_est >= truth - 1e-8)
+
+
+def test_lobatto_rule_places_both_nodes():
+	"""Lobatto fixes nodes at BOTH endpoints; weights stay a probability rule."""
+	from primate_tpu.integrate import lobatto_rule
+	from primate_tpu.lanczos import lanczos_block
+	import jax.numpy as jnp
+
+	rng = np.random.default_rng(7)
+	n, deg = 40, 8
+	ew = rng.uniform(1.0, 3.0, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=2), np.float64)
+	a0, b0 = 0.9 * ew.min(), 1.1 * ew.max()
+	V = rng.normal(size=(n, 6))
+	out = lanczos_block(lambda X: jnp.asarray(A) @ X, jnp.asarray(V), deg=deg, ncv=deg, orth=deg)
+	nodes, weights = lobatto_rule(out.alphas.T, out.betas[: deg - 1].T, out.betas[deg - 1], a0, b0)
+	assert float(np.abs(np.asarray(nodes) - a0).min(axis=1).max()) < 1e-9
+	assert float(np.abs(np.asarray(nodes) - b0).min(axis=1).max()) < 1e-9
+	assert np.allclose(np.asarray(weights).sum(axis=1), 1.0, atol=1e-10)
+	assert np.all(np.asarray(weights) >= -1e-12)

@@ -83,3 +83,46 @@ def test_trace_inv_cg_backend():
 	est_slq = recipes.trace_inv(A, deg=60, orth=-1, converge="count", count=256, seed=2)
 	# same probe stream, both solvers converged -> near-identical estimates
 	assert np.isclose(est_cg, est_slq, rtol=1e-6)
+
+
+def test_trace_bounds_brackets_logdet_quadrature():
+	"""trace_bounds: lower <= upper, both near truth, and the bracket holds the
+	exact probe-sample mean of v^T log(A) v (quadrature-bias control)."""
+	from primate_tpu.random import as_key, sample_isotropic
+	from primate_tpu.recipes import trace_bounds
+
+	rng = np.random.default_rng(3)
+	n, nv = 90, 48
+	ew = rng.uniform(0.5, 4.0, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=4), np.float64)
+	res = trace_bounds(A, "log", deg=12, nv=nv, seed=11, full=True)
+	assert res["lower"] <= res["upper"] + 1e-12
+	# The bracket holds the exact sample mean of the quadratic forms.
+	lam, U = np.linalg.eigh(A)
+	fA = U @ np.diag(np.log(lam)) @ U.T
+	V = np.asarray(sample_isotropic(as_key(11), (n, nv), pdf="rademacher", dtype=np.float64))
+	sample_mean = float(np.einsum("ij,ij->j", V, fA @ V).mean())
+	assert res["lower"] - 1e-8 <= sample_mean <= res["upper"] + 1e-8
+	# And the whole thing sits within MC error of the true logdet.
+	true = float(np.log(ew).sum())
+	assert abs(res["rules"]["gauss"] - true) < 5 * res["mc_stderr"] + 1e-6
+
+
+def test_trace_bounds_kind_inference_and_custom():
+	from primate_tpu.recipes import trace_bounds
+
+	rng = np.random.default_rng(5)
+	n = 60
+	ew = rng.uniform(0.4, 2.0, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=6), np.float64)
+	lo, hi = trace_bounds(A, "inv", deg=16, nv=32, seed=1)
+	assert lo <= hi
+	lo_e, hi_e = trace_bounds(A, "exp", deg=10, nv=32, seed=1)
+	assert lo_e <= hi_e
+	# Custom callables must state their derivative-sign class.
+	import pytest
+
+	with pytest.raises(ValueError, match="derivative-sign class"):
+		trace_bounds(A, lambda x: x**0.5, deg=8, nv=8, seed=0)
+	lo_s, hi_s = trace_bounds(A, "sqrt", deg=10, nv=32, seed=2)
+	assert lo_s <= hi_s
