@@ -126,3 +126,25 @@ def test_trace_bounds_kind_inference_and_custom():
 		trace_bounds(A, lambda x: x**0.5, deg=8, nv=8, seed=0)
 	lo_s, hi_s = trace_bounds(A, "sqrt", deg=10, nv=32, seed=2)
 	assert lo_s <= hi_s
+
+
+def test_trace_bounds_sharded_matches_single_device():
+	"""trace_bounds runs unchanged over sharded operators (same-seed equality)."""
+	import scipy.sparse as sps
+	from primate_tpu.operators.sparse import DIAOperator
+	from primate_tpu.parallel import make_mesh, shard_operator
+	from primate_tpu.recipes import trace_bounds
+
+	n = 512
+	L = sps.diags([-np.ones(n - 1), 3 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).todia()
+	dia = DIAOperator.from_scipy(L, engine="scipy")
+	lo, hi = trace_bounds(dia, "log", deg=14, nv=16, seed=0)
+	lam = 3 - 2 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+	assert lo <= hi
+	# Bracket sits within MC reach of the true logdet.
+	assert abs(0.5 * (lo + hi) - float(np.log(lam).sum())) < 25.0
+
+	mesh = make_mesh((8,), axis_names=("op",))
+	sharded = shard_operator(dia, mesh)
+	lo_s, hi_s = trace_bounds(sharded, "log", deg=14, nv=16, seed=0)
+	assert abs(lo - lo_s) < 1e-6 and abs(hi - hi_s) < 1e-6
