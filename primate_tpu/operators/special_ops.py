@@ -53,6 +53,8 @@ class MatrixFunction(LinearOperator):
 		two_pass: Union[bool, str] = "auto",
 		reorth_passes: int = 2,
 		basis_dtype=None,
+		quad_rule: str = "gauss",
+		interval: Optional[tuple] = None,
 		**kwargs,
 	):
 		assert is_linear_op(A) or isinstance(A, (jnp.ndarray, np.ndarray)), (
@@ -78,6 +80,18 @@ class MatrixFunction(LinearOperator):
 		# therefore switches to the two-pass matvec (full-precision y), and quad
 		# never reads the window at all.
 		self._basis_dtype = basis_dtype
+		# quad_rule selects the Gauss rule family used by .quad(): "gauss"
+		# (default), or the Golub-modified "radau_lo"/"radau_hi"/"lobatto" rules
+		# with node(s) pinned at `interval` endpoints — their quadrature error
+		# has a KNOWN SIGN for derivative-sign-definite f (Golub-Meurant), so
+		# hutch(MatrixFunction(A, "log", quad_rule="radau_lo", interval=(a, b)))
+		# is an SLQ estimator whose bias is provably one-sided (certified bound
+		# when combined with a CLT confidence side). See recipes.trace_bounds.
+		assert quad_rule in ("gauss", "radau_lo", "radau_hi", "lobatto"), f"Unknown quad_rule {quad_rule!r}"
+		if quad_rule != "gauss":
+			assert interval is not None, "radau/lobatto quad rules need interval=(a, b) endpoints outside the spectrum"
+		self._quad_rule = quad_rule
+		self._interval = None if interval is None else (float(interval[0]), float(interval[1]))
 
 	@property
 	def fun(self) -> Callable:
@@ -183,6 +197,7 @@ class MatrixFunction(LinearOperator):
 		X = X[:, None] if X.ndim == 1 else X
 		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
 		if isinstance(self._A, GramOperator):
+			assert self._quad_rule == "gauss", "radau/lobatto quad rules are not supported on the Gram (GKL) path yet"
 			# Gram spectra go through Golub-Kahan bidiagonalization of the
 			# DATA operator: same matvec budget (one A + one Aᵀ per step), but
 			# the recurrence conditions at κ(A) instead of κ(A)² — the squared
@@ -205,6 +220,21 @@ class MatrixFunction(LinearOperator):
 			return (vals * x_norm_sq).astype(self.dtype)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
 		out = self._lanczos(X, ncv=ncv, return_basis=False)  # quadrature needs only (α, β)
+		if self._quad_rule != "gauss":
+			from ..integrate import lobatto_rule, radau_rule
+
+			d = out.alphas.T  # (b, deg)
+			e = out.betas[: self._deg - 1].T
+			beta_end = out.betas[self._deg - 1]
+			a, b = self._interval
+			if self._quad_rule == "radau_lo":
+				nodes, weights = radau_rule(d, e, beta_end, a)
+			elif self._quad_rule == "radau_hi":
+				nodes, weights = radau_rule(d, e, beta_end, b)
+			else:
+				nodes, weights = lobatto_rule(d, e, beta_end, a, b)
+			vals = jnp.sum(self.fun(nodes) * weights, axis=-1)
+			return (vals * x_norm_sq).astype(self.dtype)
 		# Degeneracy-stable custom-JVP quadrature form: same primal as the
 		# Golub-Welsch rule, Daleckii–Krein derivative (no eigenvector grads).
 		vals = spectral_quad_form(out.alphas.T, out.betas[: self._deg - 1].T, self.fun)
@@ -213,12 +243,12 @@ class MatrixFunction(LinearOperator):
 	def tree_flatten(self):
 		return (self._A,), (
 			self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass,
-			self._reorth_passes, self._basis_dtype,
+			self._reorth_passes, self._basis_dtype, self._quad_rule, self._interval,
 		)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		fun, deg, orth, rtol, dtype, two_pass, reorth_passes, basis_dtype = aux
+		fun, deg, orth, rtol, dtype, two_pass, reorth_passes, basis_dtype, quad_rule, interval = aux
 		obj = object.__new__(cls)
 		obj._A = children[0]
 		obj.shape = obj._A.shape
@@ -228,6 +258,8 @@ class MatrixFunction(LinearOperator):
 		obj._two_pass = two_pass
 		obj._reorth_passes = reorth_passes
 		obj._basis_dtype = basis_dtype
+		obj._quad_rule = quad_rule
+		obj._interval = interval
 		return obj
 
 

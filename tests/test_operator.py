@@ -277,3 +277,43 @@ def test_matmat_t_parity_all_operator_kinds():
 		got = np.asarray(op.matmat_t(jnp.asarray(Vt)))
 		want = (dense @ Vt.T).T
 		assert np.allclose(got, want, atol=1e-8), f"{name}: matmat_t mismatch"
+
+
+def test_matrix_function_quad_rule_brackets():
+	"""MatrixFunction(quad_rule=...) pins Radau/Lobatto rules inside .quad():
+	for log, radau_lo/lobatto bound each probe's quadratic form below and
+	gauss/radau_hi above (Golub-Meurant signs) — so hutch over these operators
+	yields one-sided-bias SLQ estimates."""
+	rng = np.random.default_rng(2)
+	n = 70
+	ew = rng.uniform(0.5, 3.0, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=3), np.float64)
+	a, b = 0.95 * ew.min(), 1.05 * ew.max()
+	lam, U = np.linalg.eigh(A)
+	truth = None
+	V = rng.normal(size=(n, 6))
+	fA = U @ np.diag(np.log(lam)) @ U.T
+	truth = np.einsum("ij,ij->j", V, fA @ V)
+
+	kw = dict(deg=10, orth=10)
+	q = {
+		rule: np.asarray(
+			pt.MatrixFunction(A, "log", quad_rule=rule, interval=(a, b), **kw).quad(V)
+		)
+		for rule in ("radau_lo", "radau_hi", "lobatto")
+	}
+	q["gauss"] = np.asarray(pt.MatrixFunction(A, "log", **kw).quad(V))
+	assert np.all(q["radau_lo"] <= truth + 1e-8)
+	assert np.all(q["lobatto"] <= truth + 1e-8)
+	assert np.all(q["gauss"] >= truth - 1e-8)
+	assert np.all(q["radau_hi"] >= truth - 1e-8)
+	# Composes with hutch (same seed → per-probe ordering survives the mean).
+	h_lo = pt.hutch(pt.MatrixFunction(A, "log", quad_rule="radau_lo", interval=(a, b), **kw),
+		batch=16, converge="count", count=32, seed=7)
+	h_g = pt.hutch(pt.MatrixFunction(A, "log", **kw), batch=16, converge="count", count=32, seed=7)
+	assert h_lo <= h_g + 1e-9
+
+	import pytest
+
+	with pytest.raises(AssertionError, match="interval"):
+		pt.MatrixFunction(A, "log", quad_rule="radau_lo", **kw)
