@@ -63,13 +63,21 @@ def _carry_snapshot(c: _HutchCarry) -> EstSnapshot:
 
 
 @partial(jax.jit, static_argnames=("n", "batch", "pdf", "maxiter", "record", "dim"))
-def _hutch_fused(A, criterion, key, *, n: int, batch: int, pdf: str, maxiter: int, record: bool, dim: int = 1):
-	"""The fused adaptive Girard-Hutchinson program (see module docstring)."""
+def _hutch_fused(
+	A, criterion, key, init_cov=None, init_it=None, *, n: int, batch: int, pdf: str, maxiter: int, record: bool, dim: int = 1
+):
+	"""The fused adaptive Girard-Hutchinson program (see module docstring).
+
+	``init_cov``/``init_it`` resume the loop from a prior Welford state: the
+	probe stream is keyed by the batch index (``fold_in(key, it)``), so a
+	resumed run continues the SAME sample sequence a longer fresh run would
+	have drawn — checkpoint/resume is bitwise-faithful (SURVEY §5.4).
+	"""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
 	init = _HutchCarry(
-		it=jnp.zeros((), jnp.int32),
-		cov=make_cov_state(dim, acc),
+		it=jnp.zeros((), jnp.int32) if init_it is None else jnp.asarray(init_it, jnp.int32),
+		cov=make_cov_state(dim, acc) if init_cov is None else init_cov,
 		delta=jnp.full(dim, jnp.inf, acc),
 		values=jnp.full(maxiter * batch, jnp.nan, acc) if record else None,
 	)
@@ -109,6 +117,7 @@ def hutch(
 	full: bool = False,
 	callback: Optional[Callable] = None,
 	maxiter: int = 1024,
+	resume=None,
 	**kwargs,
 ) -> Union[float, tuple]:
 	r"""Estimate ``tr(A)`` for symmetric ``A`` via the Girard-Hutchinson estimator.
@@ -123,7 +132,17 @@ def hutch(
 	name/instance (default: 200 samples OR 95% CI within ±1.0), ``seed`` any
 	int / numpy Generator / JAX key, ``full`` to also return an
 	:class:`EstimatorResult`, ``callback`` invoked per batch, ``maxiter`` an
-	upper bound on batches (needed for the statically-shaped record buffer).
+	upper bound on TOTAL batches incl. resumed ones (needed for the
+	statically-shaped record buffer).
+
+	``resume`` continues a previous run exactly (SURVEY §5.4 checkpoint/resume):
+	pass the :class:`EstimatorResult` (or its estimator) from an earlier
+	``full=True`` call made with the SAME ``A``/``seed``/``batch``/``pdf`` — the
+	probe stream is keyed by batch index, so resuming to a larger budget yields
+	bit-identical estimates to one uninterrupted run. The Welford state is a
+	tiny pytree; persist it across processes with
+	:func:`primate_tpu.utils.checkpoint.save_pytree` on
+	``result.estimator._moments._state``.
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
@@ -162,9 +181,29 @@ def hutch(
 	if dim > 1 and record:
 		raise NotImplementedError("record=True (and knee criteria) require a scalar-valued quad; got a stacked one.")
 
+	init_cov = init_it = None
+	resume_est = None
+	if resume is not None:
+		if record:
+			raise NotImplementedError("resume does not carry a recorded-samples buffer; run with record=False.")
+		resume_est = resume.estimator if isinstance(resume, EstimatorResult) else resume
+		assert isinstance(resume_est, MeanEstimator), "resume expects an EstimatorResult or MeanEstimator"
+		st = resume_est._moments._state
+		assert isinstance(st, CovState), "resume needs a covariance-tracking estimator (hutch's full=True output)"
+		assert st.mu.shape[0] == dim, f"resume state dim {st.mu.shape[0]} != quad dim {dim}"
+		n_seen = int(st.n)
+		assert n_seen % int(batch) == 0, (
+			f"resume state has {n_seen} samples, not a multiple of batch={batch}; "
+			"resume with the batch size the original run used"
+		)
+		acc = jnp.promote_types(op.dtype, jnp.float32)
+		init_cov = CovState(n=jnp.asarray(st.n, jnp.int32), mu=jnp.asarray(st.mu, acc), S=jnp.asarray(st.S, acc))
+		init_it = n_seen // int(batch)
+
 	if callback is None and is_jittable_criterion(criterion):
 		carry = _hutch_fused(
-			op, criterion, key, n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record, dim=dim
+			op, criterion, key, init_cov, init_it,
+			n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record, dim=dim,
 		)
 		# ONE device→host transfer for the whole final carry: every later read
 		# is host numpy (each separate pull costs a full round trip, which
@@ -190,9 +229,15 @@ def hutch(
 
 	# Host-stepped path: jitted batch step + per-batch callback (also the
 	# fallback for user criteria that are not registered pytrees).
-	estimator = MeanEstimator(dim=dim, covariance=True, record=record)
+	# Copy the resumed state: updating the caller's estimator in place would
+	# corrupt a second resume from the same snapshot.
+	estimator = (
+		MeanEstimator.from_state(resume_est._moments._state, delta=resume_est.delta)
+		if resume_est is not None
+		else MeanEstimator(dim=dim, covariance=True, record=record)
+	)
 	result = EstimatorResult(estimator, criterion)
-	it = 0
+	it = 0 if init_it is None else int(init_it)
 	while not bool(criterion(estimator)) and it < maxiter:
 		samples = np.asarray(_hutch_step(op, key, it, n=N, batch=int(batch), pdf=pdf))
 		estimator.update(samples.reshape(dim, -1).T if samples.ndim > 1 else samples)

@@ -160,3 +160,38 @@ def test_hutchpp_reports_honest_matvec_count():
 	A = np.asarray(pt.symmetric(30, pd=True, seed=0))
 	est, res = pt.hutchpp(A, m=9, seed=1, full=True)
 	assert res.nit == 27
+
+
+def test_hutch_resume_bit_exact():
+	"""Resuming from a checkpointed Welford state continues the SAME probe
+	stream: split runs are bit-identical to one uninterrupted run (SURVEY §5.4)."""
+	A = pt.symmetric(80, pd=True, seed=0)
+	e_full, r_full = pt.hutch(A, batch=32, converge="count", count=1024, seed=9, full=True)
+	e_half, r_half = pt.hutch(A, batch=32, converge="count", count=512, seed=9, full=True)
+	e_res, r_res = pt.hutch(A, batch=32, converge="count", count=1024, seed=9, full=True, resume=r_half)
+	assert r_res.nit == r_full.nit == 1024
+	assert abs(e_full - e_res) < 1e-12
+
+	# Round-trip the state through the checkpoint file format.
+	import tempfile, os as _os
+	from primate_tpu.estimators import MeanEstimator
+	from primate_tpu.stats import CovState
+	from primate_tpu.utils.checkpoint import load_pytree, save_pytree
+
+	p = _os.path.join(tempfile.mkdtemp(), "ck")
+	save_pytree(p, r_half.estimator._moments._state)
+	est = MeanEstimator.from_state(CovState(*[np.asarray(x) for x in load_pytree(p)]))
+	e_res2 = pt.hutch(A, batch=32, converge="count", count=1024, seed=9, resume=est)
+	assert abs(e_full - e_res2) < 1e-12
+
+	# Host-stepped (callback) path resumes identically and does not mutate the
+	# caller's estimator (a second resume from the same snapshot stays valid).
+	n_before = r_half.estimator.n_samples
+	calls = []
+	e_res3 = pt.hutch(
+		A, batch=32, converge="count", count=1024, seed=9,
+		resume=r_half.estimator, callback=lambda r: calls.append(r.nit),
+	)
+	assert abs(e_full - e_res3) < 1e-12
+	assert r_half.estimator.n_samples == n_before
+	assert calls[0] == 544 and calls[-1] == 1024
