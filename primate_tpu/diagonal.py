@@ -51,13 +51,17 @@ def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
 
 
 @partial(jax.jit, static_argnames=("n", "pdf", "maxiter", "nout"))
-def _diag_fused(A, criterion, key, *, n: int, pdf: str, maxiter: int, nout: int = 1):
+def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter: int, nout: int = 1):
 	"""Fused ratio-normalized diagonal loop; ``nout > 1`` when the operator's
 	matvec is STACKED (e.g. a MatrixFunction with a `special.stacked` family —
-	diag(f_t(A)) for every t from ONE Lanczos sweep per probe)."""
+	diag(f_t(A)) for every t from ONE Lanczos sweep per probe).
+
+	``init_carry`` resumes from a prior run's final state: probes are keyed by
+	iteration index, so a resumed run continues the same sample stream
+	(bit-identical to one uninterrupted run — SURVEY §5.4)."""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
-	init = _DiagCarry(
+	init = init_carry if init_carry is not None else _DiagCarry(
 		it=jnp.zeros((), jnp.int32),
 		numer=jnp.zeros(nout * n, acc),
 		denom=jnp.zeros(n, acc),
@@ -96,6 +100,7 @@ def diag(
 	callback: Optional[Callable] = None,
 	record: bool = False,
 	maxiter: int = 4096,
+	resume=None,
 	**kwargs,
 ) -> Union[np.ndarray, tuple]:
 	r"""Estimate ``diag(A)`` via the ratio-normalized Girard-Hutchinson estimator.
@@ -104,6 +109,13 @@ def diag(
 	diagonal, with the denominator normalization removing the probe-magnitude
 	variance. Default stop: the dim-N tolerance criterion on the mean update.
 	Parity: reference `diagonal.py:11-92`.
+
+	``resume`` continues a previous run exactly (SURVEY §5.4): pass the
+	``result.info["state"]`` dict of an earlier ``full=True`` call made with the
+	SAME ``A``/``seed``/``pdf`` — probes are keyed by iteration index, so
+	resuming to a larger budget is bit-identical to one uninterrupted run. The
+	state is a small pytree of arrays; persist it with
+	:func:`primate_tpu.utils.checkpoint.save_pytree`.
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
@@ -134,11 +146,27 @@ def diag(
 
 	from .estimators import is_jittable_criterion
 
+	init_carry = None
+	if resume is not None:
+		st = resume.info["state"] if isinstance(resume, EstimatorResult) else resume
+		acc = jnp.promote_types(op.dtype, jnp.float32)
+		mean = MeanState(n=jnp.asarray(st["mean"].n, jnp.int32), mu=jnp.asarray(st["mean"].mu, acc))
+		assert mean.mu.shape[0] == nout * N, f"resume state dim {mean.mu.shape[0]} != {nout * N}"
+		init_carry = _DiagCarry(
+			it=jnp.asarray(st["mean"].n, jnp.int32),  # one probe per iteration
+			numer=jnp.asarray(st["numer"], acc),
+			denom=jnp.asarray(st["denom"], acc),
+			mean=mean,
+			delta=jnp.full(nout * N, jnp.inf, acc),
+			m2=jnp.asarray(st["m2"], acc),
+		)
+
 	if callback is None and not record and is_jittable_criterion(criterion):
-		carry = _diag_fused(op, criterion, key, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout)
+		carry = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout)
 		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
 		estimate = np.asarray(carry.mean.mu).reshape(stack_shape + (N,))
+		state = {"numer": np.asarray(carry.numer), "denom": np.asarray(carry.denom), "mean": carry.mean, "m2": np.asarray(carry.m2)}
 		if not full:
 			return estimate
 		result = EstimatorResult(
@@ -148,14 +176,24 @@ def diag(
 			message=getattr(criterion, "message", lambda e: "")(estimator),
 			nit=int(carry.mean.n),
 		)
+		result.info["state"] = state
 		return estimate, result
 
 	# Host-stepped path for callbacks / sample recording.
-	estimator = MeanEstimator(dim=nout * N, covariance=False, record=record)
+	if init_carry is not None:
+		# Copy the resumed mean (in-place updates must not corrupt the caller's
+		# snapshot); m2 is carried through untouched (the host path doesn't
+		# track it — only fused confidence checks read it).
+		estimator = MeanEstimator.from_state(MeanState(n=init_carry.mean.n, mu=init_carry.mean.mu))
+		numer, denom, m2_res = init_carry.numer, init_carry.denom, np.asarray(init_carry.m2)
+		it = int(init_carry.mean.n)
+	else:
+		estimator = MeanEstimator(dim=nout * N, covariance=False, record=record)
+		numer = jnp.zeros(nout * N)
+		denom = jnp.zeros(N)
+		m2_res = np.zeros(nout * N)
+		it = 0
 	result = EstimatorResult(estimator, criterion)
-	numer = jnp.zeros(nout * N)
-	denom = jnp.zeros(N)
-	it = 0
 	while not bool(criterion(estimator)) and it < maxiter:
 		v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=op.dtype)[:, 0]
 		u = op.matvec(v) if hasattr(op, "matvec") else op @ v
@@ -171,6 +209,12 @@ def diag(
 	result.estimate = estimate
 	result.nit = estimator.n_samples
 	result.message = getattr(criterion, "message", lambda e: "")(estimator)
+	result.info["state"] = {
+		"numer": np.asarray(numer),
+		"denom": np.asarray(denom),
+		"mean": estimator._moments._state,
+		"m2": m2_res,
+	}
 	return (estimate, result) if full else estimate
 
 

@@ -121,3 +121,19 @@ def test_diag_empty_operator_returns_array():
 
 	est = pt.diag(np.zeros((0, 0)))
 	assert isinstance(est, np.ndarray) and est.shape == (0,)
+
+
+def test_diag_resume_bit_exact():
+	"""diag resume: split runs ≡ one uninterrupted run (fused and host paths)."""
+	A = pt.symmetric(50, pd=True, seed=0)
+	d_full, r_full = pt.diag(A, converge="count", count=384, seed=4, full=True)
+	d_half, r_half = pt.diag(A, converge="count", count=192, seed=4, full=True)
+	d_res, r_res = pt.diag(A, converge="count", count=384, seed=4, full=True, resume=r_half)
+	assert r_res.nit == r_full.nit == 384
+	assert np.abs(d_full - d_res).max() < 1e-12
+	# Host-stepped (callback) resume of the same fused state; snapshot unmutated.
+	calls = []
+	d_res2 = pt.diag(A, converge="count", count=384, seed=4, resume=r_half, callback=lambda r: calls.append(r.nit))
+	assert np.abs(d_full - d_res2).max() < 1e-12
+	assert calls[0] == 193 and calls[-1] == 384
+	assert int(r_half.info["state"]["mean"].n) == 192
