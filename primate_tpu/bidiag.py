@@ -36,12 +36,16 @@ class BidiagOutput(NamedTuple):
 	betas:  (deg-1, nv) superdiagonal (β_1..β_{deg-1} ≥ 0).
 	U:      (deg, m, nv) left Lanczos vectors (``return_basis=True`` only).
 	V:      (deg, n, nv) right Lanczos vectors (``return_basis=True`` only).
+	residual: (nv,) the NEXT superdiagonal β_deg (``return_residual=True``
+	        only; one extra adjoint apply) — the coupling a Gauss-Radau
+	        extension of the BᵀB Jacobi matrix needs (its β_end = α_deg·β_deg).
 	"""
 
 	alphas: jnp.ndarray
 	betas: jnp.ndarray
 	U: Optional[jnp.ndarray] = None
 	V: Optional[jnp.ndarray] = None
+	residual: Optional[jnp.ndarray] = None
 
 
 def bidiag_jacobi(alphas: jnp.ndarray, betas: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -61,7 +65,7 @@ def bidiag_jacobi(alphas: jnp.ndarray, betas: jnp.ndarray) -> Tuple[jnp.ndarray,
 	return d, e
 
 
-@partial(jax.jit, static_argnames=("deg", "orth", "reorth_passes", "return_basis", "adjoint"))
+@partial(jax.jit, static_argnames=("deg", "orth", "reorth_passes", "return_basis", "adjoint", "return_residual"))
 def lanczos_bidiag_op(
 	op,
 	V0: jnp.ndarray,
@@ -71,6 +75,7 @@ def lanczos_bidiag_op(
 	reorth_passes: int = 2,
 	return_basis: bool = False,
 	adjoint: bool = False,
+	return_residual: bool = False,
 ) -> BidiagOutput:
 	"""`lanczos_bidiag` core with the operator as a PYTREE argument (see
 	`lanczos.lanczos_block_op` for why: the compiled sweep is keyed on the
@@ -87,7 +92,7 @@ def lanczos_bidiag_op(
 		rapp_t = lambda Ut: op.rmatmat_t(Ut)  # noqa: E731
 	return _bidiag_core(
 		app_t, rapp_t, V0, deg=deg, orth=orth, rtol=rtol,
-		reorth_passes=reorth_passes, return_basis=return_basis,
+		reorth_passes=reorth_passes, return_basis=return_basis, return_residual=return_residual,
 	)
 
 
@@ -109,6 +114,7 @@ def _bidiag_core(
 	rtol: float,
 	reorth_passes: int,
 	return_basis: bool,
+	return_residual: bool = False,
 ) -> BidiagOutput:
 	n, nv = V0.shape
 	dtype = V0.dtype
@@ -175,13 +181,28 @@ def _bidiag_core(
 		return (u_next, v_next, alpha_next, done | newly_done, U_win, V_win), (beta_out, alpha_out)
 
 	carry0 = (u1, v1, alpha1, jnp.zeros(nv, bool), U_win, V_win)
-	(_, _, _, _, U_fin, V_fin), (betas, alphas_rest) = lax.scan(step, carry0, jnp.arange(deg - 1))
+	(u_fin, v_fin, alpha_fin, done_fin, U_fin, V_fin), (betas, alphas_rest) = lax.scan(
+		step, carry0, jnp.arange(deg - 1)
+	)
 	alphas = jnp.concatenate([alpha1[None], alphas_rest], axis=0)  # (deg, nv)
+	residual = None
+	if return_residual:
+		# One extra half-step: β_deg = ‖Aᵀ u_deg − α_deg v_deg‖ — the coupling
+		# beyond the deg×deg factor, needed by Gauss-Radau extensions of the
+		# BᵀB Jacobi matrix (β_end = α_deg·β_deg). Exited probes emit 0 (their
+		# u is exactly 0 after the guarded divide, or they're masked by done).
+		r = rapp_t(u_fin.astype(dtype)).astype(acc) - alpha_fin[:, None] * v_fin
+		if orth > 0:
+			age = (deg - 1 - slot_ids) % ncv
+			valid = ((age < orth) & (age <= deg - 1)).astype(acc)
+			r = _masked_cgs(r, V_fin, valid, reorth_passes)
+		residual = jnp.where(done_fin, 0.0, jnp.sqrt(jnp.sum(r * r, axis=1)))
 	return BidiagOutput(
 		alphas=alphas,
 		betas=betas,
 		U=jnp.swapaxes(U_fin, 1, 2) if return_basis else None,  # (deg, m, nv)
 		V=jnp.swapaxes(V_fin, 1, 2) if return_basis else None,  # (deg, n, nv)
+		residual=residual,
 	)
 
 

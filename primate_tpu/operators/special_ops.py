@@ -134,6 +134,17 @@ class MatrixFunction(LinearOperator):
 			basis_dtype=self._basis_dtype,
 		)
 
+	def _modified_rule(self, d: jnp.ndarray, e: jnp.ndarray, beta_end: jnp.ndarray):
+		"""The configured Gauss-Radau/Lobatto rule on batched Jacobi (d, e)."""
+		from ..integrate import lobatto_rule, radau_rule
+
+		a, b = self._interval
+		if self._quad_rule == "radau_lo":
+			return radau_rule(d, e, beta_end, a)
+		if self._quad_rule == "radau_hi":
+			return radau_rule(d, e, beta_end, b)
+		return lobatto_rule(d, e, beta_end, a, b)
+
 	def _use_two_pass(self, nv: int) -> bool:
 		if isinstance(self._two_pass, bool):
 			return self._two_pass
@@ -197,7 +208,6 @@ class MatrixFunction(LinearOperator):
 		X = X[:, None] if X.ndim == 1 else X
 		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
 		if isinstance(self._A, GramOperator):
-			assert self._quad_rule == "gauss", "radau/lobatto quad rules are not supported on the Gram (GKL) path yet"
 			# Gram spectra go through Golub-Kahan bidiagonalization of the
 			# DATA operator: same matvec budget (one A + one Aᵀ per step), but
 			# the recurrence conditions at κ(A) instead of κ(A)² — the squared
@@ -211,28 +221,28 @@ class MatrixFunction(LinearOperator):
 			out = lanczos_bidiag_op(
 				self._A.A, X, deg=deg, orth=min(self._orth, deg), rtol=self._rtol,
 				reorth_passes=self._reorth_passes, adjoint=not self._A.transpose_first,
+				return_residual=self._quad_rule != "gauss",
 			)
 			d, e = bidiag_jacobi(out.alphas, out.betas)
 			# BᵀB is PSD by construction; eigh can still return −ε Ritz values
 			# on rank-deficient data, which would NaN sqrt/log-style functions.
 			fun = self.fun
+			if self._quad_rule != "gauss":
+				# Gauss-Radau/Lobatto on the BᵀB Jacobi: its next coupling is
+				# e_deg = α_deg·β_deg (one extra adjoint apply). interval is in
+				# σ² units; x0 = 0 is always a valid lower endpoint for PSD.
+				beta_end = out.alphas[deg - 1] * out.residual
+				nodes, weights = self._modified_rule(d.T, e.T, beta_end)
+				vals = jnp.sum(fun(jnp.maximum(nodes, 0.0)) * weights, axis=-1)
+				return (vals * x_norm_sq).astype(self.dtype)
 			vals = spectral_quad_form(d.T, e.T, lambda x: fun(jnp.maximum(x, 0.0)))
 			return (vals * x_norm_sq).astype(self.dtype)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
 		out = self._lanczos(X, ncv=ncv, return_basis=False)  # quadrature needs only (α, β)
 		if self._quad_rule != "gauss":
-			from ..integrate import lobatto_rule, radau_rule
-
-			d = out.alphas.T  # (b, deg)
-			e = out.betas[: self._deg - 1].T
-			beta_end = out.betas[self._deg - 1]
-			a, b = self._interval
-			if self._quad_rule == "radau_lo":
-				nodes, weights = radau_rule(d, e, beta_end, a)
-			elif self._quad_rule == "radau_hi":
-				nodes, weights = radau_rule(d, e, beta_end, b)
-			else:
-				nodes, weights = lobatto_rule(d, e, beta_end, a, b)
+			nodes, weights = self._modified_rule(
+				out.alphas.T, out.betas[: self._deg - 1].T, out.betas[self._deg - 1]
+			)
 			vals = jnp.sum(self.fun(nodes) * weights, axis=-1)
 			return (vals * x_norm_sq).astype(self.dtype)
 		# Degeneracy-stable custom-JVP quadrature form: same primal as the

@@ -205,10 +205,26 @@ def trace_bounds(
 
 	key = as_key(seed)
 	V = sample_isotropic(key, (n, int(nv)), pdf=pdf, dtype=op.dtype)
-	out = lanczos_block_op(op, V, deg=deg, ncv=max(2, min(max(orth, 2), deg)), orth=orth, return_basis=False)
-	d = out.alphas.T  # (nv, deg)
-	e = out.betas[: deg - 1].T  # (nv, deg-1)
-	beta_end = out.betas[deg - 1]  # (nv,) — the final residual, couples the Radau extension
+	from .operators.sparse import GramOperator
+
+	if isinstance(op, GramOperator):
+		# Gram spectra: Golub-Kahan on the DATA operator (κ(A) conditioning,
+		# same matvec budget — matching MatrixFunction.quad's dispatch). The
+		# Radau coupling of the BᵀB Jacobi is α_deg·β_deg (one extra adjoint).
+		from .bidiag import bidiag_jacobi, lanczos_bidiag_op
+
+		deg = int(min(deg, min(op.A.shape)))
+		out = lanczos_bidiag_op(
+			op.A, V, deg=deg, orth=min(orth, deg), adjoint=not op.transpose_first, return_residual=True
+		)
+		dj, ej = bidiag_jacobi(out.alphas, out.betas)
+		d, e = dj.T, ej.T
+		beta_end = out.alphas[deg - 1] * out.residual
+	else:
+		out = lanczos_block_op(op, V, deg=deg, ncv=max(2, min(max(orth, 2), deg)), orth=orth, return_basis=False)
+		d = out.alphas.T  # (nv, deg)
+		e = out.betas[: deg - 1].T  # (nv, deg-1)
+		beta_end = out.betas[deg - 1]  # (nv,) — the final residual, couples the Radau extension
 
 	acc = jnp.promote_types(op.dtype, jnp.float32)
 	norm2 = jnp.sum(jnp.asarray(V, acc) ** 2, axis=0)  # (nv,)

@@ -158,3 +158,43 @@ def test_factorization_survives_alpha_breakdown():
 	U = np.asarray(out.U)[:, :, 0]
 	V = np.asarray(out.V)[:, :, 0]
 	assert np.max(np.abs(A @ V.T - U.T @ B)) < 1e-8
+
+
+def test_bidiag_residual_matches_dense_recurrence():
+	"""return_residual: β_deg from one extra adjoint apply equals the dense GKL."""
+	import jax.numpy as jnp
+	from primate_tpu.bidiag import lanczos_bidiag_op
+	from primate_tpu.operators import aslinop
+
+	rng = np.random.default_rng(0)
+	m, n, deg = 40, 25, 7
+	X = rng.normal(size=(m, n)) + 3 * np.eye(m, n)
+	V = rng.normal(size=(n, 4))
+	out = lanczos_bidiag_op(aslinop(jnp.asarray(X)), jnp.asarray(V), deg=deg, orth=deg, return_residual=True)
+	for j in range(4):
+		v = V[:, j] / np.linalg.norm(V[:, j])
+		Vb, Ub, al, be = [v], [], [], []
+		p = X @ v
+		a = np.linalg.norm(p)
+		u = p / a
+		Ub.append(u)
+		al.append(a)
+		for _ in range(deg - 1):
+			r = X.T @ u - a * v
+			for vv in Vb:
+				r -= (r @ vv) * vv
+			b = np.linalg.norm(r)
+			v = r / b
+			Vb.append(v)
+			be.append(b)
+			p = X @ v - b * u
+			for uu in Ub:
+				p -= (p @ uu) * uu
+			a = np.linalg.norm(p)
+			u = p / a
+			Ub.append(u)
+			al.append(a)
+		r = X.T @ u - a * v
+		for vv in Vb:
+			r -= (r @ vv) * vv
+		assert abs(float(out.residual[j]) - np.linalg.norm(r)) < 1e-8

@@ -317,3 +317,24 @@ def test_matrix_function_quad_rule_brackets():
 
 	with pytest.raises(AssertionError, match="interval"):
 		pt.MatrixFunction(A, "log", quad_rule="radau_lo", **kw)
+
+
+def test_matrix_function_quad_rule_gram_brackets():
+	"""quad_rule works on the Gram (GKL) path: signed-bias rules for f(AᵀA)."""
+	from primate_tpu.operators.sparse import GramOperator
+
+	rng = np.random.default_rng(1)
+	X = rng.normal(size=(45, 28)) + 3 * np.eye(45, 28)
+	G = GramOperator(jnp.asarray(X))
+	lam, Q = np.linalg.eigh(X.T @ X)
+	flog = (Q * np.log(lam)) @ Q.T
+	V = rng.normal(size=(28, 5))
+	truth = np.einsum("ij,ij->j", V, flog @ V)
+	a0, b0 = 0.9 * lam.min(), 1.1 * lam.max()
+	kw = dict(deg=10, orth=10)
+	qg = np.asarray(pt.MatrixFunction(G, "log", **kw).quad(jnp.asarray(V)))
+	ql = np.asarray(pt.MatrixFunction(G, "log", quad_rule="radau_lo", interval=(a0, b0), **kw).quad(jnp.asarray(V)))
+	qh = np.asarray(pt.MatrixFunction(G, "log", quad_rule="radau_hi", interval=(a0, b0), **kw).quad(jnp.asarray(V)))
+	assert np.all(ql <= truth + 1e-8)
+	assert np.all(qg >= truth - 1e-8)
+	assert np.all(qh >= truth - 1e-8)

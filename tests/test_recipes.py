@@ -148,3 +148,23 @@ def test_trace_bounds_sharded_matches_single_device():
 	sharded = shard_operator(dia, mesh)
 	lo_s, hi_s = trace_bounds(sharded, "log", deg=14, nv=16, seed=0)
 	assert abs(lo - lo_s) < 1e-6 and abs(hi - hi_s) < 1e-6
+
+
+def test_trace_bounds_gram_path():
+	"""trace_bounds on a GramOperator routes through GKL (+ the extra adjoint
+	apply for the Radau coupling) and still brackets the probe-sample mean."""
+	import jax.numpy as jnp
+	from primate_tpu.operators.sparse import GramOperator
+	from primate_tpu.random import as_key, sample_isotropic
+	from primate_tpu.recipes import trace_bounds
+
+	rng = np.random.default_rng(0)
+	X = rng.normal(size=(90, 60)) + 2 * np.eye(90, 60)
+	G = GramOperator(jnp.asarray(X))
+	res = trace_bounds(G, "log", deg=14, nv=32, seed=2, full=True)
+	assert res["lower"] <= res["upper"]
+	lam, Q = np.linalg.eigh(X.T @ X)
+	flog = (Q * np.log(lam)) @ Q.T
+	V = np.asarray(sample_isotropic(as_key(2), (60, 32), pdf="rademacher", dtype=np.float64))
+	sm = float(np.einsum("ij,ij->j", V, flog @ V).mean())
+	assert res["lower"] - 1e-8 <= sm <= res["upper"] + 1e-8
