@@ -479,23 +479,15 @@ _xtrace_round = partial(jax.jit, static_argnames=("ns", "pdf", "with_estimates")
 
 
 @partial(jax.jit, static_argnames=("schedule", "pdf"))
-def _xtrace_chain(op, key, sphere_flag, *, schedule: tuple, pdf: str):
+def _xtrace_chain(op, key, sphere_flag, state, it0, *, schedule: tuple, pdf: str):
 	"""ALL growth rounds of a predetermined (count-only) schedule as ONE
 	program: a single dispatch and a single device→host sync, vs one jitted
 	program per round (each dispatch costs a round trip on remote-attached
-	accelerators — measured ~14 ms/round over the TPU tunnel)."""
-	n = op.shape[0]
-	acc = op.dtype
-	state = (
-		jnp.zeros((n, 0), acc),
-		jnp.zeros((n, 0), acc),
-		jnp.zeros((n, 0), acc),
-		jnp.zeros((0, 0), acc),
-		jnp.zeros((0, 0), acc),
-	)
-	for it, ns in enumerate(schedule):
-		state, _ = _xtrace_round_impl(op, *state, key, it, sphere_flag, ns=ns, pdf=pdf, with_estimates=False)
-	return _xtrace_estimates(*state, sphere_flag)
+	accelerators — measured ~14 ms/round over the TPU tunnel). ``state``/``it0``
+	continue a prior run (probe rounds are keyed by iteration index)."""
+	for i, ns in enumerate(schedule):
+		state, _ = _xtrace_round_impl(op, *state, key, it0 + i, sphere_flag, ns=ns, pdf=pdf, with_estimates=False)
+	return state, _xtrace_estimates(*state, sphere_flag)
 
 
 def xtrace(
@@ -506,6 +498,7 @@ def xtrace(
 	seed=None,
 	full: bool = False,
 	callback: Optional[Callable] = None,
+	resume=None,
 	**kwargs,
 ) -> Union[float, tuple]:
 	"""XTrace: exchangeable leave-one-out trace estimator (Epperly et al.).
@@ -514,6 +507,14 @@ def xtrace(
 	recomputes the m leave-one-out estimates each round; exact (to rounding)
 	once m == n. Default stop: m == n samples; a user criterion ORs with that
 	bound. Parity: reference `trace.py:233-315`.
+
+	``resume`` continues a previous run exactly (SURVEY §5.4): pass the
+	``result.info["state"]`` dict of an earlier ``full=True`` call made with
+	the SAME ``A``/``seed``/``batch``/``pdf`` — probe rounds are keyed by
+	iteration index and the leave-one-out estimates are recomputed wholesale
+	from the grown subspace, so resuming to a larger budget is bit-identical to
+	one uninterrupted run. NOTE: the state holds the (n × m) test subspace —
+	persisting it costs O(n·m) storage.
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
@@ -548,13 +549,20 @@ def xtrace(
 	# compile for every distinct (m, ns) a growth schedule visits.
 	fused_rounds = jax.default_backend() != "cpu"
 	acc = op.dtype
-	state = (
-		jnp.zeros((n, 0), acc),  # W
-		jnp.zeros((n, 0), acc),  # Z
-		jnp.zeros((n, 0), acc),  # Q
-		jnp.zeros((0, 0), acc),  # R
-		jnp.zeros((0, 0), acc),  # R_inv
-	)
+	it0 = 0
+	if resume is not None:
+		st = resume.info["state"] if isinstance(resume, EstimatorResult) else resume
+		state = tuple(jnp.asarray(st[k], acc) for k in ("W", "Z", "Q", "R", "R_inv"))
+		assert state[0].shape[0] == n, f"resume state has {state[0].shape[0]} rows, operator has {n}"
+		it0 = int(st["it"])
+	else:
+		state = (
+			jnp.zeros((n, 0), acc),  # W
+			jnp.zeros((n, 0), acc),  # Z
+			jnp.zeros((n, 0), acc),  # Q
+			jnp.zeros((0, 0), acc),  # R
+			jnp.zeros((0, 0), acc),  # R_inv
+		)
 	# Same round body either way (_xtrace_round_impl is the single source of
 	# truth); accelerators jit it per (m, ns) shape, CPU runs it eagerly.
 	round_fn = _xtrace_round if fused_rounds else _xtrace_round_impl
@@ -573,7 +581,7 @@ def xtrace(
 		# accelerators).
 		target = min(int(target), n)
 		schedule = []
-		m_cur = 0
+		m_cur = int(state[0].shape[1])
 		while m_cur < target:
 			ns = min(n - m_cur, int(batch))
 			if ns <= 0:
@@ -583,16 +591,19 @@ def xtrace(
 		if fused_rounds:
 			# One program for the whole predetermined schedule: single
 			# dispatch, single sync.
-			t_samples = _xtrace_chain(op, key, sphere_flag, schedule=tuple(schedule), pdf=pdf)
+			state, t_samples = _xtrace_chain(
+				op, key, sphere_flag, state, jnp.asarray(it0, jnp.int32), schedule=tuple(schedule), pdf=pdf
+			)
 		else:
-			for it, ns in enumerate(schedule):
-				state, _ = step(state, it, ns, False)
+			for i, ns in enumerate(schedule):
+				state, _ = step(state, it0 + i, ns, False)
 			t_samples = _xtrace_estimates(*state[:5], sphere_flag)
+		it0 += len(schedule)
 		estimator.update(t_samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
 	else:
-		it = 0
+		it = it0
 		while not bool(criterion(estimator)):
 			m_cur = state[0].shape[1]
 			ns = min(n - m_cur, int(batch))
@@ -606,8 +617,19 @@ def xtrace(
 			if user_callback is not None:
 				user_callback(result)
 			it += 1
+		it0 = it
+		if estimator.n_samples == 0 and int(state[0].shape[1]) > 0:
+			# Resumed at (or past) the stop: recompute the leave-one-out
+			# estimates from the grown subspace once (they are wholesale
+			# functions of the state, never incremental).
+			estimator.update(_xtrace_estimates(*state[:5], sphere_flag))
+			result.estimate = estimator.estimate
+			result.nit = estimator.n_samples
 
 	result.estimator = estimator
 	result.estimate = estimator.estimate
 	result.criterion = criterion
+	result.info["state"] = {
+		"W": state[0], "Z": state[1], "Q": state[2], "R": state[3], "R_inv": state[4], "it": it0,
+	}
 	return (result.estimate, result) if full else result.estimate

@@ -195,3 +195,20 @@ def test_hutch_resume_bit_exact():
 	assert abs(e_full - e_res3) < 1e-12
 	assert r_half.estimator.n_samples == n_before
 	assert calls[0] == 544 and calls[-1] == 1024
+
+
+def test_xtrace_resume_bit_exact():
+	"""xtrace resume: the grown subspace + round index continue the same probe
+	stream — split runs ≡ one uninterrupted run, and resuming to the default
+	m == n stop reaches exactness."""
+	A = pt.symmetric(48, pd=True, seed=0)
+	tr = float(np.trace(np.asarray(A)))
+	e_full, r_full = pt.xtrace(A, batch=12, converge="count", count=48, seed=3, full=True)
+	e_half, r_half = pt.xtrace(A, batch=12, converge="count", count=24, seed=3, full=True)
+	e_res, r_res = pt.xtrace(A, batch=12, converge="count", count=48, seed=3, full=True, resume=r_half)
+	assert r_res.nit == r_full.nit == 48
+	assert abs(e_full - e_res) < 1e-9
+	assert abs(e_res - tr) < 1e-6  # m == n exactness via the resumed path
+	# Resuming at the stop recomputes (wholesale) instead of returning NaN.
+	e_same, _ = pt.xtrace(A, batch=12, converge="count", count=48, seed=3, full=True, resume=r_res)
+	assert abs(e_same - e_full) < 1e-9
