@@ -280,6 +280,8 @@ def hutchpp(
 	pdf: Union[str, Callable] = "rademacher",
 	seed=None,
 	full: bool = False,
+	converge: Union[str, ConvergenceCriterion, None] = None,
+	**kwargs,
 ) -> Union[float, tuple]:
 	"""Hutch++ trace estimator: rank-``nb`` deflation + residual Hutchinson.
 
@@ -289,6 +291,16 @@ def hutchpp(
 	and reports "2·nb" while performing the same three passes — an undercount
 	consciously not replicated, and ``nit`` here is the honest 3·nb). O(1/m)
 	error vs Hutchinson's O(1/√m) on PSD matrices. One fused device program.
+
+	**Adaptive mode** (beyond reference — the reference's hutchpp is strictly
+	non-adaptive): pass ``converge`` (+criterion kwargs) to replace the fixed
+	``nb`` deflated probes with the full adaptive :func:`hutch` machinery on the
+	projected remainder ``P A P`` (``P = I − QQᵀ``, a
+	:class:`~primate_tpu.operators.DeflatedOperator`): the residual loop stops
+	on-device exactly when the criterion is met — the A-Hutch++ pattern of
+	spending the variable budget where the variance actually is. ``full=True``
+	returns the residual loop's EstimatorResult with the estimate shifted by the
+	exact sketch term (``result.info['sketch_trace']``).
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
@@ -297,6 +309,27 @@ def hutchpp(
 		return 0.0 if not full else (0.0, EstimatorResult())
 	nb = (N // 3) if m is None else int(m)
 	nb = max(3, nb + (-nb) % 3)  # round UP to a multiple of 3; ≥3 so tiny N can't divide by zero
+	if converge is not None:
+		from .operators import DeflatedOperator
+
+		key = as_key(seed)
+		k1, k2 = jax.random.split(key)
+		W = sample_isotropic(k1, (N, nb), pdf=pdf, dtype=op.dtype)
+		Y = op.matmat(W) if hasattr(op, "matmat") else op @ W
+		acc = jnp.promote_types(op.dtype, jnp.float32)
+		Q, _ = jnp.linalg.qr(Y.astype(acc), mode="reduced")
+		Q = Q.astype(op.dtype)
+		AQ = op.matmat(Q) if hasattr(op, "matmat") else op @ Q
+		sketch_trace = float(jnp.einsum("ij,ij->", AQ.astype(acc), Q.astype(acc)))
+		defl = DeflatedOperator(op, Q, fill=0.0)
+		rest = hutch(defl, batch=batch, pdf=pdf, converge=converge, seed=k2, full=full, **kwargs)
+		if not full:
+			return sketch_trace + rest
+		rest_est, result = rest
+		result.estimate = sketch_trace + rest_est
+		result.info["sketch_trace"] = sketch_trace
+		result.info["sketch_rank"] = nb
+		return result.estimate, result
 	est, rng_ests, defl_ests = _hutchpp_program(op, as_key(seed), n=N, nb=nb, pdf=pdf, mode=mode)
 	est = float(est)
 	if not full:

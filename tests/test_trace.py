@@ -212,3 +212,23 @@ def test_xtrace_resume_bit_exact():
 	# Resuming at the stop recomputes (wholesale) instead of returning NaN.
 	e_same, _ = pt.xtrace(A, batch=12, converge="count", count=48, seed=3, full=True, resume=r_res)
 	assert abs(e_same - e_full) < 1e-9
+
+
+def test_hutchpp_adaptive_mode():
+	"""hutchpp(converge=...) deflates with a sketch then runs the adaptive hutch
+	machinery on the projected remainder — big win over plain hutch on spiky
+	spectra at the same sample count."""
+	rng = np.random.default_rng(0)
+	n = 150
+	ew = np.concatenate([np.array([80.0, 50.0, 30.0]), rng.uniform(0.1, 1.0, n - 3)])
+	A = pt.symmetric(n, pd=True, ew=ew, seed=1)
+	tr = float(ew.sum())
+	est, res = pt.hutchpp(A, m=18, converge="confidence", atol=0.5, seed=2, full=True)
+	assert abs(est - tr) < 3.0
+	assert "sketch_trace" in res.info and res.info["sketch_rank"] == 18
+	# Deflation beats plain Hutchinson at the same residual sample count.
+	e_plain = pt.hutch(A, batch=32, converge="count", count=max(res.nit, 32), seed=2)
+	assert abs(est - tr) < abs(float(e_plain) - tr)
+	# Non-adaptive path is unchanged by the new kwarg.
+	e0 = pt.hutchpp(A, m=18, seed=2)
+	assert abs(e0 - tr) < 6.0
