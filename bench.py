@@ -70,10 +70,40 @@ def baseline_slq_logdet(A: sps.csr_matrix, deg: int, orth: int, probes: int, see
 	return est, time.perf_counter() - t0
 
 
+def _tpu_reachable(timeout_s: float = 180.0) -> bool:
+	"""Probe TPU availability in a SUBPROCESS with a hard timeout.
+
+	The TPU is attached over a network tunnel; when the tunnel is down, backend
+	initialization blocks indefinitely inside the plugin — it must be probed in
+	a killable child, and the platform decision made BEFORE this process
+	touches jax. On failure the benchmark falls back to CPU: both sides of the
+	ratio run on the same hardware, so vs_baseline stays apples-to-apples.
+	"""
+	import subprocess
+	import sys
+
+	try:
+		r = subprocess.run(
+			[sys.executable, "-c", "import jax; assert any(d.platform == 'tpu' for d in jax.devices())"],
+			timeout=timeout_s,
+			capture_output=True,
+		)
+		return r.returncode == 0
+	except subprocess.TimeoutExpired:
+		return False
+
+
 def main() -> None:
 	import os
 
+	tpu_ok = _tpu_reachable()
+
 	import jax
+
+	if not tpu_ok:
+		# Pin through jax.config BEFORE backend init (env alone is overridden
+		# by site hooks that force-register the accelerator plugin).
+		jax.config.update("jax_platforms", "cpu")
 
 	# Persistent compilation cache: the fused-estimator program compiles once
 	# per machine instead of once per process — over the remote TPU tunnel a
@@ -140,6 +170,7 @@ def main() -> None:
 				"value": round(ours, 5),
 				"unit": "s",
 				"vs_baseline": round(base_time / ours, 2),
+				"platform": jax.devices()[0].platform,
 			}
 		)
 	)
