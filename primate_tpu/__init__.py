@@ -39,7 +39,7 @@ from .estimators import (
 from .integrate import lobatto_rule, quadrature, radau_rule
 from .kpm import ChebyshevFunction, kpm_density, kpm_trace
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
-from .operators import MatrixFunction, Toeplitz, matrix_function, normalize_unit
+from .operators import MatrixFunction, Toeplitz, auto_operator, matrix_function, normalize_unit
 from .random import haar, isotropic, symmetric
 from .solvers import NystromPreconditioner, cg, nystrom_precond, solve
 from .special import param_callable, stacked
@@ -59,6 +59,7 @@ __all__ = [
 	"NystromPreconditioner",
 	"ToleranceCriterion",
 	"Toeplitz",
+	"auto_operator",
 	"cg",
 	"convergence_criterion",
 	"diag",

@@ -16,6 +16,7 @@ from .base import (
 	matmat,
 	quad_form,
 )
+from .prepare import PrepInfo, auto_operator, bandwidth, reorder_rcm
 from .sparse import BSROperator, COOOperator, CSROperator, DIAOperator, GramOperator
 from .special_ops import MatrixFunction, ScaledOperator, Toeplitz, matrix_function, normalize_unit
 
@@ -31,13 +32,17 @@ __all__ = [
 	"GramOperator",
 	"LinearOperator",
 	"MatrixFunction",
+	"PrepInfo",
 	"ScaledOperator",
 	"Toeplitz",
 	"aslinop",
+	"auto_operator",
+	"bandwidth",
 	"is_linear_op",
 	"is_valid_operator",
 	"matmat",
 	"matrix_function",
 	"normalize_unit",
 	"quad_form",
+	"reorder_rcm",
 ]

@@ -1,0 +1,203 @@
+"""Operator preparation: bandwidth-reducing reordering + storage-format choice.
+
+The reference hands whatever scipy matrix the user built straight to Eigen
+(``src/primate/include/eigen_operators.h:58-104``) — on CPU, CSR gather cost is
+roughly format-independent. On TPU the format IS the performance model:
+
+  * DIA stencils stream with zero gathers (speed-of-light for banded),
+  * BSR feeds the MXU when the pattern is genuinely block-structured,
+  * CSR/ELL pays a lane gather per nonzero — the slow path.
+
+Many matrices are banded *in the right ordering* (mesh/graph Laplacians under
+reverse-Cuthill-McKee), and the estimators this library exists for — trace,
+logdet, spectral sums, densities — are **similarity-invariant**: for any
+permutation P, ``tr f(P A Pᵀ) = tr f(A)``. So reordering is free accuracy-wise
+and can be 10×+ in throughput. ``auto_operator`` packages the decision:
+measure, reorder if it helps, pick the format, and report what it did.
+
+Diagonal estimates are *not* invariant — they come back in the permuted basis.
+``PrepInfo.perm`` is the row map (``B = A[perm][:, perm]``), so
+``diag_A[perm] = diag_B`` recovers the original ordering (``PrepInfo.unpermute``
+does this).
+"""
+
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from .base import DenseOperator, LinearOperator
+from .sparse import BSROperator, CSROperator, DIAOperator
+
+__all__ = ["PrepInfo", "auto_operator", "bandwidth", "reorder_rcm"]
+
+
+class PrepInfo(NamedTuple):
+	"""What ``auto_operator`` decided and why.
+
+	Attributes:
+		format: chosen storage — "dense" | "dia" | "bsr" | "csr".
+		perm: row/column permutation applied (``B = A[perm][:, perm]``), or
+			None when the natural ordering was kept. Spectral sums are
+			unaffected; per-coordinate outputs (diag, matvec) live in the
+			permuted basis.
+		bandwidth: max |i − j| over stored nonzeros, in the chosen ordering.
+		fill: stored-values / logical-nnz ratio of the chosen format
+			(1.0 = no padding; DIA/BSR trade fill for gather-free applies).
+	"""
+
+	format: str
+	perm: Optional[np.ndarray]
+	bandwidth: int
+	fill: float
+
+	def unpermute(self, x: np.ndarray, axis: int = 0) -> np.ndarray:
+		"""Map a per-coordinate result (diag, matvec output) back to the
+		original ordering: ``out[perm] = x`` along ``axis``."""
+		x = np.asarray(x)
+		if self.perm is None:
+			return x
+		out = np.empty_like(x)
+		idx = [slice(None)] * x.ndim
+		idx[axis] = self.perm
+		out[tuple(idx)] = x
+		return out
+
+	def permute(self, x: np.ndarray, axis: int = 0) -> np.ndarray:
+		"""Map original-basis coordinates into the operator's basis
+		(``x[perm]`` along ``axis``) — e.g. an initial vector ``v0``."""
+		x = np.asarray(x)
+		if self.perm is None:
+			return x
+		idx = [slice(None)] * x.ndim
+		idx[axis] = self.perm
+		return x[tuple(idx)]
+
+
+def _csr_offsets(A) -> Tuple[np.ndarray, np.ndarray]:
+	"""Unique diagonal offsets (j − i) of a CSR matrix + per-nnz offsets."""
+	n = A.shape[0]
+	rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+	offs = A.indices.astype(np.int64) - rows
+	return np.unique(offs), offs
+
+
+def bandwidth(A) -> int:
+	"""Max ``|i − j|`` over nonzeros (0 for diagonal/empty matrices)."""
+	import scipy.sparse as sps
+
+	A = sps.csr_matrix(A) if not sps.issparse(A) else A.tocsr()
+	if A.nnz == 0:
+		return 0
+	uniq, _ = _csr_offsets(A)
+	return int(np.abs(uniq).max())
+
+
+def reorder_rcm(A) -> Tuple["object", np.ndarray]:
+	"""Reverse-Cuthill-McKee reordering of a square sparse matrix.
+
+	Returns ``(A[perm][:, perm] as CSR, perm)``. The permutation is computed
+	on the symmetrized structure, so unsymmetric inputs are handled (the
+	reordered matrix keeps their values).
+	"""
+	import scipy.sparse as sps
+	from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+	A = sps.csr_matrix(A) if not sps.issparse(A) else A.tocsr()
+	if A.shape[0] != A.shape[1]:
+		raise ValueError(f"RCM needs a square matrix, got {A.shape}")
+	structure = (A + A.T).tocsr()
+	perm = np.asarray(reverse_cuthill_mckee(structure, symmetric_mode=True))
+	return A[perm][:, perm].tocsr(), perm
+
+
+def _bsr_tile_fill(A, blocksize: Tuple[int, int]) -> float:
+	"""stored/logical nnz ratio if A were tiled at ``blocksize``."""
+	bm, bn = blocksize
+	coo = A.tocoo()
+	if coo.nnz == 0:
+		return np.inf
+	tiles = np.unique(coo.row.astype(np.int64) // bm * (1 + coo.shape[1] // bn) + coo.col.astype(np.int64) // bn)
+	return len(tiles) * bm * bn / coo.nnz
+
+
+def auto_operator(
+	A,
+	dtype=None,
+	reorder: str = "auto",
+	dense_density: float = 0.125,
+	dense_n: int = 512,
+	dia_fill_limit: float = 4.0,
+	bsr_fill_limit: float = 1.5,
+	blocksize: Tuple[int, int] = (8, 8),
+) -> Tuple[LinearOperator, PrepInfo]:
+	"""Pick the fastest TPU storage format for a matrix, reordering if it helps.
+
+	Decision ladder (each step falls through when its fill bound fails):
+
+	1. **dense** — density ≥ ``dense_density`` or ``n ≤ dense_n``: GEMMs on the
+	   MXU beat any sparse path at these sizes.
+	2. **dia** — if the diagonal-band fill (``n_bands·n / nnz``) in the natural
+	   ordering, or after RCM when ``reorder != "never"``, is ≤
+	   ``dia_fill_limit``: gather-free stencil applies.
+	3. **bsr** — if the pattern is genuinely block-structured at ``blocksize``
+	   (tile fill ≤ ``bsr_fill_limit``), natural ordering.
+	4. **csr** — the general path (builds its ELL fast path automatically when
+	   row lengths are regular).
+
+	``reorder``: "auto" applies RCM only when it unlocks the DIA format;
+	"always" keeps the RCM ordering even for the CSR fallback (can shrink the
+	sharded-SpMM halo, see ``parallel.shard_operator``); "never" skips it.
+
+	Returns ``(operator, PrepInfo)``. With a non-None ``PrepInfo.perm`` the
+	operator is ``A[perm][:, perm]`` — identical spectrum (trace / logdet /
+	density / eigenvalue estimates unchanged); use ``info.unpermute`` on
+	per-coordinate outputs and ``info.permute`` on per-coordinate inputs.
+	"""
+	import scipy.sparse as sps
+
+	if reorder not in ("auto", "always", "never"):
+		raise ValueError(f"reorder must be 'auto' | 'always' | 'never', got {reorder!r}")
+
+	if not sps.issparse(A):
+		Ad = np.asarray(A)
+		op = DenseOperator(Ad if dtype is None else Ad.astype(dtype))
+		return op, PrepInfo("dense", None, max(Ad.shape[0] - 1, 0), 1.0)
+
+	A = A.tocsr()
+	n, m = A.shape
+	square = n == m
+	density = A.nnz / max(n * m, 1)
+
+	if density >= dense_density or max(n, m) <= dense_n:
+		op = DenseOperator(np.asarray(A.todense(), dtype=dtype))
+		return op, PrepInfo("dense", None, max(n - 1, 0), 1.0)
+
+	# --- DIA: natural ordering first, RCM if that unlocks it -------------
+	perm: Optional[np.ndarray] = None
+	if square and A.nnz:
+		uniq_nat, _ = _csr_offsets(A)
+		fill_nat = len(uniq_nat) * n / A.nnz
+		if fill_nat <= dia_fill_limit:
+			# Natural order wins when already band-viable: no basis bookkeeping.
+			return DIAOperator.from_scipy(A, dtype=dtype), PrepInfo("dia", None, int(np.abs(uniq_nat).max()), fill_nat)
+		if reorder != "never":
+			A_rcm, p = reorder_rcm(A)
+			uniq_rcm, _ = _csr_offsets(A_rcm)
+			fill_rcm = len(uniq_rcm) * n / A.nnz
+			if fill_rcm <= dia_fill_limit:
+				return (
+					DIAOperator.from_scipy(A_rcm, dtype=dtype),
+					PrepInfo("dia", p, int(np.abs(uniq_rcm).max()), fill_rcm),
+				)
+			if reorder == "always" and np.abs(uniq_rcm).max() < np.abs(uniq_nat).max():
+				A, perm = A_rcm, p  # carry the tighter band into the fallbacks
+
+	# --- BSR: only when the pattern is genuinely block-structured --------
+	if A.nnz and _bsr_tile_fill(A, blocksize) <= bsr_fill_limit:
+		op = BSROperator.from_scipy(A, blocksize=blocksize, dtype=dtype)
+		fill = op.blocks.shape[0] * blocksize[0] * blocksize[1] / A.nnz
+		return op, PrepInfo("bsr", perm, bandwidth(A), fill)
+
+	# --- CSR: the general path -------------------------------------------
+	op = CSROperator.from_scipy(A, dtype=dtype)
+	return op, PrepInfo("csr", perm, bandwidth(A) if square else max(n, m) - 1, 1.0)
