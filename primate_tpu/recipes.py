@@ -11,6 +11,7 @@ from functools import lru_cache
 from typing import Optional, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .operators import MatrixFunction, aslinop
@@ -18,6 +19,7 @@ from .special import stacked
 from .trace import hutch
 
 __all__ = [
+	"bilinear_form",
 	"deflated_trace",
 	"logdet",
 	"trace_bounds",
@@ -28,6 +30,7 @@ __all__ = [
 	"numrank",
 	"eigencount",
 	"schatten",
+	"weighted_trace",
 ]
 
 
@@ -418,3 +421,134 @@ def schatten(A, p: Union[float, np.ndarray] = 1.0, deg: int = 20, orth: int = 5,
 	if isinstance(est, tuple):
 		return (root(est[0]), *est[1:])
 	return root(est)
+
+
+def bilinear_form(
+	A,
+	U,
+	V=None,
+	fun: Union[str, callable] = "identity",
+	deg: int = 20,
+	orth: int = 5,
+	fun_kwargs: Optional[dict] = None,
+	**mf_kwargs,
+):
+	"""Bilinear forms ``uᵀ f(A) v`` per column pair (Golub-Meurant).
+
+	The reference exposes only the quadratic form ``vᵀ f(A) v``
+	(`operators.py:126-151`); general entries follow from the polarization
+	identity computed with the SAME Lanczos-quadrature machinery:
+
+	    uᵀ f(A) v = ¼ [ (u+v)ᵀ f(A) (u+v) − (u−v)ᵀ f(A) (u−v) ].
+
+	This is deterministic (no Monte-Carlo): accuracy is the Gauss-quadrature
+	error, spectrally convergent in ``deg``. With ``U = e_i``, ``V = e_j`` it
+	evaluates individual entries ``f(A)[i, j]`` — e.g. Green's functions
+	``(A − zI)⁻¹[i, j]``, graph communicability ``exp(A)[i, j]``.
+
+	Args:
+		A: symmetric operator (anything :func:`aslinop` accepts).
+		U: ``(n,)`` or ``(n, k)`` left vectors.
+		V: ``(n,)`` or ``(n, k)`` right vectors; ``None`` → quadratic forms
+			``diag(Uᵀ f(A) U)`` (one sweep instead of two).
+		fun / deg / orth / fun_kwargs / mf_kwargs: forwarded to
+			:class:`MatrixFunction` (incl. ``quad_rule=`` for Radau/Lobatto
+			signed-bias rules).
+
+	Returns:
+		``(k,)`` array — or ``(nt, k)`` for a stacked ``fun`` family.
+	"""
+	M = MatrixFunction(aslinop(A), fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}), **mf_kwargs)
+	U = jnp.asarray(U, dtype=M.dtype)
+	single = U.ndim == 1
+	U = U[:, None] if single else U
+	if V is None:
+		out = M.quad(U)
+	else:
+		V = jnp.asarray(V, dtype=M.dtype)
+		V = V[:, None] if V.ndim == 1 else V
+		# One batched sweep over the 2k polarization vectors.
+		P = jnp.concatenate([U + V, U - V], axis=1)
+		q = M.quad(P)
+		k = U.shape[1]
+		out = (q[..., :k] - q[..., k:]) / 4.0
+	out = np.asarray(out)
+	return out[..., 0] if single else out
+
+
+@jax.tree_util.register_pytree_node_class
+class _PairedQuadOperator:
+	"""Quad-only operator whose quadratic form is ``vᵀ B f(A) v``.
+
+	``E[vᵀ B f(A) v] = tr(B f(A))`` for isotropic ``v`` — the sampling target
+	of :func:`weighted_trace`. Only ``quad`` is meaningful; it is what
+	:func:`~primate_tpu.hutch` consumes.
+	"""
+
+	def __init__(self, M, B):
+		self.M = M
+		self.B = B
+		self.shape = M.shape
+		self.dtype = M.dtype
+
+	def quad(self, V):
+		V = jnp.asarray(V, dtype=self.dtype)
+		V = V[:, None] if V.ndim == 1 else V
+		FV = self.M.matmat(V)  # f(A) V — (n, k) or (nt, n, k) stacked
+		BV = self.B.matmat(V)
+		return jnp.einsum("ij,...ij->...j", BV, FV)
+
+	def matmat(self, V):
+		V = jnp.asarray(V, dtype=self.dtype)
+		return self.B.matmat(self.M.matmat(V))
+
+	def matvec(self, v):
+		v = jnp.asarray(v, dtype=self.dtype)
+		return self.matmat(v[:, None])[..., 0]
+
+	def __matmul__(self, x):
+		x = jnp.asarray(x)
+		return self.matvec(x) if x.ndim == 1 else self.matmat(x)
+
+	def tree_flatten(self):
+		return (self.M, self.B), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		return cls(*children)
+
+
+def weighted_trace(
+	A,
+	B,
+	fun: Union[str, callable, None] = None,
+	deg: int = 20,
+	orth: int = 5,
+	fun_kwargs: Optional[dict] = None,
+	**est_kwargs,
+):
+	"""Weighted trace ``tr(f(A) · B)`` by paired Girard-Hutchinson sampling.
+
+	Samples ``(Bv)ᵀ f(A) v`` with isotropic probes: unbiased for ANY ``B``
+	since ``E[vvᵀ] = I``. Covers Fisher/Gauss-Newton traces, weighted
+	diagonal sums (``B`` a vector → ``tr(f(A) diag(w)) = Σ wᵢ f(A)ᵢᵢ``), and
+	restricted traces (``B`` a projector). ``f(A)v`` is evaluated by the
+	Lanczos two-term approximation (`MatrixFunction.matvec`), so one sample
+	costs one Lanczos sweep plus one ``B`` apply.
+
+	``fun=None`` skips the Lanczos sweep entirely: plain ``tr(A B)`` from
+	``(Bv)ᵀ(Av)``. Accepts all :func:`~primate_tpu.hutch` estimator knobs.
+	"""
+	w = np.asarray(B) if not hasattr(B, "shape") else B
+	if isinstance(w, (np.ndarray, jnp.ndarray)) and np.ndim(w) == 1:
+		weights = jnp.asarray(w)
+		n = int(weights.shape[0])
+		from .operators import FunctionOperator
+
+		opB = FunctionOperator(lambda X: weights[:, None] * X, (n, n), dtype=weights.dtype, batched=True)
+	else:
+		opB = aslinop(B)
+	opA = aslinop(A)
+	if fun is not None:
+		opA = MatrixFunction(opA, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
+	return hutch(_PairedQuadOperator(opA, opB), **est_kwargs)

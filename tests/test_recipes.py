@@ -168,3 +168,72 @@ def test_trace_bounds_gram_path():
 	V = np.asarray(sample_isotropic(as_key(2), (60, 32), pdf="rademacher", dtype=np.float64))
 	sm = float(np.einsum("ij,ij->j", V, flog @ V).mean())
 	assert res["lower"] - 1e-8 <= sm <= res["upper"] + 1e-8
+
+
+def test_bilinear_form_entries_match_dense():
+	"""u f(A) v via polarization ≡ dense f(A) entries (Golub-Meurant)."""
+	rng = np.random.default_rng(0)
+	n = 48
+	ew = rng.uniform(0.5, 2.0, n)
+	A = pt.symmetric(n, ew=ew, pd=True, seed=1)
+	lam, Q = np.linalg.eigh(np.asarray(A))
+	for fun, f in [("exp", np.exp), ("log", np.log), ("inv", lambda x: 1 / x)]:
+		FA = (Q * f(lam)) @ Q.T
+		U = rng.normal(size=(n, 5))
+		V = rng.normal(size=(n, 5))
+		got = recipes.bilinear_form(A, U, V, fun=fun, deg=n, orth=n)
+		want = np.einsum("ij,ij->j", U, FA @ V)
+		assert np.allclose(got, want, atol=1e-8), fun
+
+
+def test_bilinear_form_single_vector_and_quadratic():
+	rng = np.random.default_rng(3)
+	n = 40
+	A = pt.symmetric(n, pd=True, seed=5)
+	lam, Q = np.linalg.eigh(np.asarray(A))
+	expA = (Q * np.exp(lam)) @ Q.T
+	# individual entry f(A)[i, j] via basis vectors
+	ei, ej = np.eye(n)[:, 7], np.eye(n)[:, 19]
+	got = recipes.bilinear_form(A, ei, ej, fun="exp", deg=n, orth=n)
+	assert np.ndim(got) == 0 or np.shape(got) == ()
+	assert np.isclose(float(got), expA[7, 19], atol=1e-8)
+	# V=None → quadratic form path, equals u f(A) u
+	u = rng.normal(size=n)
+	gq = recipes.bilinear_form(A, u, fun="exp", deg=n, orth=n)
+	assert np.isclose(float(gq), u @ expA @ u, rtol=1e-8)
+	# consistency: bilinear with V=u agrees with the quadratic path
+	gb = recipes.bilinear_form(A, u, u, fun="exp", deg=n, orth=n)
+	assert np.isclose(float(gb), float(gq), rtol=1e-6)
+
+
+def test_weighted_trace_plain_and_matrix_function():
+	rng = np.random.default_rng(7)
+	n = 64
+	A = pt.symmetric(n, pd=True, ew=rng.uniform(0.5, 1.5, n), seed=11)
+	Ad = np.asarray(A)
+	B = rng.normal(size=(n, n))
+	B = (B + B.T) / 2
+	# fun=None: tr(A B) without any Lanczos sweep
+	est = recipes.weighted_trace(Ad, B, converge="count", count=4096, seed=0, batch=64)
+	true = np.trace(Ad @ B)
+	assert abs(est - true) <= 0.05 * np.abs(np.linalg.eigvalsh(Ad @ B)).sum() + 0.5
+	# fun="inv": tr(A^{-1} B)
+	lam, Q = np.linalg.eigh(Ad)
+	invA = (Q / lam) @ Q.T
+	true_inv = np.trace(invA @ B)
+	est_inv = recipes.weighted_trace(Ad, B, fun="inv", deg=32, orth=8, converge="count", count=4096, seed=1, batch=64)
+	assert abs(est_inv - true_inv) <= 0.05 * np.abs(np.linalg.eigvalsh(invA @ B)).sum() + 0.5
+
+
+def test_weighted_trace_diagonal_weights():
+	"""1-D B = diag weights: tr(f(A) diag(w)) = sum_i w_i f(A)_ii."""
+	rng = np.random.default_rng(9)
+	n = 50
+	A = pt.symmetric(n, pd=True, seed=13)
+	lam, Q = np.linalg.eigh(np.asarray(A))
+	expA = (Q * np.exp(lam)) @ Q.T
+	w = rng.uniform(0.0, 2.0, n)
+	true = float(np.sum(w * np.diag(expA)))
+	est = recipes.weighted_trace(A, w, fun="exp", deg=n, orth=n, converge="count", count=4096, seed=2, batch=64)
+	# rademacher variance here comes only from off-diagonal mass of diag(w) expA
+	assert abs(est - true) / abs(true) < 0.1
