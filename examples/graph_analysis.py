@@ -58,6 +58,13 @@ def main():
 	hks = pt.recipes.heat_kernel_signature(op, [0.1, 1.0, 10.0], deg=24, converge="count", count=64, seed=3)
 	print(f"heat-kernel signature: shape {hks.shape}, t=0.1 mean {hks[0].mean():.4f}")
 
+	# Communicability between two nodes: a single ENTRY of exp(-L/2), computed
+	# deterministically from two quadratic forms (polarization identity).
+	j = int(L[0].indices[L[0].indices != 0][0])  # a neighbor of node 0
+	ei, ej = np.eye(n)[:, 0], np.eye(n)[:, j]
+	comm = pt.recipes.bilinear_form(op, ei, ej, fun="exp", fun_kwargs={"t": -0.5}, deg=24)
+	print(f"communicability exp(-L/2)[0, {j}] ≈ {float(comm):.6f}")
+
 	ts, phi = pt.spectral_density(op, deg=64, nv=8, seed=4)
 	ts2, phi2 = pt.kpm.kpm_density(op, m=128, nv=8, seed=5)
 	print(f"DOS (SLQ):  peak at λ≈{ts[np.argmax(phi)]:.2f}")
