@@ -18,6 +18,7 @@ from .sharded import (
 	ShardedDenseOperator,
 	ShardedBSROperator,
 	ShardedDIAOperator,
+	auto_shard_operator,
 	shard_operator,
 )
 
@@ -28,5 +29,6 @@ __all__ = [
 	"ShardedDenseOperator",
 	"ShardedBSROperator",
 	"ShardedDIAOperator",
+	"auto_shard_operator",
 	"shard_operator",
 ]

@@ -516,3 +516,38 @@ def shard_operator(
 	if hasattr(op, "A") and isinstance(op.A, jnp.ndarray):
 		return ShardedDenseOperator(op.A, mesh, op_axis)
 	raise TypeError(f"Cannot shard operator of type {type(A)}")
+
+
+def auto_shard_operator(
+	A,
+	mesh: Mesh,
+	op_axis: str = "op",
+	probe_axis: Optional[str] = None,
+	comm: str = "auto",
+	reorder: str = "auto",
+	dtype=None,
+	**kwargs,
+):
+	"""Prepare (format + ordering) and partition a matrix in one step.
+
+	Composes :func:`~primate_tpu.operators.auto_operator` with
+	:func:`shard_operator`. The RCM reordering that unlocks the DIA format is
+	doubly valuable sharded: the halo width of the ring-``ppermute`` exchange
+	is the matrix *bandwidth*, so a bandwidth-reducing ordering turns an
+	impossible partition (halo wider than a chip's row block — a hard error)
+	into a minimal-halo stencil. Spectral sums are similarity-invariant, so
+	the reordering is free for trace/logdet/density estimation.
+
+	Returns ``(sharded_op, PrepInfo)``; use ``PrepInfo.permute/unpermute`` for
+	per-coordinate inputs/outputs (see ``operators.prepare``). Extra kwargs are
+	routed by signature to the preparation (``dia_fill_limit``, ``blocksize``,
+	...) and the sharding constructors (``halo``, ...).
+	"""
+	from ..operators.prepare import auto_operator
+	from ..utils.typing import restrict_kwargs, setdiff_kwargs
+
+	prep_kwargs = restrict_kwargs(auto_operator, kwargs)
+	shard_kwargs = setdiff_kwargs(auto_operator, kwargs)
+	op, info = auto_operator(A, dtype=dtype, reorder=reorder, **prep_kwargs)
+	sharded = shard_operator(op, mesh, op_axis=op_axis, probe_axis=probe_axis, comm=comm, **shard_kwargs)
+	return sharded, info

@@ -269,3 +269,45 @@ def test_stacked_family_on_sharded(mesh8):
 	M0 = pt.MatrixFunction(DIAOperator.from_scipy(A), fun=pt.stacked("exp", -ts), deg=40, orth=40)
 	est0 = pt.hutch(M0, seed=17, converge="count", count=512, batch=16)
 	assert np.allclose(est, est0, rtol=1e-6)
+
+
+def test_auto_shard_shuffled_band_becomes_dia(mesh8):
+	"""A shuffled banded matrix — unpartitionable with halo comm as-is — is
+	RCM-reordered into a minimal-halo sharded DIA stencil."""
+	from primate_tpu.parallel import auto_shard_operator
+	from primate_tpu.parallel.sharded import ShardedDIAOperator
+
+	n = 256
+	A = _laplacian(n)
+	p = np.random.default_rng(3).permutation(n)
+	Ash = A[p][:, p].tocsr()
+	op, info = auto_shard_operator(Ash, mesh8, probe_axis="probe", dense_n=64)
+	assert info.format == "dia" and info.perm is not None
+	assert isinstance(op, ShardedDIAOperator)
+	V = np.random.default_rng(4).normal(size=(n, 6))
+	got = info.unpermute(np.asarray(op.matmat(jnp.asarray(info.permute(V)))))
+	assert np.allclose(got, Ash @ V, atol=1e-10)
+
+
+def test_auto_shard_trace_matches_unsharded(mesh8):
+	from primate_tpu.parallel import auto_shard_operator
+
+	n = 512
+	A = _laplacian(n)
+	p = np.random.default_rng(5).permutation(n)
+	Ash = A[p][:, p].tocsr()
+	op, info = auto_shard_operator(Ash, mesh8, probe_axis="probe", dense_n=64)
+	est = pt.hutch(op, converge="count", count=64, seed=7)
+	ref = pt.hutch(pt.operators.auto_operator(Ash, dense_n=64)[0], converge="count", count=64, seed=7)
+	# same probes, similarity-invariant target: estimates agree to fp tolerance
+	assert np.isclose(est, ref, rtol=1e-10)
+
+
+def test_auto_shard_scattered_falls_back_to_bsr(mesh8):
+	from primate_tpu.parallel import auto_shard_operator
+
+	A = _random_sym_sparse(256, seed=9)
+	op, info = auto_shard_operator(A, mesh8, dense_density=0.5, dense_n=64)
+	assert info.format in ("csr", "bsr") and info.perm is None
+	V = np.random.default_rng(10).normal(size=(256, 4))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-9)
