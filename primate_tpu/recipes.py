@@ -30,6 +30,7 @@ __all__ = [
 	"numrank",
 	"eigencount",
 	"schatten",
+	"suggest_degree",
 	"weighted_trace",
 ]
 
@@ -552,3 +553,59 @@ def weighted_trace(
 	if fun is not None:
 		opA = MatrixFunction(opA, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
 	return hutch(_PairedQuadOperator(opA, opB), **est_kwargs)
+
+
+def suggest_degree(
+	A,
+	fun: Union[str, callable] = "log",
+	rtol: float = 1e-2,
+	atol: float = 0.0,
+	nv: int = 8,
+	deg0: int = 8,
+	max_deg: int = 256,
+	orth: int = -1,
+	pdf: str = "rademacher",
+	interval: Optional[tuple] = None,
+	kind: Optional[str] = None,
+	seed=None,
+	fun_kwargs: Optional[dict] = None,
+	full: bool = False,
+):
+	"""Smallest Krylov degree whose quadrature bias is below tolerance.
+
+	"How large should ``deg`` be?" is the one parameter SLQ users must guess
+	(the reference documents only a heuristic: `docs/src/guides/
+	matrix_functions.qmd:34-38`'s polynomial-approximation bound). This
+	answers it by *measurement*: double ``deg`` from ``deg0``, computing the
+	Golub-Meurant two-sided bracket (:func:`trace_bounds`) on the SAME ``nv``
+	probes each round (same seed → identical Monte-Carlo sample, so the
+	bracket width isolates the deterministic quadrature bias), and stop when
+
+	    upper − lower ≤ atol + rtol · |midpoint|.
+
+	Geometric doubling keeps the total matvec cost under twice the final
+	sweep's. The returned degree then sizes production runs::
+
+	    deg = pt.recipes.suggest_degree(A, "log", rtol=1e-3)
+	    est = pt.recipes.logdet(A, deg=deg)
+
+	Returns the degree (int); with ``full=True`` returns ``(deg, history)``
+	where history rows are ``{"deg", "lower", "upper", "gap"}``.
+	"""
+	n = aslinop(A).shape[0]
+	max_deg = int(min(max_deg, n))
+	deg = int(min(max(deg0, 2), max_deg))
+	history = []
+	while True:
+		res = trace_bounds(
+			A, fun, deg=deg, orth=orth, nv=nv, pdf=pdf, interval=interval,
+			kind=kind, seed=seed, full=True, fun_kwargs=fun_kwargs,
+		)
+		lo, hi = float(res["lower"]), float(res["upper"])
+		gap = hi - lo
+		history.append({"deg": deg, "lower": lo, "upper": hi, "gap": gap})
+		mid = 0.5 * (lo + hi)
+		if gap <= atol + rtol * abs(mid) or deg >= max_deg:
+			break
+		deg = min(2 * deg, max_deg)
+	return (deg, history) if full else deg

@@ -237,3 +237,29 @@ def test_weighted_trace_diagonal_weights():
 	est = recipes.weighted_trace(A, w, fun="exp", deg=n, orth=n, converge="count", count=4096, seed=2, batch=64)
 	# rademacher variance here comes only from off-diagonal mass of diag(w) expA
 	assert abs(est - true) / abs(true) < 0.1
+
+
+def test_suggest_degree_converges_and_is_monotone():
+	rng = np.random.default_rng(21)
+	n = 300
+	ew = rng.uniform(0.05, 3.0, n)
+	A = pt.symmetric(n, ew=ew, pd=True, seed=22)
+	deg, hist = recipes.suggest_degree(A, "log", rtol=1e-3, nv=8, deg0=4, seed=3, full=True)
+	gaps = [h["gap"] for h in hist]
+	assert all(g1 >= g2 * 0.5 for g1, g2 in zip(gaps, gaps[1:])) or gaps[-1] < gaps[0]
+	lo, hi = hist[-1]["lower"], hist[-1]["upper"]
+	assert hi - lo <= 1e-3 * abs(0.5 * (lo + hi)) * 1.0001
+	# the suggested degree actually delivers the accuracy on the true logdet:
+	true = np.log(ew).sum()
+	est = recipes.logdet(A, deg=deg, orth=-1, converge="count", count=512, seed=5)
+	assert abs(est - true) / abs(true) < 0.05  # MC error now dominates, not bias
+
+
+def test_suggest_degree_caps():
+	A = pt.symmetric(64, pd=True, seed=30)
+	deg, hist = recipes.suggest_degree(A, "log", rtol=0.0, atol=0.0, deg0=8, max_deg=32, nv=4, seed=0, full=True)
+	assert deg <= 32  # unreachable tolerance stops at max_deg
+	assert hist[-1]["deg"] == deg
+	# exp converges spectrally fast: small degree suffices
+	d2 = recipes.suggest_degree(A, "exp", rtol=1e-6, deg0=8, nv=4, seed=1)
+	assert d2 <= 32
