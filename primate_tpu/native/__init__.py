@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "csr_to_bsr_arrays", "csr_to_dia_arrays"]
+__all__ = ["available", "csr_analyze", "csr_to_bsr_arrays", "csr_to_dia_arrays"]
 
 _HERE = Path(__file__).parent
 _SRC = _HERE / "sparse_prep.cpp"
@@ -53,6 +53,8 @@ def _build() -> Optional[ctypes.CDLL]:
 			fn.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, fp, ctypes.c_int64, _i64p, fp]
 		lib.dia_count.restype = ctypes.c_int64
 		lib.dia_count.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p, _i64p]
+		lib.csr_analyze.restype = None
+		lib.csr_analyze.argtypes = [ctypes.c_int64] * 2 + [_i64p, _i32p] + [ctypes.c_int64] * 2 + [_i64p]
 		return lib
 	except (OSError, AttributeError, subprocess.SubprocessError):
 		# Corrupt/incompatible cached .so, missing symbol, no toolchain, ... —
@@ -91,6 +93,29 @@ def _as_csr_parts(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int
 		np.ascontiguousarray(A.indptr, np.int64),
 		A.shape,
 	)
+
+
+def csr_analyze(A, bm: int = 8, bn: int = 8):
+	"""One-pass structural stats for format selection (`operators.prepare`).
+
+	Returns ``{"n_diags", "bandwidth", "n_tiles", "max_row_nnz"}`` — the
+	distinct-diagonal count, max |i−j|, occupied (bm × bn) tile count, and the
+	longest row — or None when the native library is unavailable (callers use
+	the numpy fallback). Touches only the index structure; values are never
+	read or copied.
+	"""
+	lib = _lib()
+	if lib is None or A.shape[1] >= 2**31:
+		return None
+	import scipy.sparse as sps
+
+	A = sps.csr_matrix(A)
+	A.sum_duplicates()
+	indices = np.ascontiguousarray(A.indices, np.int32)
+	indptr = np.ascontiguousarray(A.indptr, np.int64)
+	out = np.zeros(4, np.int64)
+	lib.csr_analyze(A.shape[0], A.shape[1], indptr, indices, bm, bn, out)
+	return {"n_diags": int(out[0]), "bandwidth": int(out[1]), "n_tiles": int(out[2]), "max_row_nnz": int(out[3])}
 
 
 def csr_to_bsr_arrays(A, bm: int, bn: int):

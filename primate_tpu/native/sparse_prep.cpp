@@ -122,6 +122,45 @@ int64_t dia_count(int64_t n_rows, int64_t n_cols, const int64_t* indptr,
   return n_d;
 }
 
+// ---------------------------------------------------------------------------
+// One-pass structural analysis (format selection, operators/prepare.py):
+// distinct diagonals, bandwidth, occupied (bm x bn) tiles, max row nnz.
+// The tile stamp works because CSR rows arrive in increasing block-row order.
+// ---------------------------------------------------------------------------
+void csr_analyze(int64_t n_rows, int64_t n_cols, const int64_t* indptr,
+                 const int32_t* indices, int64_t bm, int64_t bn,
+                 int64_t* out /* [n_diags, bandwidth, n_tiles, max_row_nnz] */) {
+  std::vector<char> seen(n_rows + n_cols - 1, 0);
+  const int64_t n_bcol = (n_cols + bn - 1) / bn;
+  std::vector<int64_t> stamp(n_bcol, -1);
+  int64_t n_d = 0, bw = 0, n_tiles = 0, max_row = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const int64_t br = r / bm;
+    const int64_t cnt = indptr[r + 1] - indptr[r];
+    if (cnt > max_row) max_row = cnt;
+    for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+      const int64_t c = indices[p];
+      const int64_t off = c - r;
+      char& s = seen[off + (n_rows - 1)];
+      if (!s) {
+        s = 1;
+        ++n_d;
+      }
+      const int64_t a = off < 0 ? -off : off;
+      if (a > bw) bw = a;
+      const int64_t bc = c / bn;
+      if (stamp[bc] != br) {
+        stamp[bc] = br;
+        ++n_tiles;
+      }
+    }
+  }
+  out[0] = n_d;
+  out[1] = bw;
+  out[2] = n_tiles;
+  out[3] = max_row;
+}
+
 #define DEFINE_DIA_FILL(SUFFIX, T)                                            \
   void dia_fill_##SUFFIX(int64_t n_rows, int64_t n_cols,                      \
                          const int64_t* indptr, const int32_t* indices,       \

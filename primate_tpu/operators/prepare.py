@@ -73,12 +73,33 @@ class PrepInfo(NamedTuple):
 		return x[tuple(idx)]
 
 
-def _csr_offsets(A) -> Tuple[np.ndarray, np.ndarray]:
-	"""Unique diagonal offsets (j − i) of a CSR matrix + per-nnz offsets."""
-	n = A.shape[0]
+def _analyze(A, blocksize: Tuple[int, int] = (8, 8)) -> dict:
+	"""One-pass structural stats of a CSR matrix for format selection.
+
+	``{"n_diags", "bandwidth", "n_tiles", "max_row_nnz"}`` — computed by the
+	native C++ analyzer (`native.csr_analyze`, no temporaries) when available,
+	else with numpy (materializes the per-nnz offset array).
+	"""
+	from ..native import csr_analyze
+
+	if A.nnz == 0:
+		return {"n_diags": 0, "bandwidth": 0, "n_tiles": 0, "max_row_nnz": 0}
+	stats = csr_analyze(A, *blocksize)
+	if stats is not None:
+		return stats
+	n, m = A.shape
+	bm, bn = blocksize
 	rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
-	offs = A.indices.astype(np.int64) - rows
-	return np.unique(offs), offs
+	cols = A.indices.astype(np.int64)
+	offs = cols - rows
+	uniq = np.unique(offs)
+	tiles = np.unique(rows // bm * (1 + (m - 1) // bn) + cols // bn)
+	return {
+		"n_diags": len(uniq),
+		"bandwidth": int(np.abs(uniq).max()),
+		"n_tiles": len(tiles),
+		"max_row_nnz": int(np.diff(A.indptr).max()),
+	}
 
 
 def bandwidth(A) -> int:
@@ -86,10 +107,7 @@ def bandwidth(A) -> int:
 	import scipy.sparse as sps
 
 	A = sps.csr_matrix(A) if not sps.issparse(A) else A.tocsr()
-	if A.nnz == 0:
-		return 0
-	uniq, _ = _csr_offsets(A)
-	return int(np.abs(uniq).max())
+	return _analyze(A)["bandwidth"]
 
 
 def reorder_rcm(A) -> Tuple["object", np.ndarray]:
@@ -110,14 +128,6 @@ def reorder_rcm(A) -> Tuple["object", np.ndarray]:
 	return A[perm][:, perm].tocsr(), perm
 
 
-def _bsr_tile_fill(A, blocksize: Tuple[int, int]) -> float:
-	"""stored/logical nnz ratio if A were tiled at ``blocksize``."""
-	bm, bn = blocksize
-	coo = A.tocoo()
-	if coo.nnz == 0:
-		return np.inf
-	tiles = np.unique(coo.row.astype(np.int64) // bm * (1 + coo.shape[1] // bn) + coo.col.astype(np.int64) // bn)
-	return len(tiles) * bm * bn / coo.nnz
 
 
 def auto_operator(
@@ -174,30 +184,30 @@ def auto_operator(
 
 	# --- DIA: natural ordering first, RCM if that unlocks it -------------
 	perm: Optional[np.ndarray] = None
+	stats = _analyze(A, blocksize)
 	if square and A.nnz:
-		uniq_nat, _ = _csr_offsets(A)
-		fill_nat = len(uniq_nat) * n / A.nnz
+		fill_nat = stats["n_diags"] * n / A.nnz
 		if fill_nat <= dia_fill_limit:
 			# Natural order wins when already band-viable: no basis bookkeeping.
-			return DIAOperator.from_scipy(A, dtype=dtype), PrepInfo("dia", None, int(np.abs(uniq_nat).max()), fill_nat)
+			return DIAOperator.from_scipy(A, dtype=dtype), PrepInfo("dia", None, stats["bandwidth"], fill_nat)
 		if reorder != "never":
 			A_rcm, p = reorder_rcm(A)
-			uniq_rcm, _ = _csr_offsets(A_rcm)
-			fill_rcm = len(uniq_rcm) * n / A.nnz
+			stats_rcm = _analyze(A_rcm, blocksize)
+			fill_rcm = stats_rcm["n_diags"] * n / A.nnz
 			if fill_rcm <= dia_fill_limit:
 				return (
 					DIAOperator.from_scipy(A_rcm, dtype=dtype),
-					PrepInfo("dia", p, int(np.abs(uniq_rcm).max()), fill_rcm),
+					PrepInfo("dia", p, stats_rcm["bandwidth"], fill_rcm),
 				)
-			if reorder == "always" and np.abs(uniq_rcm).max() < np.abs(uniq_nat).max():
-				A, perm = A_rcm, p  # carry the tighter band into the fallbacks
+			if reorder == "always" and stats_rcm["bandwidth"] < stats["bandwidth"]:
+				A, perm, stats = A_rcm, p, stats_rcm  # tighter band for fallbacks
 
 	# --- BSR: only when the pattern is genuinely block-structured --------
-	if A.nnz and _bsr_tile_fill(A, blocksize) <= bsr_fill_limit:
+	if A.nnz and stats["n_tiles"] * blocksize[0] * blocksize[1] / A.nnz <= bsr_fill_limit:
 		op = BSROperator.from_scipy(A, blocksize=blocksize, dtype=dtype)
 		fill = op.blocks.shape[0] * blocksize[0] * blocksize[1] / A.nnz
-		return op, PrepInfo("bsr", perm, bandwidth(A), fill)
+		return op, PrepInfo("bsr", perm, stats["bandwidth"], fill)
 
 	# --- CSR: the general path -------------------------------------------
 	op = CSROperator.from_scipy(A, dtype=dtype)
-	return op, PrepInfo("csr", perm, bandwidth(A) if square else max(n, m) - 1, 1.0)
+	return op, PrepInfo("csr", perm, stats["bandwidth"] if square else max(n, m) - 1, 1.0)

@@ -56,3 +56,31 @@ def test_native_dia_f32():
 	A = sps.diags([np.ones(n - 1), 2 * np.ones(n)], [1, 0]).tocsr().astype(np.float32)
 	op = DIAOperator.from_scipy(A, engine="native")
 	assert np.allclose(np.asarray(op.todense()), A.toarray())
+
+
+def test_csr_analyze_matches_numpy_fallback():
+	import scipy.sparse as sps
+	from primate_tpu.native import available, csr_analyze
+	from primate_tpu.operators.prepare import _analyze
+
+	rng = np.random.default_rng(17)
+	for shape, density in [((300, 300), 0.01), ((200, 120), 0.03), ((64, 64), 0.2)]:
+		A = sps.random(*shape, density=density, random_state=rng, format="csr")
+		stats = _analyze(A, (8, 8))  # whichever engine is active
+		# numpy reference, computed inline
+		rows = np.repeat(np.arange(shape[0], dtype=np.int64), np.diff(A.indptr))
+		cols = A.indices.astype(np.int64)
+		offs = cols - rows
+		want_diags = len(np.unique(offs))
+		want_bw = int(np.abs(offs).max())
+		want_tiles = len(np.unique(rows // 8 * (1 + (shape[1] - 1) // 8) + cols // 8))
+		want_maxrow = int(np.diff(A.indptr).max())
+		assert stats == {
+			"n_diags": want_diags,
+			"bandwidth": want_bw,
+			"n_tiles": want_tiles,
+			"max_row_nnz": want_maxrow,
+		}, (shape, stats)
+	if available():
+		got = csr_analyze(sps.eye(50).tocsr(), 8, 8)
+		assert got == {"n_diags": 1, "bandwidth": 0, "n_tiles": 7, "max_row_nnz": 1}
