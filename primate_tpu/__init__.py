@@ -40,7 +40,7 @@ from .integrate import lobatto_rule, quadrature, radau_rule
 from .kpm import ChebyshevFunction, kpm_density, kpm_trace
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, auto_operator, matrix_function, normalize_unit
-from .random import haar, isotropic, symmetric
+from .random import haar, hermitian, isotropic, symmetric
 from .solvers import NystromPreconditioner, cg, nystrom_precond, solve
 from .special import param_callable, stacked
 from .trace import hutch, hutchpp, xnystrace, xtrace
@@ -68,6 +68,7 @@ __all__ = [
 	"eigsh",
 	"eigvalsh_tridiag",
 	"haar",
+	"hermitian",
 	"hutch",
 	"hutchpp",
 	"isotropic",

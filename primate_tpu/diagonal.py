@@ -61,6 +61,12 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 	(bit-identical to one uninterrupted run — SURVEY §5.4)."""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
+	# Hermitian (complex) operators: the diagonal is REAL — sample real probes,
+	# keep all estimator state real, and take Re(Av ∘ v) per sample.
+	is_cplx = jnp.dtype(dtype).kind == "c"
+	if is_cplx:
+		acc = jnp.dtype(np.finfo(acc).dtype)
+	sample_dtype = jnp.dtype(np.finfo(jnp.dtype(dtype)).dtype) if is_cplx else dtype
 	init = init_carry if init_carry is not None else _DiagCarry(
 		it=jnp.zeros((), jnp.int32),
 		numer=jnp.zeros(nout * n, acc),
@@ -75,8 +81,10 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 
 	def body(c):
 		k = jax.random.fold_in(key, c.it)
-		v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=dtype)[:, 0]
-		u = (A.matvec(v) if hasattr(A, "matvec") else (A @ v)).astype(acc)  # (n,) or (nout, n)
+		v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=sample_dtype)[:, 0]
+		va = v.astype(dtype)
+		u = A.matvec(va) if hasattr(A, "matvec") else (A @ va)  # (n,) or (nout, n)
+		u = (jnp.real(u) if is_cplx else u).astype(acc)
 		v = v.astype(acc)
 		numer = c.numer + (u * v).reshape(-1)
 		denom = c.denom + v * v

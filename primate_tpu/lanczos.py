@@ -158,6 +158,11 @@ def _lanczos_core(
 	n, nv = V0.shape
 	dtype = V0.dtype
 	acc_dtype = jnp.promote_types(dtype, jnp.float32)  # f32 accumulation for bf16 storage
+	# Complex-Hermitian operators: inner products conjugate the bra side; α/β
+	# (and the Jacobi matrix) are REAL — downstream quadrature/eigensolves are
+	# unchanged. The real path keeps its exact original lowering (static branch).
+	is_cplx = np.dtype(dtype).kind == "c"
+	r_dtype = np.finfo(acc_dtype).dtype if is_cplx else acc_dtype
 	# Storage dtype for the carried basis window only. bf16 halves the dominant
 	# HBM traffic of the scan step (the window is read twice per re-orth pass);
 	# the recurrence itself — q_prev/q_cur, α/β, all reductions — stays in
@@ -177,9 +182,12 @@ def _lanczos_core(
 		matmat_t = lambda Vt: matmat(Vt.T).T  # noqa: E731
 	V0t = V0.T
 
-	norm0 = jnp.sqrt(jnp.sum(V0t.astype(acc_dtype) ** 2, axis=1))
+	if is_cplx:
+		norm0 = jnp.sqrt(jnp.sum(jnp.abs(V0t.astype(acc_dtype)) ** 2, axis=1))
+	else:
+		norm0 = jnp.sqrt(jnp.sum(V0t.astype(acc_dtype) ** 2, axis=1))
 	q0 = (V0t / jnp.where(norm0 > 0, norm0, 1)[:, None].astype(dtype)).astype(dtype)
-	residual_tol = jnp.sqrt(jnp.asarray(n, acc_dtype)) * jnp.asarray(rtol, acc_dtype)
+	residual_tol = jnp.sqrt(jnp.asarray(n, r_dtype)) * jnp.asarray(rtol, r_dtype)
 
 	Q_win = jnp.zeros((ncv, nv, n), b_dtype).at[0].set(q0.astype(b_dtype)) if keep_window else jnp.zeros((0,), b_dtype)
 	# coeffs (deg, nv) — or (deg, ..., nv) for a STACKED family of expansions
@@ -189,7 +197,7 @@ def _lanczos_core(
 		jnp.zeros((nv, n), dtype),  # q_prev
 		q0,  # q_cur
 		Q_win,
-		jnp.zeros(nv, acc_dtype),  # beta_j (coupling into the current step)
+		jnp.zeros(nv, r_dtype),  # beta_j (coupling into the current step; real)
 		jnp.zeros(nv, bool),  # done
 		y0,
 	)
@@ -205,12 +213,16 @@ def _lanczos_core(
 		with jax.named_scope("lanczos_matmat"):  # xprof/trace label (SURVEY §5.1)
 			v = matmat_t(q_cur).astype(acc_dtype)
 		v = v - beta_j[:, None] * q_prev.astype(acc_dtype)
-		alpha_j = jnp.sum(v * q_cur.astype(acc_dtype), axis=1)
-		v = v - alpha_j[:, None] * q_cur.astype(acc_dtype)
+		qc = q_cur.astype(acc_dtype)
+		if is_cplx:
+			alpha_j = jnp.sum(jnp.real(jnp.conj(qc) * v), axis=1)  # ⟨q,v⟩ real (Hermitian)
+		else:
+			alpha_j = jnp.sum(v * qc, axis=1)
+		v = v - alpha_j[:, None] * qc
 
 		if orth > 0:
 			age = (j - slot_ids) % ncv
-			valid = ((age < orth) & (age <= j)).astype(acc_dtype)  # (ncv,)
+			valid = ((age < orth) & (age <= j)).astype(r_dtype)  # (ncv,)
 			with jax.named_scope("lanczos_reorth"):  # xprof/trace label (SURVEY §5.1)
 				for _ in range(max(1, reorth_passes)):
 					# Broadcast-multiply + lane-axis reductions, NOT dot_general:
@@ -220,10 +232,16 @@ def _lanczos_core(
 					# Q_win is used at its storage dtype — mixed-dtype multiply
 					# promotes inside the fusion, so no materialized f32 copy
 					# of the (ncv, nv, n) window per step.
-					proj = jnp.sum(Q_win * v[None, :, :], axis=2) * valid[:, None]  # (ncv, b)
+					if is_cplx:
+						proj = jnp.sum(jnp.conj(Q_win) * v[None, :, :], axis=2) * valid[:, None]
+					else:
+						proj = jnp.sum(Q_win * v[None, :, :], axis=2) * valid[:, None]  # (ncv, b)
 					v = v - jnp.sum(Q_win * proj[:, :, None].astype(acc_dtype), axis=0)
 
-		beta_next = jnp.sqrt(jnp.sum(v * v, axis=1))
+		if is_cplx:
+			beta_next = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=1))
+		else:
+			beta_next = jnp.sqrt(jnp.sum(v * v, axis=1))
 		newly_done = beta_next < residual_tol
 		alpha_out = jnp.where(done, 0.0, alpha_j)
 		beta_out = jnp.where(done, 0.0, beta_next)

@@ -279,8 +279,9 @@ def is_valid_operator(A: Any) -> jnp.dtype:
 	assert hasattr(A, "shape") and len(A.shape) >= 2, "Operator must be at least two dimensional."
 	assert A.shape[0] == A.shape[1], "This function only works with square, symmetric matrices!"
 	f_dtype = jnp.dtype(A.dtype) if hasattr(A, "dtype") else jnp.asarray(A @ jnp.zeros(A.shape[1])).dtype
-	assert f_dtype in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64), jnp.dtype(jnp.bfloat16)), (
-		"Only bfloat16, 32- or 64-bit floats are supported."
+	valid = (jnp.float32, jnp.float64, jnp.bfloat16, jnp.complex64, jnp.complex128)
+	assert f_dtype in tuple(jnp.dtype(d) for d in valid), (
+		"Only bfloat16, 32-/64-bit floats, and 64-/128-bit complex (Hermitian) are supported."
 	)
 	return f_dtype
 
@@ -336,4 +337,7 @@ def quad_form(A: Any, V: jnp.ndarray) -> jnp.ndarray:
 	op = aslinop(A)
 	V = jnp.asarray(V, dtype=op.dtype)
 	V = V[:, None] if V.ndim == 1 else V
+	if jnp.dtype(op.dtype).kind == "c":
+		# Hermitian operator: v†Av is real — conjugate the bra, return real.
+		return jnp.real(jnp.einsum("ij,ij->j", jnp.conj(V), op.matmat(V)))
 	return jnp.einsum("ij,ij->j", V, op.matmat(V))

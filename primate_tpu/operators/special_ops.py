@@ -187,7 +187,10 @@ class MatrixFunction(LinearOperator):
 		out = self._lanczos(X, ncv=self._deg)
 		c = self._coeffs(out)
 		# out.Q: (deg, n, b) — slot t holds q_t (ncv == deg never wraps).
-		y = jnp.einsum("knb,...bk->...nb", out.Q.astype(c.dtype), c)
+		# Promote (never downcast): c is real even for complex/Hermitian A,
+		# and a bf16 window upcasts to the coefficient dtype for the contraction.
+		y_dtype = jnp.promote_types(out.Q.dtype, c.dtype)
+		y = jnp.einsum("knb,...bk->...nb", out.Q.astype(y_dtype), c.astype(y_dtype))
 		return (x_norm * y).astype(self.dtype)
 
 	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -206,7 +209,15 @@ class MatrixFunction(LinearOperator):
 
 		X = jnp.asarray(x, dtype=self.dtype)
 		X = X[:, None] if X.ndim == 1 else X
-		x_norm_sq = jnp.sum(X.astype(jnp.promote_types(X.dtype, jnp.float32)) ** 2, axis=0)
+		Xa = X.astype(jnp.promote_types(X.dtype, jnp.float32))
+		if np.dtype(self.dtype).kind == "c":
+			# Hermitian operator: quadratic forms x†f(A)x are REAL — return the
+			# real dtype so estimator states stay real.
+			x_norm_sq = jnp.sum(jnp.abs(Xa) ** 2, axis=0)
+			out_dtype = np.finfo(self.dtype).dtype
+		else:
+			x_norm_sq = jnp.sum(Xa**2, axis=0)
+			out_dtype = self.dtype
 		if isinstance(self._A, GramOperator):
 			# Gram spectra go through Golub-Kahan bidiagonalization of the
 			# DATA operator: same matvec budget (one A + one Aᵀ per step), but
@@ -234,9 +245,9 @@ class MatrixFunction(LinearOperator):
 				beta_end = out.alphas[deg - 1] * out.residual
 				nodes, weights = self._modified_rule(d.T, e.T, beta_end)
 				vals = jnp.sum(fun(jnp.maximum(nodes, 0.0)) * weights, axis=-1)
-				return (vals * x_norm_sq).astype(self.dtype)
+				return (vals * x_norm_sq).astype(out_dtype)
 			vals = spectral_quad_form(d.T, e.T, lambda x: fun(jnp.maximum(x, 0.0)))
-			return (vals * x_norm_sq).astype(self.dtype)
+			return (vals * x_norm_sq).astype(out_dtype)
 		ncv = int(np.clip(max(self._orth, 2), 2, self._deg))
 		out = self._lanczos(X, ncv=ncv, return_basis=False)  # quadrature needs only (α, β)
 		if self._quad_rule != "gauss":
@@ -244,11 +255,11 @@ class MatrixFunction(LinearOperator):
 				out.alphas.T, out.betas[: self._deg - 1].T, out.betas[self._deg - 1]
 			)
 			vals = jnp.sum(self.fun(nodes) * weights, axis=-1)
-			return (vals * x_norm_sq).astype(self.dtype)
+			return (vals * x_norm_sq).astype(out_dtype)
 		# Degeneracy-stable custom-JVP quadrature form: same primal as the
 		# Golub-Welsch rule, Daleckii–Krein derivative (no eigenvector grads).
 		vals = spectral_quad_form(out.alphas.T, out.betas[: self._deg - 1].T, self.fun)
-		return (vals * x_norm_sq).astype(self.dtype)
+		return (vals * x_norm_sq).astype(out_dtype)
 
 	def tree_flatten(self):
 		return (self._A,), (

@@ -28,6 +28,7 @@ __all__ = [
 	"Isotropic",
 	"symmetric",
 	"haar",
+	"hermitian",
 	"as_key",
 ]
 
@@ -207,6 +208,35 @@ def symmetric(
 	ew = jnp.atleast_1d(jnp.asarray(ew, dtype=dtype))
 	A = (Q * ew[None, :]) @ Q.T
 	return (A + A.T) / 2
+
+
+def hermitian(
+	n: int,
+	pd: bool = False,
+	ew: Optional[np.ndarray] = None,
+	seed: Union[int, np.random.Generator, jax.Array, None] = None,
+	dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+	"""Random complex Hermitian ``n x n`` matrix with prescribed eigenvalues.
+
+	The unitary change-of-basis is the QR factor of a complex Gaussian matrix;
+	eigenvalues are REAL (uniform in ``[0, 1]`` for ``pd=True``, else
+	``[-1, 1]``, or prescribed via ``ew``). Complex analog of
+	:func:`symmetric` — ground truth for the Hermitian estimator paths
+	(quantum/tight-binding operators are this class; the reference is
+	real-symmetric only, `random.py:145-180`).
+	"""
+	key = as_key(seed)
+	k_re, k_im, k_ew = jax.random.split(key, 3)
+	dtype = jnp.dtype(dtype or (jnp.complex128 if jnp.asarray(0.0).dtype == jnp.float64 else jnp.complex64))
+	r_dtype = np.finfo(dtype).dtype
+	M = jax.random.normal(k_re, (n, n), dtype=r_dtype) + 1j * jax.random.normal(k_im, (n, n), dtype=r_dtype)
+	Q, _ = jnp.linalg.qr(M.astype(dtype))
+	if ew is None:
+		ew = jax.random.uniform(k_ew, (n,), dtype=r_dtype, minval=0.0 if pd else -1.0, maxval=1.0)
+	ew = jnp.atleast_1d(jnp.asarray(ew, dtype=r_dtype))
+	A = (Q * ew[None, :].astype(dtype)) @ jnp.conj(Q).T
+	return (A + jnp.conj(A).T) / 2
 
 
 def haar(

@@ -75,6 +75,11 @@ def _hutch_fused(
 	"""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
+	if jnp.dtype(dtype).kind == "c":
+		# Hermitian operator: sample REAL probes (unbiased — E[vvᵀ] = I) and
+		# keep estimator state real (v†Av is real; quad_form returns real).
+		acc = jnp.dtype(np.finfo(acc).dtype)
+		dtype = jnp.dtype(np.finfo(jnp.dtype(dtype)).dtype)
 	init = _HutchCarry(
 		it=jnp.zeros((), jnp.int32) if init_it is None else jnp.asarray(init_it, jnp.int32),
 		cov=make_cov_state(dim, acc) if init_cov is None else init_cov,
@@ -104,7 +109,10 @@ def _hutch_fused(
 def _hutch_step(A, key, it, *, n: int, batch: int, pdf: str):
 	"""One probe batch -> quadratic-form samples (host-stepped callback path)."""
 	k = jax.random.fold_in(key, it)
-	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=A.dtype)
+	dtype = A.dtype
+	if jnp.dtype(dtype).kind == "c":
+		dtype = jnp.dtype(np.finfo(jnp.dtype(dtype)).dtype)  # real probes (Hermitian)
+	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=dtype)
 	return quad_form(A, V)
 
 
