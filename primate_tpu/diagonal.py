@@ -24,9 +24,8 @@ from .estimators import (
 	MeanEstimator,
 	convergence_criterion,
 )
-from .linalg import colwise_dot
 from .operators import aslinop, is_valid_operator
-from .random import as_key, sample_isotropic
+from .random import as_key, real_dtype, sample_isotropic
 from .stats import MeanState, make_mean_state, mean_update
 
 __all__ = ["diag", "diagpp", "xdiag"]
@@ -65,8 +64,8 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 	# keep all estimator state real, and take Re(Av ∘ v) per sample.
 	is_cplx = jnp.dtype(dtype).kind == "c"
 	if is_cplx:
-		acc = jnp.dtype(np.finfo(acc).dtype)
-	sample_dtype = jnp.dtype(np.finfo(jnp.dtype(dtype)).dtype) if is_cplx else dtype
+		acc = real_dtype(acc)
+	sample_dtype = real_dtype(dtype)
 	init = init_carry if init_carry is not None else _DiagCarry(
 		it=jnp.zeros((), jnp.int32),
 		numer=jnp.zeros(nout * n, acc),
@@ -157,7 +156,7 @@ def diag(
 	init_carry = None
 	if resume is not None:
 		st = resume.info["state"] if isinstance(resume, EstimatorResult) else resume
-		acc = jnp.promote_types(op.dtype, jnp.float32)
+		acc = real_dtype(jnp.promote_types(op.dtype, jnp.float32))  # estimator state is real even for Hermitian ops
 		mean = MeanState(n=jnp.asarray(st["mean"].n, jnp.int32), mu=jnp.asarray(st["mean"].mu, acc))
 		assert mean.mu.shape[0] == nout * N, f"resume state dim {mean.mu.shape[0]} != {nout * N}"
 		init_carry = _DiagCarry(
@@ -239,19 +238,22 @@ def _diagpp_program(A, key, *, n: int, nb: int, pdf: str):
 	acc = jnp.promote_types(dtype, jnp.float32)
 	apply_op = A.matmat if hasattr(A, "matmat") else (lambda V: A @ V)
 	k1, k2 = jax.random.split(key)
-	S = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=dtype)
+	# Hermitian (complex) operators: REAL probes, conjugated bras (diag(QQ†A) =
+	# rowwise ⟨Q, conj(AQ)⟩ since Q†A = (AQ)†), real final output — each conj
+	# is an identity on the real path.
+	S = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
 	Q, _ = jnp.linalg.qr(apply_op(S).astype(acc), mode="reduced")
 	AQ = apply_op(Q.astype(dtype)).astype(acc)
-	d1 = jnp.einsum("ij,ij->i", Q, AQ)  # diag(QQᵀA)
+	d1 = jnp.einsum("ij,ij->i", Q, jnp.conj(AQ))  # diag(QQ†A)
 
-	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=dtype)
+	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
 	W = apply_op(G).astype(acc)
-	Rres = W - Q @ (AQ.T @ G.astype(acc))  # (I − QQᵀ)A G, no extra matvecs
-	G = G.astype(acc)
+	Rres = W - Q @ (jnp.conj(AQ).T @ G.astype(acc))  # (I − QQ†)A G, no extra matvecs
+	G = jnp.real(G).astype(real_dtype(acc))
 	numer = jnp.einsum("ij,ij->i", G, Rres)
 	denom = jnp.einsum("ij,ij->i", G, G)
 	d2 = numer / jnp.where(denom == 0, 1.0, denom)
-	return d1 + d2
+	return jnp.real(d1 + d2)
 
 
 def diagpp(A, m: Optional[int] = None, pdf: str = "rademacher", seed=None) -> np.ndarray:
@@ -280,28 +282,34 @@ def diagpp(A, m: Optional[int] = None, pdf: str = "rademacher", seed=None) -> np
 
 @partial(jax.jit, static_argnames=("n", "m", "pdf"))
 def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
-	"""Fused XDiag (Epperly SM4.3): sketch + leave-one-out diagonal identities."""
+	"""Fused XDiag (Epperly SM4.3): sketch + leave-one-out diagonal identities.
+
+	Complex-Hermitian generalization: probes stay REAL; each rowwise diagonal
+	``diag(X M†)`` conjugates its *right* factor (``Q†A = (AQ)† = Z†``, so e.g.
+	``diag(QQ†A) = rowwise ⟨Q, conj(Z)⟩``), ``S`` is built from ``R⁻ᴴ``, and the
+	estimate's real part is returned. Every conj is an identity on the real path.
+	"""
 	dtype = A.dtype
 	apply_op = A.matmat if hasattr(A, "matmat") else (lambda V: A @ V)
-	N = sample_isotropic(key, (n, m), pdf=pdf, dtype=dtype)
+	N = sample_isotropic(key, (n, m), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
 	Y = apply_op(N)
 	Q, R = jnp.linalg.qr(Y, mode="reduced")
-	dNY = jnp.einsum("ij,ij->i", N, Y)[:, None]  # rowwise ⟨N, Y⟩ = diag(N Yᵀ)
+	dNY = jnp.einsum("ij,ij->i", N, jnp.conj(Y))[:, None]  # rowwise ⟨N, conj(Y)⟩ = diag(N Y†)
 
-	Z = apply_op(Q)  # symmetric A: Aᵀ Q = A Q
-	T = Z.T @ N
+	Z = apply_op(Q)  # Hermitian A: Q†A = Z†
+	T = jnp.conj(Z).T @ N
 	R_inv = jax.scipy.linalg.solve_triangular(R, jnp.eye(m, dtype=R.dtype), lower=False)
-	S = R_inv.T / jnp.linalg.norm(R_inv, axis=1)[None, :]
+	S = jnp.conj(R_inv).T / jnp.linalg.norm(R_inv, axis=1)[None, :]  # cols ∝ R⁻ᴴeᵢ
 	QS = Q @ S
 
-	dQZ = jnp.einsum("ij,ij->i", Q, Z)[:, None]  # diag(Q Zᵀ)
-	dQSSZ = jnp.einsum("ij,ij->i", QS, Z @ S)[:, None]
-	dNTQ = jnp.einsum("ij,ij->i", N, Q @ T)[:, None]
-	dST = colwise_dot(S, T)  # (m, 1) column dots
-	dNQSST = jnp.einsum("ij,ij->i", N, QS * dST[:, 0][None, :])[:, None]
+	dQZ = jnp.einsum("ij,ij->i", Q, jnp.conj(Z))[:, None]  # diag(Q Z†) = diag(QQ†A)
+	dQSSZ = jnp.einsum("ij,ij->i", QS, jnp.conj(Z @ S))[:, None]
+	dNTQ = jnp.einsum("ij,ij->i", N, jnp.conj(Q @ T))[:, None]
+	dST = jnp.einsum("ij,ij->j", jnp.conj(S), T)[:, None]  # diag(S†T), (m, 1)
+	dNQSST = jnp.einsum("ij,ij->i", N, jnp.conj(QS * dST[:, 0][None, :]))[:, None]
 
 	d = dQZ + (-dQSSZ + dNY - dNTQ + dNQSST) / m
-	return d[:, 0]
+	return jnp.real(d[:, 0])
 
 
 def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndarray:

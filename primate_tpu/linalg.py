@@ -74,7 +74,7 @@ def qr_append(
 	B = jnp.zeros((m, Y.shape[1]), dtype=Y.dtype)
 	Z = Y
 	for _ in range(max(1, reorth_passes)):
-		proj = Q.T @ Z
+		proj = jnp.conj(Q).T @ Z  # Q†Z (conj is an identity for real Q)
 		Z = Z - Q @ proj
 		B = B + proj
 	Q2, C = jnp.linalg.qr(Z, mode="reduced")

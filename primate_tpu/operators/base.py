@@ -235,18 +235,21 @@ class DeflatedOperator(LinearOperator):
 		self.dtype = self.A.dtype
 
 	def _project(self, W: jnp.ndarray) -> jnp.ndarray:
-		return W - self.V @ (self.V.T @ W)
+		return W - self.V @ (jnp.conj(self.V).T @ W)  # P = I − VV† (conj no-op when real)
 
 	def _matmat(self, W: jnp.ndarray) -> jnp.ndarray:
 		PW = self._project(W)
 		out = self._project(self.A.matmat(PW))
-		return out + self.fill * (self.V @ (self.V.T @ W))
+		return out + self.fill * (self.V @ (jnp.conj(self.V).T @ W))
 
 	def matmat_t(self, Wt: jnp.ndarray) -> jnp.ndarray:
-		C = Wt @ self.V  # (k_probes, k)
+		# Row-major probes: (VV†w)ᵀ = wᵀ·conj(V)·Vᵀ, so the right factor keeps
+		# the plain transpose and the LEFT one conjugates.
+		Vc = jnp.conj(self.V)
+		C = Wt @ Vc  # (k_probes, k)
 		PWt = Wt - C @ self.V.T
 		APWt = self.A.matmat_t(PWt)
-		out = APWt - (APWt @ self.V) @ self.V.T
+		out = APWt - (APWt @ Vc) @ self.V.T
 		return out + self.fill * (C @ self.V.T)
 
 	def tree_flatten(self):

@@ -30,7 +30,19 @@ __all__ = [
 	"haar",
 	"hermitian",
 	"as_key",
+	"real_dtype",
 ]
+
+
+def real_dtype(dtype) -> jnp.dtype:
+	"""Real counterpart of a floating dtype (``complex64 → float32`` etc.).
+
+	Probes for complex-Hermitian operators are sampled REAL (unbiased:
+	``E[vvᵀ] = I`` and ``v†Av ∈ ℝ``), and estimator state stays real — this is
+	the single dtype rule shared by every estimator's Hermitian path.
+	"""
+	dt = jnp.dtype(dtype)
+	return jnp.dtype(np.finfo(dt).dtype) if dt.kind == "c" else dt
 
 _ISO_DISTRIBUTIONS = {
 	"rademacher": "rademacher",

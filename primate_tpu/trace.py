@@ -39,9 +39,9 @@ from .estimators import (
 	default_trace_criterion,
 	is_jittable_criterion,
 )
-from .linalg import colwise_dot, qr_append, update_trinv_block
+from .linalg import qr_append, update_trinv_block
 from .operators import aslinop, is_valid_operator, quad_form
-from .random import as_key, sample_isotropic
+from .random import as_key, real_dtype, sample_isotropic
 from .stats import CovState, cov_matrix, cov_update, make_cov_state
 
 __all__ = ["hutch", "hutchpp", "xnystrace", "xtrace"]
@@ -78,8 +78,8 @@ def _hutch_fused(
 	if jnp.dtype(dtype).kind == "c":
 		# Hermitian operator: sample REAL probes (unbiased — E[vvᵀ] = I) and
 		# keep estimator state real (v†Av is real; quad_form returns real).
-		acc = jnp.dtype(np.finfo(acc).dtype)
-		dtype = jnp.dtype(np.finfo(jnp.dtype(dtype)).dtype)
+		acc = real_dtype(acc)
+		dtype = real_dtype(dtype)
 	init = _HutchCarry(
 		it=jnp.zeros((), jnp.int32) if init_it is None else jnp.asarray(init_it, jnp.int32),
 		cov=make_cov_state(dim, acc) if init_cov is None else init_cov,
@@ -109,10 +109,7 @@ def _hutch_fused(
 def _hutch_step(A, key, it, *, n: int, batch: int, pdf: str):
 	"""One probe batch -> quadratic-form samples (host-stepped callback path)."""
 	k = jax.random.fold_in(key, it)
-	dtype = A.dtype
-	if jnp.dtype(dtype).kind == "c":
-		dtype = jnp.dtype(np.finfo(jnp.dtype(dtype)).dtype)  # real probes (Hermitian)
-	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=dtype)
+	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=real_dtype(A.dtype))
 	return quad_form(A, V)
 
 
@@ -204,7 +201,7 @@ def hutch(
 			f"resume state has {n_seen} samples, not a multiple of batch={batch}; "
 			"resume with the batch size the original run used"
 		)
-		acc = jnp.promote_types(op.dtype, jnp.float32)
+		acc = real_dtype(jnp.promote_types(op.dtype, jnp.float32))  # estimator state is real even for Hermitian ops
 		init_cov = CovState(n=jnp.asarray(st.n, jnp.int32), mu=jnp.asarray(st.mu, acc), S=jnp.asarray(st.S, acc))
 		init_it = n_seen // int(batch)
 
@@ -261,21 +258,26 @@ def hutch(
 
 @partial(jax.jit, static_argnames=("n", "nb", "pdf", "mode"))
 def _hutchpp_program(A, key, *, n: int, nb: int, pdf: str, mode: str):
-	"""Fused Hutch++: low-rank sketch trace + Girard-Hutchinson on the deflation."""
+	"""Fused Hutch++: low-rank sketch trace + Girard-Hutchinson on the deflation.
+
+	Hermitian (complex) operators: probes are sampled REAL, every bra is
+	conjugated (``Q†AQ``, ``Q†G``, ``G†AG``), and all estimates come out real.
+	"""
 	dtype = A.dtype
+	is_cplx = jnp.dtype(dtype).kind == "c"
 	k1, k2 = jax.random.split(key)
-	W = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=dtype)
+	W = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
 	Y = A.matmat(W) if hasattr(A, "matmat") else A @ W
 	Q, _ = jnp.linalg.qr(Y, mode="reduced")
 	if mode == "full":
 		AQ = A.matmat(Q) if hasattr(A, "matmat") else A @ Q
-		rng_ests = jnp.einsum("ij,ij->j", AQ, Q)
+		rng_ests = jnp.real(jnp.einsum("ij,ij->j", jnp.conj(AQ), Q)) if is_cplx else jnp.einsum("ij,ij->j", AQ, Q)
 	else:
 		rng_ests = quad_form(A, Q)
-	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=dtype)
-	G = G - Q @ (Q.T @ G)
+	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
+	G = G - Q @ ((jnp.conj(Q) if is_cplx else Q).T @ G)
 	AG = A.matmat(G) if hasattr(A, "matmat") else A @ G
-	defl_ests = jnp.einsum("ij,ij->j", AG, G)
+	defl_ests = jnp.real(jnp.einsum("ij,ij->j", jnp.conj(G), AG)) if is_cplx else jnp.einsum("ij,ij->j", AG, G)
 	est = jnp.sum(rng_ests) + jnp.sum(defl_ests) / nb
 	return est, rng_ests, defl_ests
 
@@ -322,13 +324,13 @@ def hutchpp(
 
 		key = as_key(seed)
 		k1, k2 = jax.random.split(key)
-		W = sample_isotropic(k1, (N, nb), pdf=pdf, dtype=op.dtype)
+		W = sample_isotropic(k1, (N, nb), pdf=pdf, dtype=real_dtype(op.dtype)).astype(op.dtype)
 		Y = op.matmat(W) if hasattr(op, "matmat") else op @ W
 		acc = jnp.promote_types(op.dtype, jnp.float32)
 		Q, _ = jnp.linalg.qr(Y.astype(acc), mode="reduced")
 		Q = Q.astype(op.dtype)
 		AQ = op.matmat(Q) if hasattr(op, "matmat") else op @ Q
-		sketch_trace = float(jnp.einsum("ij,ij->", AQ.astype(acc), Q.astype(acc)))
+		sketch_trace = float(jnp.real(jnp.einsum("ij,ij->", jnp.conj(AQ.astype(acc)), Q.astype(acc))))
 		defl = DeflatedOperator(op, Q, fill=0.0)
 		rest = hutch(defl, batch=batch, pdf=pdf, converge=converge, seed=k2, full=full, **kwargs)
 		if not full:
@@ -366,25 +368,26 @@ def _xnystrace_program(A, key, *, n: int, m: int, pdf: str):
 	"""
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
-	Om = sample_isotropic(key, (n, m), pdf=pdf, dtype=dtype)
+	r_acc = real_dtype(acc)
+	Om = sample_isotropic(key, (n, m), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
 	Y = (A.matmat(Om) if hasattr(A, "matmat") else A @ Om).astype(acc)
 	Om = Om.astype(acc)
-	# Shift: makes H=ΩᵀY safely PD when A is merely PSD (Epperly's ν·eps trick);
+	# Shift: makes H=Ω†Y safely PD when A is merely PSD (Epperly's ν·eps trick);
 	# the bias ν·n is subtracted exactly at the end.
-	nu = jnp.finfo(acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, acc))
+	nu = jnp.finfo(r_acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, r_acc))
 	Y = Y + nu * Om
-	H = Om.T @ Y
-	L = jnp.linalg.cholesky(0.5 * (H + H.T))
+	H = jnp.conj(Om).T @ Y
+	L = jnp.linalg.cholesky(0.5 * (H + jnp.conj(H).T))
 	# One small (m×m) triangular inverse, then GEMMs: a triangular solve with an
 	# (m, n) right-hand side is sequential back-substitution — the worst shape
 	# for a systolic array — while Y @ L⁻ᵀ is a plain MXU GEMM. m ≪ n and H is
 	# shift-stabilized, so the explicit inverse is numerically safe here.
 	L_inv = jax.scipy.linalg.solve_triangular(L, jnp.eye(m, dtype=acc), lower=True)
-	B = Y @ L_inv.T  # = Y L^{-T}
+	B = Y @ jnp.conj(L_inv).T  # = Y L^{-H}
 	BL = B @ L_inv  # = B L^{-1}
-	tr_pg = jnp.sum(B * B)
-	pgp = jnp.sum(BL * BL, axis=0)  # diag(PGP)
-	p = jnp.sum(L_inv * L_inv, axis=0)  # diag(P)
+	tr_pg = jnp.sum(jnp.abs(B) ** 2) if jnp.iscomplexobj(B) else jnp.sum(B * B)
+	pgp = jnp.sum(jnp.abs(BL) ** 2, axis=0) if jnp.iscomplexobj(BL) else jnp.sum(BL * BL, axis=0)  # diag(PGP)
+	p = jnp.sum(jnp.abs(L_inv) ** 2, axis=0) if jnp.iscomplexobj(L_inv) else jnp.sum(L_inv * L_inv, axis=0)
 	t = tr_pg + (1.0 - pgp) / p - nu * n
 	return t
 
@@ -441,31 +444,40 @@ def _xtrace_estimates(W, Z, Q, R, R_inv, sphere: jnp.ndarray):
 
 	Mathematically identical to reference `trace.py:185-227`; evaluated as a
 	fixed set of (m × m) GEMMs + column-wise reductions on-device.
+
+	Complex-Hermitian generalization: every bra is conjugated (``W_proj = Q†W``,
+	``S`` built from ``R⁻ᴴ``, conjugated columnwise dots), and the two cross
+	terms carry ``conj(dSW)·dSRmHW`` / ``dTmHRS·dSW`` — derived by expanding
+	``ω̂†Aω̂`` with ``ω̂ = (I − Q₋ᵢQ₋ᵢ†)ωᵢ`` and ``Aω̂ = Yeᵢ − Z(w − s·s†w)``;
+	probes stay real and the estimates come out real. For real operators every
+	``conj`` is an identity, so the lowering is unchanged.
 	"""
 	n, m = W.shape
-	W_proj = Q.T @ W
-	S = R_inv.T / jnp.linalg.norm(R_inv, axis=1)[None, :]
+	r_dtype = jnp.real(W).dtype
+	cdot = lambda X, Y: jnp.einsum("ij,ij->j", jnp.conj(X), Y)[:, None]  # diag(X†Y)  # noqa: E731
+	W_proj = jnp.conj(Q).T @ W
+	S = jnp.conj(R_inv).T / jnp.linalg.norm(R_inv, axis=1)[None, :]  # cols ∝ R⁻ᴴeᵢ
 
 	col_norm_S = jnp.linalg.norm(S, axis=0)
-	dSW = colwise_dot(S, W_proj)
+	dSW = cdot(S, W_proj)
 	c = n - m + 1
 	sphere_scale = c / (
-		n - jnp.linalg.norm(W_proj, axis=0)[:, None] ** 2 + (dSW * col_norm_S[:, None]) ** 2
+		n - jnp.linalg.norm(W_proj, axis=0)[:, None] ** 2 + jnp.abs(dSW * col_norm_S[:, None]) ** 2
 	)
-	scale = jnp.where(sphere, sphere_scale, jnp.ones((m, 1), W.dtype))
+	scale = jnp.where(sphere, sphere_scale, jnp.ones((m, 1), r_dtype))
 
-	H = Q.T @ Z
+	H = jnp.conj(Q).T @ Z
 	HW = H @ W_proj
-	T = Z.T @ W
-	dSHS = colwise_dot(S, H @ S)
-	dTW = colwise_dot(T, W_proj)
-	dWHW = colwise_dot(W_proj, HW)
-	dSRmHW = colwise_dot(S, R - HW)
-	dTmHRS = colwise_dot(T - H.T @ W_proj, S)
+	T = jnp.conj(Z).T @ W
+	dSHS = cdot(S, H @ S)
+	dTW = cdot(T, W_proj)
+	dWHW = cdot(W_proj, HW)
+	dSRmHW = cdot(S, R - HW)
+	dTmHRS = cdot(T - jnp.conj(H).T @ W_proj, S)
 
-	tr_ests = jnp.trace(H) * jnp.ones((m, 1), W.dtype) - dSHS
-	tr_ests += (-dTW + dWHW + dSW * dSRmHW + jnp.abs(dSW) ** 2 * dSHS + dTmHRS * dSW) * scale
-	return tr_ests[:, 0]
+	tr_ests = jnp.trace(H) * jnp.ones((m, 1), H.dtype) - dSHS
+	tr_ests += (-dTW + dWHW + jnp.conj(dSW) * dSRmHW + jnp.abs(dSW) ** 2 * dSHS + dTmHRS * dSW) * scale
+	return jnp.real(tr_ests[:, 0])
 
 
 def _count_only_target(criterion) -> Optional[int]:
@@ -499,7 +511,9 @@ def _xtrace_round_impl(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, 
 	"""
 	n = op.shape[0]
 	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
-	Nnew = sample_isotropic(jax.random.fold_in(key, it), (n, ns), pdf=pdf, dtype=op.dtype)
+	# Hermitian operators: probes are sampled REAL (carried at op.dtype so the
+	# grown state stays homogeneous); conj(W) = W in the leave-one-out identities.
+	Nnew = sample_isotropic(jax.random.fold_in(key, it), (n, ns), pdf=pdf, dtype=real_dtype(op.dtype)).astype(op.dtype)
 	Ynew = apply_op(Nnew)
 	m_cur = W.shape[1]
 	if m_cur == 0:

@@ -122,3 +122,86 @@ def test_same_seed_real_vs_complex_independent_paths():
 	er = pt.hutch(jnp.asarray(Ar), converge="count", count=256, seed=20)
 	ec = pt.hutch(Ac, converge="count", count=256, seed=20)
 	assert np.isclose(float(er), float(ec), rtol=1e-12)
+
+
+def test_xtrace_complex_loo_parity_and_exactness():
+	"""The complex leave-one-out identities match a brute-force computation
+	(per-probe, to rounding) and the estimator is exact at m = n."""
+	from primate_tpu.trace import _xtrace_estimates
+
+	rng = np.random.default_rng(30)
+	n, m = 24, 10
+	ew = rng.uniform(0.2, 2.0, n)
+	A = np.asarray(_herm(n, ew, seed=31))
+	Om = rng.normal(size=(n, m))  # real probes, scale = 1 (non-sphere)
+	Y = A @ Om
+	Q, R = np.linalg.qr(Y)
+	t_fast = np.asarray(_xtrace_estimates(
+		jnp.asarray(Om.astype(np.complex128)), jnp.asarray(A @ Q), jnp.asarray(Q),
+		jnp.asarray(R), jnp.asarray(np.linalg.inv(R)), jnp.asarray(False)))
+	assert t_fast.dtype == np.float64
+	for i in range(m):
+		idx = [j for j in range(m) if j != i]
+		Qi, _ = np.linalg.qr(Y[:, idx])
+		r = Om[:, i] - Qi @ (Qi.conj().T @ Om[:, i])
+		t_i = np.real(np.trace(Qi.conj().T @ A @ Qi) + r.conj() @ A @ r)
+		assert abs(t_fast[i] - t_i) < 1e-9
+
+	est = pt.xtrace(jnp.asarray(A), seed=32)  # default stop: m == n → exact
+	assert abs(float(est) - ew.sum()) < 1e-8
+	est_s = pt.xtrace(jnp.asarray(A), pdf="sphere", batch=8, seed=33)
+	assert abs(float(est_s) - ew.sum()) < 1e-8
+
+
+def test_hutchpp_complex():
+	rng = np.random.default_rng(34)
+	n = 48
+	ew = rng.uniform(0.2, 2.0, n)
+	A = _herm(n, ew, seed=35)
+	for mode in ("reduced", "full"):
+		e = pt.hutchpp(A, m=24, mode=mode, seed=36)
+		assert np.isrealobj(e) and abs(e - ew.sum()) < 1.5, mode
+	# adaptive mode routes through DeflatedOperator (conjugated projections)
+	ea = pt.hutchpp(A, m=24, converge="count", count=256, seed=37)
+	assert abs(ea - ew.sum()) < 1.5
+
+
+def test_xnystrace_complex_lowrank_exact():
+	rng = np.random.default_rng(38)
+	n = 28
+	ew = np.concatenate([rng.uniform(1.0, 2.0, 6), np.zeros(n - 6)])
+	A = _herm(n, ew, seed=39)
+	est = pt.xnystrace(A, m=12, seed=40)  # rank 6 < m → exact to rounding
+	assert abs(est - ew.sum()) < 1e-6
+	est_f = pt.xnystrace(_herm(n, rng.uniform(0.2, 2.0, n), seed=41), m=20, seed=42)
+	assert np.isrealobj(est_f) and np.isfinite(est_f)
+
+
+def test_diagpp_xdiag_complex():
+	rng = np.random.default_rng(43)
+	n = 24
+	ew = rng.uniform(0.2, 2.0, n)
+	A = _herm(n, ew, seed=44)
+	dtrue = np.diag(np.asarray(A)).real
+	xd = pt.xdiag(A, m=2 * n, seed=45)
+	assert xd.dtype == np.float64 and np.abs(xd - dtrue).mean() < 0.1
+	# diagpp: exact (to rounding) when rank(A) <= nb
+	ew_lr = np.concatenate([rng.uniform(1.0, 2.0, 5), np.zeros(n - 5)])
+	Alr = _herm(n, ew_lr, seed=46)
+	dlr = pt.diagpp(Alr, m=8, seed=47)
+	assert np.abs(dlr - np.diag(np.asarray(Alr)).real).max() < 1e-8
+
+
+def test_sketch_estimators_real_lift_consistency():
+	"""A real matrix lifted to complex dtype gives the same same-seed estimate
+	through every sketch-based estimator (the conjugations are identities)."""
+	n = 24
+	ew = np.random.default_rng(48).uniform(0.2, 2.0, n)
+	Ar = np.asarray(pt.symmetric(n, ew=ew, pd=True, seed=49))
+	Ac = jnp.asarray(Ar.astype(np.complex128))
+	Arj = jnp.asarray(Ar)
+	assert np.isclose(pt.xtrace(Arj, seed=50), pt.xtrace(Ac, seed=50), rtol=1e-12)
+	assert np.isclose(pt.hutchpp(Arj, m=12, seed=51), pt.hutchpp(Ac, m=12, seed=51), rtol=1e-12)
+	assert np.isclose(pt.xnystrace(Arj, m=12, seed=52), pt.xnystrace(Ac, m=12, seed=52), rtol=1e-10)
+	assert np.allclose(pt.xdiag(Arj, m=2 * n, seed=53), pt.xdiag(Ac, m=2 * n, seed=53), rtol=1e-12)
+	assert np.allclose(pt.diagpp(Arj, m=8, seed=54), pt.diagpp(Ac, m=8, seed=54), rtol=1e-12)
