@@ -97,9 +97,11 @@ def lanczos_bidiag_op(
 
 
 def _masked_cgs(x: jnp.ndarray, W: jnp.ndarray, valid: jnp.ndarray, passes: int) -> jnp.ndarray:
-	"""Project ``x (nv, k)`` off the masked window ``W (ncv, nv, k)`` (CGS)."""
+	"""Project ``x (nv, k)`` off the masked window ``W (ncv, nv, k)`` (CGS).
+
+	Projections conjugate the bra — ``x −= Σ wᵢ⟨wᵢ, x⟩`` — a no-op for real W."""
 	for _ in range(max(1, passes)):
-		proj = jnp.sum(W * x[None, :, :], axis=2) * valid[:, None]  # (ncv, nv)
+		proj = jnp.sum(jnp.conj(W) * x[None, :, :], axis=2) * valid[:, None]  # (ncv, nv)
 		x = x - jnp.sum(W * proj[:, :, None].astype(x.dtype), axis=0)
 	return x
 
@@ -119,15 +121,19 @@ def _bidiag_core(
 	n, nv = V0.shape
 	dtype = V0.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
+	# α/β are NORMS — real even for complex (Hermitian-adjoint) operators; the
+	# conjugated reductions below are identities on the real path.
+	r_acc = jnp.real(jnp.zeros((), acc)).dtype
+	norm_of = lambda x: jnp.sqrt(jnp.real(jnp.sum(jnp.conj(x) * x, axis=1)))  # noqa: E731
 
 	Vt0 = V0.T.astype(acc)  # (nv, n) probe-major
-	norm0 = jnp.sqrt(jnp.sum(Vt0**2, axis=1))
+	norm0 = norm_of(Vt0)
 	v1 = Vt0 / jnp.where(norm0 > 0, norm0, 1.0)[:, None]
 
 	p = app_t(v1.astype(dtype)).astype(acc)  # (nv, m)
 	m = p.shape[1]
-	tol = jnp.sqrt(jnp.asarray(max(m, n), acc)) * jnp.asarray(rtol, acc)
-	alpha1 = jnp.sqrt(jnp.sum(p * p, axis=1))
+	tol = jnp.sqrt(jnp.asarray(max(m, n), r_acc)) * jnp.asarray(rtol, r_acc)
+	alpha1 = norm_of(p)
 	u1 = p / jnp.where(alpha1 > tol, alpha1, jnp.inf)[:, None]
 
 	keep_window = return_basis or orth > 0
@@ -149,13 +155,13 @@ def _bidiag_core(
 		r = rapp_t(u.astype(dtype)).astype(acc) - alpha[:, None] * v
 		if orth > 0:
 			r = _masked_cgs(r, V_win, valid, reorth_passes)
-		beta = jnp.sqrt(jnp.sum(r * r, axis=1))
+		beta = norm_of(r)
 		v_next = r / jnp.where(beta > tol, beta, jnp.inf)[:, None]
 		# Left vector: p = A v_{j+1} − β_j u_j
 		p = app_t(v_next.astype(dtype)).astype(acc) - beta[:, None] * u
 		if orth > 0:
 			p = _masked_cgs(p, U_win, valid, reorth_passes)
-		alpha_next = jnp.sqrt(jnp.sum(p * p, axis=1))
+		alpha_next = norm_of(p)
 		u_next = p / jnp.where(alpha_next > tol, alpha_next, jnp.inf)[:, None]
 
 		newly_done = (beta < tol) | (alpha_next < tol)
@@ -196,7 +202,7 @@ def _bidiag_core(
 			age = (deg - 1 - slot_ids) % ncv
 			valid = ((age < orth) & (age <= deg - 1)).astype(acc)
 			r = _masked_cgs(r, V_fin, valid, reorth_passes)
-		residual = jnp.where(done_fin, 0.0, jnp.sqrt(jnp.sum(r * r, axis=1)))
+		residual = jnp.where(done_fin, 0.0, norm_of(r))
 	return BidiagOutput(
 		alphas=alphas,
 		betas=betas,
@@ -232,14 +238,15 @@ def lanczos_bidiag(
 	recurrence conditioning.
 	"""
 	from .operators import aslinop
-	from .random import as_key
+	from .random import as_key, real_dtype
 
 	op = aslinop(A, dtype=dtype)
 	m, n = op.shape
 	deg = int(np.clip(deg, 1, min(m, n)))
 	orth = deg if (orth < 0 or orth > deg) else int(orth)
 	if V0 is None:
-		V0 = jax.random.normal(as_key(seed), (n, 1), op.dtype)
+		# Real starting probes even for complex operators (same Krylov space).
+		V0 = jax.random.normal(as_key(seed), (n, 1), real_dtype(op.dtype)).astype(op.dtype)
 	V0 = jnp.asarray(V0, op.dtype)
 	V0 = V0[:, None] if V0.ndim == 1 else V0
 	assert V0.shape[0] == n, f"V0 must have {n} rows; got {V0.shape}"

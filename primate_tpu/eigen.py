@@ -36,6 +36,55 @@ def _lobpcg_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol)
 	return theta, U
 
 
+class _Realified:
+	"""Real symmetric ``2n × 2n`` image ``[[B, −C], [C, B]]`` of a complex
+	Hermitian ``A = B + iC``: identical spectrum with doubled multiplicity, and
+	a real eigenvector ``[u_r; u_i]`` collapses to the complex eigenvector
+	``u_r + i·u_i`` (any unit vector of a doubled pair's 2-D eigenspace is some
+	phase ``e^{iφ}u``). One complex matmat per apply — LOBPCG stays real."""
+
+	def __init__(self, op):
+		from .random import real_dtype
+
+		self._op = op
+		n = op.shape[0]
+		self.shape = (2 * n, 2 * n)
+		self.dtype = real_dtype(op.dtype)
+
+	def matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		n = self._op.shape[0]
+		Vc = (V[:n] + 1j * V[n:]).astype(self._op.dtype)
+		Y = self._op.matmat(Vc)
+		return jnp.concatenate([jnp.real(Y), jnp.imag(Y)], axis=0).astype(V.dtype)
+
+	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		return self.matmat(v[:, None])[:, 0]
+
+
+def _collapse_realified(w2: np.ndarray, V2: np.ndarray, k: int, order: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+	"""Fold realified eigenpairs back to ≤k distinct complex eigenpairs.
+
+	Each real vector individually collapses to a valid complex eigenvector;
+	the doubled multiplicity shows up as a second (phase-rotated) copy, dropped
+	by the ``|⟨u, u_acc⟩|`` dedup."""
+	n = V2.shape[0] // 2
+	U = V2[:n] + 1j * V2[n:]
+	keep_w, keep_u = [], []
+	for i in order:
+		u = U[:, i]
+		nrm = np.linalg.norm(u)
+		if nrm < 1e-10:
+			continue
+		u = u / nrm
+		if any(abs(np.vdot(u, uj)) > 0.7 for uj in keep_u):
+			continue
+		keep_w.append(float(w2[i]))
+		keep_u.append(u)
+		if len(keep_w) == k:
+			break
+	return np.asarray(keep_w), (np.stack(keep_u, axis=1) if keep_u else np.zeros((n, 0), U.dtype))
+
+
 def _upper_bound(op, seed) -> float:
 	"""Cheap inflated upper bound on the spectrum (Rayleigh-Ritz sweep)."""
 	from .lanczos import rayleigh_ritz
@@ -72,11 +121,14 @@ def eigsh(
 	assert which in ("LA", "SA", "LM", "BE"), f"Unknown which='{which}'"
 	f_dtype = jnp.promote_types(op.dtype, jnp.float32)
 
+	is_cplx = jnp.dtype(op.dtype).kind == "c"
 	# LOBPCG needs 5·(search dim) < n; below that the operator is tiny anyway —
-	# densify (n matvecs) and eigendecompose directly.
-	if 5 * (k + 2) >= n:
+	# densify (n matvecs) and eigendecompose directly. Complex operators go
+	# through the realified 2n-dim solver (below), so their headroom doubles.
+	if 5 * (k + 2) >= n or (is_cplx and 5 * (min(2 * k + 2, 2 * n - 1) + 2) >= 2 * n):
 		Ad = jnp.asarray(op.todense(), f_dtype)
-		ws, Vs = np.linalg.eigh(np.asarray(0.5 * (Ad + Ad.T)))
+		sym = np.asarray(Ad)
+		ws, Vs = np.linalg.eigh(0.5 * (sym + sym.conj().T))
 		if which == "LA":
 			sel = np.arange(n - k, n)
 		elif which == "SA":
@@ -86,6 +138,36 @@ def eigsh(
 		else:  # BE: k//2 from the low end, the rest (incl. the odd extra) from the high end
 			sel = np.concatenate([np.arange(k // 2), np.arange(n - (k - k // 2), n)])
 		w, V = ws[sel], Vs[:, sel]
+		return (w, V) if return_eigenvectors else w
+
+	if is_cplx:
+		# Hermitian complex operators: LOBPCG over the REAL 2n-dim realified
+		# image (jax's lobpcg_standard is real-only), then fold the doubled
+		# pairs back to k complex eigenpairs.
+		if which == "BE":
+			k_top, k_bot = (k + 1) // 2, k // 2
+			w_t, V_t = eigsh(op, k=k_top, which="LA", maxiter=maxiter, tol=tol, seed=seed)
+			if k_bot > 0:
+				w_b, V_b = eigsh(op, k=k_bot, which="SA", maxiter=maxiter, tol=tol, seed=seed)
+				w = np.concatenate([w_b, w_t])
+				V = np.concatenate([np.asarray(V_b), np.asarray(V_t)], axis=1)
+			else:
+				w, V = w_t, np.asarray(V_t)
+			asc = np.argsort(w)
+			w, V = w[asc], V[:, asc]
+			return (w, V) if return_eigenvectors else w
+		k2 = min(2 * k + 2, 2 * n - 1)
+		w2, V2 = eigsh(_Realified(op), k=k2, which=which, maxiter=maxiter, tol=tol, seed=seed)
+		w2, V2 = np.asarray(w2), np.asarray(V2)
+		if which == "LA":
+			order = np.argsort(-w2)
+		elif which == "SA":
+			order = np.argsort(w2)
+		else:  # LM
+			order = np.argsort(-np.abs(w2))
+		w, V = _collapse_realified(w2, V2, k, order)
+		asc = np.argsort(w)
+		w, V = w[asc], V[:, asc]
 		return (w, V) if return_eigenvectors else w
 
 	key = as_key(seed)
@@ -177,4 +259,4 @@ def svds(
 		from .operators.sparse import _rmatmat
 
 		V = np.asarray(_rmatmat(op, jnp.asarray(U, op.dtype))) / safe[None, :]
-	return U, s, V.T
+	return U, s, np.conj(V).T  # Vh = V† (conj is a no-op for real V)

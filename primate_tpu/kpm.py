@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .operators import aslinop
-from .random import as_key, sample_isotropic
+from .random import as_key, real_dtype, sample_isotropic
 from .special import param_callable
 
 __all__ = ["chebyshev_moments", "kpm_trace", "kpm_density", "jackson_coefficients", "ChebyshevFunction"]
@@ -55,16 +55,20 @@ def _moment_scan(op, V: jnp.ndarray, m: int, c, r) -> jnp.ndarray:
 		AX = mm_t(Xt) if mm_t is not None else op.matmat(Xt.T).T
 		return ((AX.astype(Xt.dtype) - c * Xt) / r).astype(Xt.dtype)
 
+	# Hermitian (complex) operators: moments v†T_j(Ã)v are REAL — conjugate the
+	# bra and keep only the real part (both identities on the real path).
+	Vc = jnp.conj(Vt.astype(acc))
+	moment = lambda Tn: jnp.real(jnp.sum(Vc * Tn.astype(acc), axis=1))  # noqa: E731
+
 	T0 = Vt
 	T1 = apply_scaled(Vt)
-	mu0 = jnp.sum(Vt.astype(acc) * T0.astype(acc), axis=1)
-	mu1 = jnp.sum(Vt.astype(acc) * T1.astype(acc), axis=1)
+	mu0 = moment(T0)
+	mu1 = moment(T1)
 
 	def step(carry, _):
 		Tm1, Tm = carry
 		Tn = 2.0 * apply_scaled(Tm) - Tm1
-		mu = jnp.sum(Vt.astype(acc) * Tn.astype(acc), axis=1)
-		return (Tm, Tn), mu
+		return (Tm, Tn), moment(Tn)
 
 	if m <= 2:
 		return jnp.stack([mu0, mu1][:m])
@@ -103,8 +107,9 @@ def chebyshev_moments(
 	lo, hi = interval
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	key = as_key(seed)
-	V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=op.dtype)
-	mus = _moment_scan(op, V, int(m), jnp.asarray(c, V.dtype), jnp.asarray(r, V.dtype))
+	V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=real_dtype(op.dtype)).astype(op.dtype)
+	rd = real_dtype(V.dtype)
+	mus = _moment_scan(op, V, int(m), jnp.asarray(c, rd), jnp.asarray(r, rd))
 	return np.asarray(jnp.mean(mus, axis=1)), (lo, hi)
 
 
@@ -253,8 +258,9 @@ class ChebyshevFunction:
 			a = _chebyshev_coefficients(f, self._deg, c, r)  # (m,) — or (nt, m) stacked
 		g = np.asarray(jackson_coefficients(self._deg)) if damping == "jackson" else np.ones(self._deg)
 		# Damped coefficients are data (pytree leaf): same compiled program for
-		# any f/interval at a given degree.
-		self._ga = jnp.asarray(g * a, jnp.promote_types(self.dtype, jnp.float32))
+		# any f/interval at a given degree. They are REAL even for Hermitian
+		# (complex) operators — f maps the real spectrum to reals.
+		self._ga = jnp.asarray(g * a, real_dtype(jnp.promote_types(self.dtype, jnp.float32)))
 		self._c = jnp.asarray(c, self._ga.dtype)
 		self._r = jnp.asarray(r, self._ga.dtype)
 
@@ -279,7 +285,7 @@ class ChebyshevFunction:
 		acc = jnp.promote_types(self.dtype, jnp.float32)
 		Vt = Vt.astype(acc)
 		is_stacked = self._ga.ndim > 1
-		ga = jnp.atleast_2d(self._ga.astype(acc))  # (nt, m)
+		ga = jnp.atleast_2d(self._ga)  # (nt, m), real — promotes inside the fusion
 		nt, m = ga.shape
 
 		def app(B):  # Ã applied over leading axes: (nt, b, n) -> (nt, b, n)
@@ -321,25 +327,29 @@ class ChebyshevFunction:
 		acc = jnp.promote_types(self.dtype, jnp.float32)
 		Xt = Xt.astype(acc)
 		is_stacked = self._ga.ndim > 1
-		ga = jnp.atleast_2d(self._ga.astype(acc))  # (nt, m)
+		ga = jnp.atleast_2d(self._ga)  # (nt, m), real
 		m = ga.shape[1]
+		# Hermitian (complex) operators: per-probe moments x†T_j(Ã)x are REAL —
+		# conjugated bra, real part, real output dtype (identities when real).
+		Xc = jnp.conj(Xt)
+		moment = lambda Tn: jnp.real(jnp.sum(Xc * Tn, axis=1))  # noqa: E731
 		T0 = Xt
-		mu = ga[:, 0][:, None] * jnp.sum(Xt * T0, axis=1)  # (nt, b)
+		mu = ga[:, 0][:, None] * moment(T0)  # (nt, b)
 		if m > 1:
 			T1 = self._apply_t(Xt)
-			mu = mu + ga[:, 1][:, None] * jnp.sum(Xt * T1, axis=1)
+			mu = mu + ga[:, 1][:, None] * moment(T1)
 
 			def step(carry, gk):  # gk (nt,)
 				Tm1, Tm, acc_mu = carry
 				Tn = 2.0 * self._apply_t(Tm) - Tm1
-				acc_mu = acc_mu + gk[:, None] * jnp.sum(Xt * Tn, axis=1)
+				acc_mu = acc_mu + gk[:, None] * moment(Tn)
 				return (Tm, Tn, acc_mu), None
 
 			if m > 2:
 				(_, _, mu), _ = lax.scan(step, (T0, T1, mu), ga[:, 2:].T)
 		if not is_stacked:
 			mu = mu[0]
-		out = mu.astype(self.dtype)
+		out = mu.astype(real_dtype(self.dtype))
 		return out[..., 0] if single else out
 
 	def tree_flatten(self):

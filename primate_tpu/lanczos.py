@@ -325,9 +325,11 @@ def lanczos(
 	f_dtype = dtype or op.dtype
 	single = False
 	if v0 is None:
-		from .random import as_key
+		from .random import as_key, real_dtype
 
-		v0 = jax.random.uniform(as_key(seed), (n,), dtype=f_dtype, minval=-1.0, maxval=1.0)
+		# Random v0 is sampled REAL even for complex-Hermitian operators (the
+		# Krylov space is the same; α/β stay real either way).
+		v0 = jax.random.uniform(as_key(seed), (n,), dtype=real_dtype(f_dtype), minval=-1.0, maxval=1.0)
 	v0 = jnp.asarray(v0, dtype=f_dtype)
 	if v0.ndim == 1:
 		single, v0 = True, v0[:, None]

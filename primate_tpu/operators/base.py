@@ -74,11 +74,12 @@ class LinearOperator:
 		return self.matvec(v)
 
 	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
-		"""Adjoint block apply ``Aᵀ V`` (vmapped rmatvec fallback)."""
+		"""Adjoint block apply ``A† V`` — ``Aᵀ V`` for real operators
+		(vmapped rmatvec fallback)."""
 		return jax.vmap(self.rmatvec, in_axes=1, out_axes=1)(V)
 
 	def rmatmat_t(self, Ut: jnp.ndarray) -> jnp.ndarray:
-		"""Probe-major adjoint apply ``(Aᵀ Utᵀ)ᵀ`` on a ``(k, m)`` block
+		"""Probe-major adjoint apply ``(A† Utᵀ)ᵀ`` on a ``(k, m)`` block
 		(the Golub-Kahan sweep's second hot primitive; see ``matmat_t``)."""
 		return self.rmatmat(Ut.T).T
 
@@ -111,13 +112,13 @@ class DenseOperator(LinearOperator):
 		return Vt @ self.A.T  # (A Vtᵀ)ᵀ — same GEMM, no transposes materialized
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
-		return self.A.T @ v
+		return jnp.conj(self.A).T @ v  # adjoint A† (= Aᵀ for real; conj is a no-op then)
 
 	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
-		return self.A.T @ V
+		return jnp.conj(self.A).T @ V
 
 	def rmatmat_t(self, Ut: jnp.ndarray) -> jnp.ndarray:
-		return Ut @ self.A  # (Aᵀ Utᵀ)ᵀ — one GEMM, no transposes materialized
+		return Ut @ jnp.conj(self.A)  # (A† Utᵀ)ᵀ — one GEMM, no transposes materialized
 
 	def todense(self) -> jnp.ndarray:
 		return self.A

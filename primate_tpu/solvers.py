@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .operators import aslinop
+from .random import real_dtype as real_dtype_of
 
 __all__ = ["NystromPreconditioner", "cg", "nystrom_precond", "solve"]
 
@@ -58,7 +59,8 @@ class NystromPreconditioner:
 		self.coef = coef  # (s,) = (λ_s+μ)/(λ_i+μ) − 1
 
 	def apply_t(self, Rt: jnp.ndarray) -> jnp.ndarray:  # probe-major (k, n)
-		C = Rt @ self.U  # (k, s)
+		# Row-major P⁻¹: (UU†r)ᵀ = rᵀ·conj(U)·Uᵀ (conj is a no-op for real U).
+		C = Rt @ jnp.conj(self.U)  # (k, s)
 		return Rt + (C * self.coef[None, :]) @ self.U.T
 
 	def tree_flatten(self):
@@ -77,20 +79,21 @@ def nystrom_precond(A, rank: int = 64, mu: float = 0.0, seed=None) -> NystromPre
 	n = op.shape[0]
 	s = int(max(1, min(rank, n)))
 	acc = jnp.promote_types(op.dtype, jnp.float32)
-	Om = sample_isotropic(as_key(seed), (n, s), pdf="normal", dtype=op.dtype)
+	r_acc = real_dtype_of(acc)
+	Om = sample_isotropic(as_key(seed), (n, s), pdf="normal", dtype=real_dtype_of(op.dtype))
 	Om, _ = jnp.linalg.qr(Om.astype(acc))
 	Y = (op.matmat(Om.astype(op.dtype))).astype(acc)
-	nu = jnp.finfo(acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, acc))
+	nu = jnp.finfo(r_acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, r_acc))
 	Y = Y + nu * Om
-	L = jnp.linalg.cholesky(0.5 * ((Om.T @ Y) + (Y.T @ Om)))
+	L = jnp.linalg.cholesky(0.5 * ((jnp.conj(Om).T @ Y) + (jnp.conj(Y).T @ Om)))  # ½(Ω†Y + Y†Ω)
 	# Small (s×s) triangular inverse + GEMM instead of a triangular solve with
 	# an (s, n) RHS — back-substitution at that shape serializes on TPU.
 	L_inv = jax.scipy.linalg.solve_triangular(L, jnp.eye(s, dtype=acc), lower=True)
-	B = Y @ L_inv.T  # (n, s)
+	B = Y @ jnp.conj(L_inv).T  # (n, s) = Y L^{-H}
 	# Left singular vectors via eigh of the small (s×s) Gram matrix instead of
 	# an (n×s) SVD: one GEMM + a tiny eigendecomposition. Squares B's condition
 	# number, but a preconditioner only needs the spectrum approximately.
-	d, W = jnp.linalg.eigh(B.T @ B)
+	d, W = jnp.linalg.eigh(jnp.conj(B).T @ B)
 	d, W = d[::-1], W[:, ::-1]  # descending, like the SVD convention
 	safe = jnp.maximum(d, jnp.finfo(acc).tiny)
 	U = B @ (W * jax.lax.rsqrt(safe)[None, :])
@@ -122,19 +125,23 @@ def _cg_loop(
 	if matmat_t is None:
 		matmat_t = lambda Xt: matmat(Xt.T).T  # noqa: E731
 	acc = jnp.promote_types(B.dtype, jnp.float32)
+	# Hermitian (complex) operators: CG inner products conjugate the bra —
+	# ⟨r, z⟩ and ⟨p, Ap⟩ are REAL, so α/β and the stopping state stay real.
+	# Both conj and real are identities on the real path (lowering unchanged).
+	inner = lambda X, Y: jnp.real(jnp.sum(jnp.conj(X) * Y, axis=1))  # noqa: E731
 	Bt, X0t = B.T, X0.T
 	R0 = (Bt - matmat_t(X0t)).astype(acc)
 	Z0 = pre.apply_t(R0) if pre is not None else R0
-	b_norm2 = jnp.sum(Bt.astype(acc) ** 2, axis=1)
-	tol2 = (rtol**2) * jnp.maximum(b_norm2, jnp.finfo(acc).tiny)
+	b_norm2 = inner(Bt.astype(acc), Bt.astype(acc))
+	tol2 = (rtol**2) * jnp.maximum(b_norm2, jnp.finfo(b_norm2.dtype).tiny)
 
 	init = CGState(
 		it=jnp.zeros((), jnp.int32),
 		X=X0t.astype(acc),
 		R=R0,
 		P=Z0,
-		rs=jnp.sum(R0 * Z0, axis=1),
-		done=jnp.sum(R0 * R0, axis=1) <= tol2,
+		rs=inner(R0, Z0),
+		done=inner(R0, R0) <= tol2,
 	)
 
 	def cond(s: CGState):
@@ -142,13 +149,13 @@ def _cg_loop(
 
 	def body(s: CGState):
 		AP = matmat_t(s.P.astype(B.dtype)).astype(acc)
-		pAp = jnp.sum(s.P * AP, axis=1)
+		pAp = inner(s.P, AP)
 		alpha = jnp.where(s.done | (pAp == 0), 0.0, s.rs / jnp.where(pAp == 0, 1.0, pAp))
 		X = s.X + alpha[:, None] * s.P
 		R = s.R - alpha[:, None] * AP
 		Z = pre.apply_t(R) if pre is not None else R
-		rs_new = jnp.sum(R * Z, axis=1)
-		done = s.done | (jnp.sum(R * R, axis=1) <= tol2)
+		rs_new = inner(R, Z)
+		done = s.done | (inner(R, R) <= tol2)
 		beta = jnp.where(done | (s.rs == 0), 0.0, rs_new / jnp.where(s.rs == 0, 1.0, s.rs))
 		P = Z + beta[:, None] * s.P
 		return CGState(it=s.it + 1, X=X, R=R, P=P, rs=rs_new, done=done)
@@ -203,15 +210,22 @@ def cg(
 				d = _operator_diagonal(op)
 			else:
 				d = jnp.asarray(precond)
+			d = jnp.real(d)  # Hermitian diagonals are real (no-op for real d)
 			acc = jnp.promote_types(B.dtype, jnp.float32)
-			M_inv_diag = DiagPreconditioner(jnp.where(d != 0, 1.0 / d, 1.0).astype(acc))
+			M_inv_diag = DiagPreconditioner(jnp.where(d != 0, 1.0 / d, 1.0).astype(real_dtype_of(acc)))
 
-	if full:
-		# Diagnostic path (iterations / residuals) — not differentiable.
+	is_cplx = jnp.dtype(op.dtype).kind == "c"
+	if full or is_cplx:
+		# Diagnostic path (iterations / residuals) — not differentiable. Complex
+		# (Hermitian) systems also solve here: `custom_linear_solve(symmetric=
+		# True)` transposes with A itself, which is Aᵀ = conj(A) ≠ A for complex
+		# Hermitian operators — its cotangent solve would be silently wrong.
 		state = _cg_loop(op.matmat, B, X0, M_inv_diag, float(rtol), maxiter, matmat_t=getattr(op, "matmat_t", None))
 		X = state.X.astype(B.dtype)
 		X = X[:, 0] if single else X
-		res = np.sqrt(np.maximum(np.asarray(jax.device_get(jnp.sum(state.R * state.R, axis=0))), 0.0))
+		if not full:
+			return X
+		res = np.sqrt(np.maximum(np.asarray(jax.device_get(jnp.sum(jnp.abs(state.R) ** 2, axis=0))), 0.0))
 		return X, int(state.it), (res[0] if single else res)
 
 	# Differentiable path: implicit differentiation via custom_linear_solve —

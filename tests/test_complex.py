@@ -205,3 +205,88 @@ def test_sketch_estimators_real_lift_consistency():
 	assert np.isclose(pt.xnystrace(Arj, m=12, seed=52), pt.xnystrace(Ac, m=12, seed=52), rtol=1e-10)
 	assert np.allclose(pt.xdiag(Arj, m=2 * n, seed=53), pt.xdiag(Ac, m=2 * n, seed=53), rtol=1e-12)
 	assert np.allclose(pt.diagpp(Arj, m=8, seed=54), pt.diagpp(Ac, m=8, seed=54), rtol=1e-12)
+
+
+def test_cg_complex_hermitian():
+	rng = np.random.default_rng(60)
+	n = 64
+	A = _herm(n, rng.uniform(0.5, 2.0, n), seed=61)
+	b = rng.normal(size=n) + 1j * rng.normal(size=n)
+	x = pt.solve(A, jnp.asarray(b), rtol=1e-10)
+	assert np.linalg.norm(np.asarray(A) @ np.asarray(x) - b) < 1e-6
+	# block RHS + Nyström preconditioner
+	B = rng.normal(size=(n, 3)) + 1j * rng.normal(size=(n, 3))
+	X, nit, res = pt.cg(A, jnp.asarray(B), precond="nystrom", precond_rank=16, rtol=1e-10, full=True, precond_seed=62)
+	assert np.linalg.norm(np.asarray(A) @ np.asarray(X) - B) < 1e-6 and np.all(np.isreal(res))
+
+
+def test_eigsh_complex():
+	rng = np.random.default_rng(63)
+	n = 96
+	ew = np.sort(rng.uniform(-2.0, 2.0, n))
+	A = _herm(n, ew, seed=64)
+	w, V = pt.eigsh(A, k=4, which="LA", seed=65)
+	assert np.allclose(np.sort(w), ew[-4:], atol=1e-6)
+	Vn = np.asarray(V)
+	assert np.abs(np.asarray(A) @ Vn - Vn * w[None, :]).max() < 1e-4  # true eigenvectors
+	w_sa = pt.eigsh(A, k=3, which="SA", seed=66, return_eigenvectors=False)
+	assert np.allclose(np.sort(w_sa), ew[:3], atol=1e-5)
+	w_be, _ = pt.eigsh(A, k=4, which="BE", seed=67)
+	assert np.allclose(np.sort(w_be), np.concatenate([ew[:2], ew[-2:]]), atol=1e-5)
+
+
+def test_svds_complex():
+	rng = np.random.default_rng(68)
+	X = rng.normal(size=(60, 30)) + 1j * rng.normal(size=(60, 30))
+	sv = np.linalg.svd(np.asarray(X), compute_uv=False)
+	U, s, Vh = pt.svds(jnp.asarray(X), k=5, seed=69)
+	assert np.allclose(np.sort(s), np.sort(sv[:5]), atol=1e-8)
+	# U s Vh reproduces the best rank-5 approximation (phase-free check)
+	Ut, st, Vt = np.linalg.svd(np.asarray(X))
+	best5 = (Ut[:, :5] * sv[:5]) @ Vt[:5]
+	assert np.abs((np.asarray(U) * s) @ np.asarray(Vh) - best5).max() < 1e-8
+
+
+def test_kpm_and_chebyshev_complex():
+	rng = np.random.default_rng(70)
+	n = 96
+	ew = rng.uniform(-1.5, 1.5, n)
+	A = _herm(n, ew, seed=71)
+	lam, U = np.linalg.eigh(np.asarray(A))
+	# undamped full-degree Chebyshev matvec is exact for analytic f
+	C = pt.ChebyshevFunction(A, fun="exp", deg=64, damping="none")
+	v = rng.normal(size=n) + 1j * rng.normal(size=n)
+	want = (U * np.exp(lam)) @ U.conj().T @ v
+	assert np.abs(np.asarray(C @ jnp.asarray(v)) - want).max() < 1e-10
+	# quad is real and correct
+	W = rng.normal(size=(n, 4))
+	q = np.asarray(C.quad(jnp.asarray(W)))
+	expM = (U * np.exp(lam)) @ U.conj().T
+	assert q.dtype == np.float64
+	assert np.allclose(q, np.einsum("ij,ij->j", W, (expM @ W).real), atol=1e-8)
+	# kpm_trace statistical agreement
+	t = pt.kpm_trace(A, fun="exp", m=64, nv=64, seed=72)
+	assert abs(t - np.exp(lam).sum()) / np.exp(lam).sum() < 0.05
+
+
+def test_gkl_bidiag_complex():
+	from primate_tpu.bidiag import bidiag_jacobi, lanczos_bidiag
+	from primate_tpu.operators.sparse import GramOperator
+	from primate_tpu.tridiag import eigvalsh_tridiag
+
+	rng = np.random.default_rng(73)
+	m, n = 30, 20
+	X = jnp.asarray(rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n)))
+	sv = np.linalg.svd(np.asarray(X), compute_uv=False)
+	out = lanczos_bidiag(X, jnp.asarray(rng.normal(size=(n, 1)), np.complex128), deg=n, orth=n)
+	assert out.alphas.dtype == jnp.float64  # GKL coefficients are real norms
+	d, e = bidiag_jacobi(out.alphas, out.betas)
+	ev = np.sort(np.asarray(eigvalsh_tridiag(d[:, 0], e[:, 0])))
+	assert np.abs(np.sqrt(np.maximum(ev, 0)) - np.sort(sv)).max() < 1e-10
+	# MatrixFunction(GramOperator).quad routes through GKL and is exact at full degree
+	lam, U = np.linalg.eigh(np.asarray(X).conj().T @ np.asarray(X))
+	logM = (U * np.log(lam)) @ U.conj().T
+	W = rng.normal(size=(n, 3))
+	q = np.asarray(pt.MatrixFunction(GramOperator(X), "log", deg=n, orth=n).quad(jnp.asarray(W)))
+	assert q.dtype == np.float64
+	assert np.allclose(q, np.einsum("ij,ij->j", W, (logM @ W).real), atol=1e-8)
