@@ -208,7 +208,12 @@ def trace_bounds(
 	a, b = float(interval[0]), float(interval[1])
 
 	key = as_key(seed)
-	V = sample_isotropic(key, (n, int(nv)), pdf=pdf, dtype=op.dtype)
+	from .random import real_dtype
+
+	# Hermitian (complex) operators: REAL probes (α/β and all four rule
+	# estimates stay real — the bracket logic below is order-based).
+	Vr = sample_isotropic(key, (n, int(nv)), pdf=pdf, dtype=real_dtype(op.dtype))
+	V = Vr.astype(op.dtype)
 	from .operators.sparse import GramOperator
 
 	if isinstance(op, GramOperator):
@@ -230,8 +235,10 @@ def trace_bounds(
 		e = out.betas[: deg - 1].T  # (nv, deg-1)
 		beta_end = out.betas[deg - 1]  # (nv,) — the final residual, couples the Radau extension
 
-	acc = jnp.promote_types(op.dtype, jnp.float32)
-	norm2 = jnp.sum(jnp.asarray(V, acc) ** 2, axis=0)  # (nv,)
+	from .random import real_dtype as _rd
+
+	acc = _rd(jnp.promote_types(op.dtype, jnp.float32))
+	norm2 = jnp.sum(jnp.asarray(Vr, acc) ** 2, axis=0)  # (nv,)
 
 	def rule_estimates(nodes, weights):
 		return jnp.sum(f(nodes) * weights, axis=-1) * norm2  # per-probe quadratic forms

@@ -290,3 +290,25 @@ def test_gkl_bidiag_complex():
 	q = np.asarray(pt.MatrixFunction(GramOperator(X), "log", deg=n, orth=n).quad(jnp.asarray(W)))
 	assert q.dtype == np.float64
 	assert np.allclose(q, np.einsum("ij,ij->j", W, (logM @ W).real), atol=1e-8)
+
+
+def test_recipes_complex():
+	rng = np.random.default_rng(80)
+	n = 48
+	ew = rng.uniform(0.2, 2.0, n)
+	A = _herm(n, ew, seed=81)
+	ld = pt.recipes.logdet(A, deg=32, seed=82, converge="count", count=1024)
+	# |log det| is near zero for this spectrum — use an absolute MC-scale bound
+	assert abs(ld - np.log(ew).sum()) < 1.0
+	res = pt.recipes.trace_bounds(A, fun="log", deg=24, nv=16, seed=83, full=True)
+	lo, hi = res["lower"], res["upper"]
+	assert np.isreal(lo) and np.isreal(hi) and lo <= hi
+	# The bracket bounds QUADRATURE bias only; the MC spread remains — the true
+	# trace must lie within the bracket widened by a few probe-sample stderrs.
+	slack = 4 * res["mc_stderr"]
+	assert lo - slack <= np.log(ew).sum() <= hi + slack
+	# a real matrix lifted to complex dtype brackets identically (same seed)
+	Ar = np.asarray(pt.symmetric(n, ew=ew, pd=True, seed=84))
+	br = pt.recipes.trace_bounds(jnp.asarray(Ar), fun="log", deg=24, nv=16, seed=85)
+	bc = pt.recipes.trace_bounds(jnp.asarray(Ar.astype(np.complex128)), fun="log", deg=24, nv=16, seed=85)
+	assert np.allclose(br, bc, rtol=1e-10)
