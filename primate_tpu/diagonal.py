@@ -65,7 +65,7 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 	is_cplx = jnp.dtype(dtype).kind == "c"
 	if is_cplx:
 		acc = real_dtype(acc)
-	sample_dtype = real_dtype(dtype)
+	sample_dtype = jnp.dtype(dtype) if pdf == "phase" else real_dtype(dtype)
 	init = init_carry if init_carry is not None else _DiagCarry(
 		it=jnp.zeros((), jnp.int32),
 		numer=jnp.zeros(nout * n, acc),
@@ -83,10 +83,18 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 		v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=sample_dtype)[:, 0]
 		va = v.astype(dtype)
 		u = A.matvec(va) if hasattr(A, "matvec") else (A @ va)  # (n,) or (nout, n)
-		u = (jnp.real(u) if is_cplx else u).astype(acc)
-		v = v.astype(acc)
-		numer = c.numer + (u * v).reshape(-1)
-		denom = c.denom + v * v
+		if is_cplx:
+			# Per-entry Re(conj(v) ∘ Av): the ratio estimator of the (real)
+			# Hermitian diagonal for real OR phase probes alike.
+			u = jnp.real(jnp.conj(va) * u).astype(acc)
+			numer = c.numer + u.reshape(-1)
+			v = jnp.real(jnp.conj(va) * va).astype(acc)  # |v|² (≡ v∘v for real probes)
+			denom = c.denom + v
+		else:
+			u = u.astype(acc)
+			v = v.astype(acc)
+			numer = c.numer + (u * v).reshape(-1)
+			denom = c.denom + v * v
 		safe = jnp.where(denom == 0, 1.0, denom)
 		est = (numer.reshape(nout, n) / safe).reshape(-1)
 		new_mean = mean_update(c.mean, est[None, :])

@@ -107,7 +107,8 @@ def chebyshev_moments(
 	lo, hi = interval
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	key = as_key(seed)
-	V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=real_dtype(op.dtype)).astype(op.dtype)
+	s_dtype = op.dtype if pdf == "phase" else real_dtype(op.dtype)
+	V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=s_dtype).astype(op.dtype)
 	rd = real_dtype(V.dtype)
 	mus = _moment_scan(op, V, int(m), jnp.asarray(c, rd), jnp.asarray(r, rd))
 	return np.asarray(jnp.mean(mus, axis=1)), (lo, hi)

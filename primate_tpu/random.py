@@ -50,6 +50,7 @@ _ISO_DISTRIBUTIONS = {
 	"sphere": "sphere",
 	"signs": "rademacher",
 	"gaussian": "normal",
+	"phase": "phase",  # complex unit phases e^{iθ} — Hermitian operators only
 }
 
 
@@ -95,6 +96,14 @@ def sample_isotropic(
 	pdf = _ISO_DISTRIBUTIONS[pdf]
 	shape = (shape, 1) if isinstance(shape, int) else tuple(shape)
 	dtype = dtype or jnp.asarray(0.0).dtype
+	if pdf == "phase":
+		# Uniform unit phases (the complex rademacher analog): E[v v†] = I and
+		# every |v_i| = 1, so the Girard variance sees Σ_{i≠j}|A_ij|² — smaller
+		# than real-rademacher's 2·Σ Re(A_ij)² whenever off-diagonals are
+		# predominantly real. Hermitian (complex-dtype) operators only.
+		assert jnp.dtype(dtype).kind == "c", "pdf='phase' needs a complex dtype (Hermitian operators)."
+		theta = jax.random.uniform(key, shape, dtype=real_dtype(dtype), minval=0.0, maxval=2.0 * np.pi)
+		return jnp.exp(1j * theta).astype(dtype)
 	if pdf == "rademacher":
 		return jax.random.rademacher(key, shape, dtype=dtype)
 	W = jax.random.normal(key, shape, dtype=dtype)

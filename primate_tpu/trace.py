@@ -76,10 +76,12 @@ def _hutch_fused(
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
 	if jnp.dtype(dtype).kind == "c":
-		# Hermitian operator: sample REAL probes (unbiased — E[vvᵀ] = I) and
-		# keep estimator state real (v†Av is real; quad_form returns real).
+		# Hermitian operator: estimator state is REAL (v†Av ∈ ℝ; quad_form
+		# returns real). Probes are real too — unless pdf="phase", whose unit
+		# phases are the complex rademacher analog (variance Σ|A_ij|²).
 		acc = real_dtype(acc)
-		dtype = real_dtype(dtype)
+		if pdf != "phase":
+			dtype = real_dtype(dtype)
 	init = _HutchCarry(
 		it=jnp.zeros((), jnp.int32) if init_it is None else jnp.asarray(init_it, jnp.int32),
 		cov=make_cov_state(dim, acc) if init_cov is None else init_cov,
@@ -109,7 +111,8 @@ def _hutch_fused(
 def _hutch_step(A, key, it, *, n: int, batch: int, pdf: str):
 	"""One probe batch -> quadratic-form samples (host-stepped callback path)."""
 	k = jax.random.fold_in(key, it)
-	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=real_dtype(A.dtype))
+	s_dtype = A.dtype if pdf == "phase" else real_dtype(A.dtype)
+	V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=s_dtype)
 	return quad_form(A, V)
 
 

@@ -7,6 +7,7 @@ stay REAL, and probes stay real (unbiased: E[vvᵀ] = I and v†Av ∈ ℝ).
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 import primate_tpu as pt
@@ -312,3 +313,34 @@ def test_recipes_complex():
 	br = pt.recipes.trace_bounds(jnp.asarray(Ar), fun="log", deg=24, nv=16, seed=85)
 	bc = pt.recipes.trace_bounds(jnp.asarray(Ar.astype(np.complex128)), fun="log", deg=24, nv=16, seed=85)
 	assert np.allclose(br, bc, rtol=1e-10)
+
+
+def test_phase_probes():
+	"""pdf='phase' (complex unit phases): the complex-rademacher analog."""
+	from primate_tpu.random import sample_isotropic
+
+	V = np.asarray(sample_isotropic(jax.random.PRNGKey(0), (64, 400), pdf="phase", dtype=jnp.complex128))
+	assert np.allclose(np.abs(V), 1.0)  # unit modulus everywhere
+	C = (V @ V.conj().T) / V.shape[1]
+	assert np.abs(C - np.eye(64)).max() < 0.25  # E[vv†] = I
+
+	rng = np.random.default_rng(90)
+	n = 64
+	ew = rng.uniform(0.2, 2.0, n)
+	A = _herm(n, ew, seed=91)
+	tr = pt.hutch(A, pdf="phase", converge="count", count=512, seed=92)
+	assert np.isrealobj(np.asarray(tr)) and abs(float(tr) - ew.sum()) < 1.5
+	# diag: unit-modulus probes make the ratio denominators exact
+	d = np.asarray(pt.diag(A, pdf="phase", converge="count", count=2000, seed=93))
+	assert d.dtype == np.float64 and np.abs(d - np.diag(np.asarray(A)).real).mean() < 0.03
+	# kpm moments accept phase probes
+	lam = np.linalg.eigvalsh(np.asarray(A))
+	t = pt.kpm_trace(A, fun="exp", m=48, nv=64, pdf="phase", seed=94)
+	assert abs(t - np.exp(lam).sum()) / np.exp(lam).sum() < 0.08
+	# real operators reject phase probes with a clear message
+	Ar = jnp.asarray(np.asarray(pt.symmetric(32, seed=95)))
+	try:
+		pt.hutch(Ar, pdf="phase", converge="count", count=8, seed=96)
+		raise RuntimeError("phase pdf on a real operator should be rejected")
+	except AssertionError as e:
+		assert "complex" in str(e)
