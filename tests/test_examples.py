@@ -68,3 +68,23 @@ assert np.allclose(np.sort(s)[::-1], s_true[:3], rtol=1e-3)
 print("ok", sp)
 """
 	)
+
+
+def test_tight_binding_example_components():
+	_run(
+		"""
+import numpy as np
+from examples.tight_binding import hofstadter_hamiltonian
+import primate_tpu as pt
+from primate_tpu.operators.sparse import CSROperator
+H = hofstadter_hamiltonian(12, 12, alpha=0.2)
+op = CSROperator.from_scipy(H)
+assert np.dtype(op.dtype).kind == "c"  # complex64 under default-x32, complex128 under x64
+ts, dos = pt.kpm_density(op, m=64, nv=8, pdf="phase", seed=0)
+tr = pt.hutch(op, pdf="phase", converge="count", count=128, seed=1)
+assert np.all(np.isfinite(dos)) and abs(float(tr)) < 30.0  # tr H = 0 exactly
+z = pt.recipes.heat_kernel_trace(op, t=np.array([0.5, 1.0]), deg=24, seed=2, converge="count", count=16)
+assert np.all(np.isfinite(np.asarray(z)))
+print("ok", float(tr))
+"""
+	)
