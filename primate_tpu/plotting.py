@@ -11,7 +11,15 @@ from typing import Optional, Sequence, Union
 
 import numpy as np
 
-__all__ = ["figure_csm", "figure_jacobi", "figure_orth_poly", "figure_sequence", "figure_error"]
+__all__ = [
+	"add_confidence_band",
+	"figure_csm",
+	"figure_error",
+	"figure_fun",
+	"figure_jacobi",
+	"figure_orth_poly",
+	"figure_sequence",
+]
 
 
 def _sample_values(estimator) -> np.ndarray:
@@ -99,6 +107,64 @@ def figure_orth_poly(alpha, beta, k: Optional[int] = None, domain=None, ax=None)
 		ax.plot(dom, P[:, d], lw=1.5, label=f"d={d}")
 	ax.set_title("Orthogonal polynomials (three-term recurrence)")
 	ax.legend(loc="lower right", fontsize=8)
+	return ax
+
+
+def figure_fun(fun, bounds: tuple = (-1.0, 1.0), ax=None, **kwargs):
+	"""Plot a spectral function (builtin name or callable) over ``bounds``.
+
+	Parity: reference `plotting.py:202-211` declares ``figure_fun`` but leaves
+	it commented out; this is the working version. Builtin names resolve through
+	`special.param_callable` with ``**kwargs`` forwarded (e.g.
+	``figure_fun("smoothstep", a=0.1, b=0.9)``).
+	"""
+	import matplotlib.pyplot as plt
+
+	from .special import param_callable
+
+	assert isinstance(fun, str) or callable(fun), "'fun' must be string or callable."
+	name = fun if isinstance(fun, str) else getattr(fun, "__name__", "fun")
+	f = param_callable(fun, **kwargs) if isinstance(fun, str) else fun
+	dom = np.linspace(bounds[0], bounds[1], 250, endpoint=True)
+	out = np.asarray(f(dom))
+	if ax is None:
+		_, ax = plt.subplots(figsize=(3.2, 3.2))
+	ax.plot(dom, out, lw=1.5)
+	ax.set_title(f"fun = {name}")
+	ax.set_xlabel(r"$\lambda$")
+	return ax
+
+
+def add_confidence_band(ax, estimator: Union[object, Sequence], confidence: float = 0.95, **kwargs):
+	"""Shade the running CLT confidence band around the cumulative mean.
+
+	Parity: reference `plotting.py:98-114` sketches ``add_confidence_band`` in
+	a comment block (bokeh ``Band`` around ``sample_avgs ± quantile·std_err``);
+	this is the working version, layered onto an existing axis — typically one
+	produced by `figure_sequence`.
+	"""
+	import scipy.special as spc
+
+	sample_vals = _sample_values(estimator)
+	x = sample_vals[~np.isnan(sample_vals)]
+	idx = np.arange(1, len(x) + 1)
+	avgs = np.cumsum(x) / idx
+	quantile = np.sqrt(2.0) * spc.erfinv(confidence)
+	# Running sample std (ddof=1) from cumulative moments; undefined at n=1.
+	cum_sq = np.cumsum(x**2)
+	n = idx.astype(float)
+	var = np.maximum(cum_sq / n - avgs**2, 0.0) * n / np.maximum(n - 1, 1)
+	std_err = np.sqrt(var / n)
+	moe = quantile * std_err
+	ax.fill_between(
+		idx,
+		avgs - moe,
+		avgs + moe,
+		alpha=kwargs.pop("alpha", 0.3),
+		color=kwargs.pop("color", "yellow"),
+		edgecolor=kwargs.pop("edgecolor", "black"),
+		**kwargs,
+	)
 	return ax
 
 

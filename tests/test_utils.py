@@ -81,6 +81,23 @@ def test_figures_render():
 	ax = figure_error(result.estimator)  # CI-bound branch
 	assert "CI bound" in ax.get_ylabel()
 
+	from primate_tpu.plotting import add_confidence_band, figure_fun
+
+	ax = figure_fun("smoothstep", a=0.1, b=0.9)
+	assert "smoothstep" in ax.get_title()
+	ax = figure_fun(np.exp, bounds=(0.0, 2.0))
+	(line,) = ax.get_lines()
+	assert np.allclose(line.get_ydata(), np.exp(line.get_xdata()))
+
+	ax = figure_sequence(result.estimator)
+	n_coll = len(ax.collections)
+	ax = add_confidence_band(ax, result.estimator)
+	assert len(ax.collections) == n_coll + 1  # the shaded band was added
+	band = ax.collections[-1].get_paths()[0].vertices
+	# Band must straddle the running mean at the final sample index.
+	est_final = float(np.mean(np.ravel(np.asarray(result.estimator.values))))
+	assert band[:, 1].min() <= est_final <= band[:, 1].max()
+
 
 def test_arr_summary_formats():
 	from primate_tpu.estimators import arr_summary
