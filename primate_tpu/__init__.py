@@ -36,7 +36,7 @@ from .estimators import (
 	ToleranceCriterion,
 	convergence_criterion,
 )
-from .integrate import lobatto_rule, quadrature, radau_rule
+from .integrate import lanczos_quadrature, lobatto_rule, quadrature, radau_rule
 from .kpm import ChebyshevFunction, kpm_density, kpm_trace
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, auto_operator, matrix_function, normalize_unit
@@ -82,6 +82,7 @@ __all__ = [
 	"nystrom_precond",
 	"operators",
 	"lobatto_rule",
+	"lanczos_quadrature",
 	"quadrature",
 	"radau_rule",
 	"random",

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from .fttr import fttr_weights
 from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
-__all__ = ["quadrature", "radau_rule", "lobatto_rule", "spectral_quad_form", "spectral_density"]
+__all__ = ["quadrature", "lanczos_quadrature", "radau_rule", "lobatto_rule", "spectral_quad_form", "spectral_density"]
 
 
 def spectral_density(*args, **kwargs):
@@ -212,3 +212,9 @@ def quadrature(
 		weights = jnp.asarray(weights).at[...].set(tau)
 		return nodes, weights
 	return theta, tau
+
+
+# Drop-in alias: the reference documents this entry point as
+# ``quadrature.lanczos_quadrature`` (docs/src/reference/lanczos_quadrature.qmd)
+# with the identical (d, e, deg, quad, nodes, weights) signature.
+lanczos_quadrature = quadrature

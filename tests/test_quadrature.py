@@ -43,6 +43,12 @@ def test_quadrature_weights_sum_to_one():
 	assert np.isclose(np.asarray(tau).sum(), 1.0, atol=1e-10)
 
 
+def test_lanczos_quadrature_alias():
+	"""`lanczos_quadrature` is the reference docs' name for `quadrature`
+	(docs/src/reference/lanczos_quadrature.qmd) — a drop-in alias."""
+	assert pt.lanczos_quadrature is pt.quadrature
+
+
 def test_quadrature_batched():
 	rng = np.random.default_rng(17)
 	n, nv = 12, 3
