@@ -24,7 +24,7 @@ from . import kpm, operators, random, recipes, special, stats
 from .bidiag import lanczos_bidiag
 from .density import cumulative_spectral_density, spectral_density
 from .diagonal import diag, diagpp, xdiag
-from .eigen import eigsh, svds
+from .eigen import eigsh, rand_nystrom, rsvd, svds
 from .estimators import (
 	ConfidenceCriterion,
 	ControlVariableEstimator,
@@ -66,6 +66,8 @@ __all__ = [
 	"diagpp",
 	"eigh_tridiag",
 	"eigsh",
+	"rand_nystrom",
+	"rsvd",
 	"eigvalsh_tridiag",
 	"haar",
 	"hermitian",

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from .operators import aslinop
 
-__all__ = ["eigsh", "svds"]
+__all__ = ["eigsh", "rand_nystrom", "rsvd", "svds"]
 
 
 def _lobpcg_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -260,3 +260,106 @@ def svds(
 
 		V = np.asarray(_rmatmat(op, jnp.asarray(U, op.dtype))) / safe[None, :]
 	return U, s, np.conj(V).T  # Vh = V† (conj is a no-op for real V)
+
+
+def _gaussian_sketch(key, shape, dtype):
+	"""Standard (complex when ``dtype`` is complex) Gaussian test matrix."""
+	if jnp.issubdtype(dtype, jnp.complexfloating):
+		from .random import real_dtype
+
+		kr, ki = jax.random.split(key)
+		rd = real_dtype(dtype)
+		sc = jnp.asarray(np.sqrt(0.5), rd)
+		return (jax.random.normal(kr, shape, rd) * sc + 1j * (jax.random.normal(ki, shape, rd) * sc)).astype(dtype)
+	return jax.random.normal(key, shape, dtype)
+
+
+def rsvd(
+	X,
+	k: int = 6,
+	oversample: int = 8,
+	n_iter: int = 2,
+	seed=None,
+	dtype=None,
+):
+	"""Rank-``k`` randomized SVD of a (rectangular) matrix-free operator.
+
+	Halko–Martinsson–Tropp range finder with ``n_iter`` QR-stabilized subspace
+	(power) iterations: every step is an operator application on a full
+	``(·, k+oversample)`` block — GEMM/SpMM on the MXU — plus a thin QR; the
+	only small dense factorization is the SVD of the ``(k+oversample, n)``
+	projected matrix. Complex operators get complex Gaussian test matrices and
+	return ``Vh = V†``.
+
+	Complements :func:`svds` (LOBPCG on the Gram operator — iterate-to-
+	tolerance, best for a few extremal triplets): `rsvd` has a *fixed* cost of
+	``2·n_iter + 2`` block applications and excels when the spectrum decays.
+
+	Beyond-reference capability (the reference ships no low-rank
+	approximation); the analog of its gram-trick spectral sums upgraded to
+	factors. Returns ``(U, s, Vh)`` with ``s`` DESCENDING (`np.linalg.svd`
+	convention; note :func:`svds` follows scipy's ascending order).
+	"""
+	from .operators.sparse import _rmatmat
+	from .random import as_key
+
+	op = aslinop(X, dtype=dtype)
+	m, n = op.shape
+	ell = int(min(k + oversample, min(m, n)))
+	assert 0 < k <= ell, f"k must be in (0, min(m, n)]; got k={k}, shape={op.shape}"
+	key = as_key(seed)
+
+	Om = _gaussian_sketch(key, (n, ell), op.dtype)
+	Q, _ = jnp.linalg.qr(op.matmat(Om))  # (m, ell) orthonormal range sketch
+	for _ in range(int(n_iter)):
+		Z, _ = jnp.linalg.qr(_rmatmat(op, Q))  # (n, ell)
+		Q, _ = jnp.linalg.qr(op.matmat(Z))
+	B = jnp.conj(_rmatmat(op, Q)).T  # (ell, n) = Q† X
+	Ub, s, Vh = jnp.linalg.svd(B, full_matrices=False)
+	U = Q @ Ub
+	return np.asarray(U[:, :k]), np.asarray(s[:k]), np.asarray(Vh[:k])
+
+
+def rand_nystrom(A, rank: int = 6, oversample: int = 8, seed=None, dtype=None):
+	"""Rank-``rank`` randomized Nyström approximation ``Â = U diag(w) U†`` of a
+	PSD operator.
+
+	Single-pass, shift-stabilized (Tropp-Yurtsever-Udell-Cevher 2017): ONE
+	block application ``Y = AΩ`` against an orthonormalized Gaussian sketch,
+	then ``Â = Y (Ω†Y)⁻¹ Y†`` factored through a Cholesky of the small core and
+	a thin SVD — all GEMMs plus ``(s×s)``/``(n×s)`` dense factorizations. The
+	ν-shift regularizes the core Cholesky; ν is subtracted back from the
+	eigenvalues.
+
+	This is the *approximation-grade* sibling of
+	:func:`~primate_tpu.solvers.nystrom_precond` (which trades accuracy for
+	speed via a Gram eigh — fine for clustering a spectrum, not for factors)
+	and the input to deflation workflows: feed ``(w, U)`` to
+	`operators.DeflatedOperator` / `recipes.deflated_trace` to split a spectral
+	sum into an exact low-rank part plus a small stochastic remainder.
+
+	Returns ``(w, U)`` with ``w`` DESCENDING and ``U`` orthonormal ``(n, rank)``.
+	Beyond-reference capability.
+	"""
+	op = aslinop(A, dtype=dtype)
+	n = op.shape[0]
+	assert op.shape[0] == op.shape[1], "rand_nystrom requires a square (PSD) operator"
+	from .random import as_key, real_dtype
+
+	ell = int(min(rank + oversample, n))
+	assert 0 < rank <= ell
+	acc = jnp.promote_types(op.dtype, jnp.float32)
+	r_acc = real_dtype(acc)
+
+	Om = _gaussian_sketch(as_key(seed), (n, ell), op.dtype)
+	Om, _ = jnp.linalg.qr(Om.astype(acc))
+	Y = op.matmat(Om.astype(op.dtype)).astype(acc)
+	nu = jnp.finfo(r_acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, r_acc))
+	Y = Y + nu * Om
+	core = 0.5 * ((jnp.conj(Om).T @ Y) + (jnp.conj(Y).T @ Om))  # ½(Ω†Y + Y†Ω), Hermitian
+	L = jnp.linalg.cholesky(core)
+	L_inv = jax.scipy.linalg.solve_triangular(L, jnp.eye(ell, dtype=acc), lower=True)
+	B = Y @ jnp.conj(L_inv).T  # (n, ell), Â = BB†
+	U, s, _ = jnp.linalg.svd(B, full_matrices=False)  # accurate path: thin SVD, no Gram squaring
+	w = jnp.maximum(s**2 - nu, 0.0)
+	return np.asarray(w[:rank]), np.asarray(U[:, :rank])

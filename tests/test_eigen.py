@@ -92,3 +92,78 @@ def test_svds_values_only_and_validation():
 	assert s.shape == (2,)
 	with pytest.raises(AssertionError):
 		pt.svds(X, k=20)
+
+
+# ---- randomized low-rank approximation: rsvd / rand_nystrom ----------------
+
+
+def test_rsvd_recovers_singular_triplets():
+	rng = np.random.default_rng(0)
+	m, n, k = 120, 80, 8
+	sv = np.concatenate([np.linspace(10, 5, k), 1e-3 * rng.uniform(size=n - k)])
+	U0, _ = np.linalg.qr(rng.normal(size=(m, n)))
+	V0, _ = np.linalg.qr(rng.normal(size=(n, n)))
+	X = (U0 * sv) @ V0.T
+	U, s, Vh = pt.rsvd(X, k=k, seed=1)
+	assert np.abs(s - sv[:k]).max() < 1e-5  # descending, like np.linalg.svd
+	assert np.allclose(U.T @ U, np.eye(k), atol=1e-6)
+	assert np.allclose(Vh @ Vh.T, np.eye(k), atol=1e-6)
+	# Near-optimal reconstruction: within 1.5x of the best rank-k error.
+	err = np.linalg.norm(X - (U * s) @ Vh)
+	assert err < 1.5 * np.linalg.norm(sv[k:]) + 1e-6
+
+
+def test_rsvd_matrix_free_and_seeded():
+	"""rsvd runs on an implicit operator and is deterministic under a seed."""
+	n = 64
+	ew = np.concatenate([np.linspace(6, 3, 4), 1e-4 * np.ones(n - 4)])
+	A = pt.symmetric(n, pd=True, ew=ew, seed=2)
+	gram = pt.operators.GramOperator(A)  # implicit AᵀA, never formed
+	U1, s1, _ = pt.rsvd(gram, k=4, seed=3)
+	U2, s2, _ = pt.rsvd(gram, k=4, seed=3)
+	assert np.array_equal(s1, s2) and np.array_equal(U1, U2)
+	assert np.abs(s1 - np.sort(ew)[::-1][:4] ** 2).max() < 1e-4
+
+
+def test_rand_nystrom_psd_factors():
+	rng = np.random.default_rng(4)
+	n, k = 100, 6
+	ew = np.concatenate([np.linspace(20, 10, k), 1e-5 * rng.uniform(size=n - k)])
+	A = pt.symmetric(n, ew=ew, pd=True, seed=5)
+	w, U = pt.rand_nystrom(A, rank=k, seed=6)
+	assert np.all(np.diff(w) <= 0)  # descending
+	assert np.abs(w - ew[:k][np.argsort(ew[:k])[::-1]]).max() < 1e-3
+	assert np.allclose(U.T @ U, np.eye(k), atol=1e-8)
+	# PSD approximation error bounded by the tail mass.
+	Ah = (U * w) @ U.T
+	assert np.linalg.norm(np.asarray(A) - Ah, 2) < 10 * ew[k:].max() + 1e-3
+
+
+def test_rand_nystrom_complex_hermitian():
+	ew = np.concatenate([np.linspace(8, 4, 4), 1e-5 * np.ones(56)])
+	H = pt.random.hermitian(60, ew=ew, seed=7)
+	w, U = pt.rand_nystrom(H, rank=4, seed=8)
+	assert np.abs(w - ew[:4]).max() < 1e-3
+	assert np.allclose(np.conj(U).T @ U, np.eye(4), atol=1e-8)
+	# Factors are genuinely complex eigenvector approximations: residual check.
+	r = np.asarray(H) @ U - U * w[None, :]
+	assert np.abs(r).max() < 0.05
+
+
+def test_rand_nystrom_feeds_deflated_trace():
+	"""The advertised workflow: Nyström factors → exact+stochastic trace split."""
+	rng = np.random.default_rng(9)
+	n, k = 80, 5
+	ew = np.concatenate([np.linspace(50, 20, k), rng.uniform(0.1, 1.0, n - k)])
+	A = pt.symmetric(n, ew=ew, pd=True, seed=10)
+	w, U = pt.rand_nystrom(A, rank=k, seed=11)
+	# Exact part = tr(U†AU), NOT Σw: Nyström eigenvalues are biased low under a
+	# heavy tail, while the Rayleigh-quotient trace keeps the split exact for
+	# ANY orthonormal U — tr(A) = tr(U†AU) + tr(PAP), P = I − UU†.
+	Uj = jnp.asarray(U)
+	exact = float(jnp.trace(jnp.conj(Uj).T @ (A @ Uj)))
+	D = pt.operators.DeflatedOperator(A, Uj)
+	rest = pt.hutch(D, converge="count", count=256, seed=12)
+	est = exact + float(rest)
+	# Variance comes only from the small tail, so the tolerance scales with it.
+	assert abs(est - ew.sum()) < 10 / np.sqrt(n) * np.sqrt(ew[k:].max())
