@@ -1,22 +1,59 @@
-"""Signature-based kwargs routing helpers.
+"""Signature-based kwargs routing.
 
-Parity: reference `src/primate/typing.py:5-14` (restrict_kwargs / setdiff_kwargs).
-These power the kwarg-first configuration style of the estimator entry points:
-string-registered criteria / pdfs are constructed from the subset of ``**kwargs``
-their constructors accept.
+The reference configures everything through plain function kwargs routed by
+signature introspection (``src/primate/typing.py:5-14``); string-registered
+criteria / pdfs are constructed from whichever subset of ``**kwargs`` their
+constructors accept.  This module provides the same two routing operations
+plus a combined splitter, built on a cached signature probe that understands
+``**kwargs``-accepting callables (which must receive everything).
 """
 
+from __future__ import annotations
+
+import functools
 import inspect
-from typing import Callable
+from typing import Any, Callable, Mapping
 
 
-def restrict_kwargs(fun: Callable, kwargs: dict) -> dict:
-	"""Restrict ``kwargs`` to keys that are parameters of ``fun``."""
-	valid = set(inspect.signature(fun).parameters)
-	return {k: v for k, v in kwargs.items() if k in valid}
+@functools.lru_cache(maxsize=256)
+def _accepted_names(fun: Callable) -> frozenset | None:
+	"""Parameter names ``fun`` accepts, or ``None`` if it takes ``**kwargs``.
+
+	``None`` signals "accepts anything": routing then forwards the full dict.
+	Unhashable / signature-less callables degrade to accepting nothing.
+	"""
+	try:
+		sig = inspect.signature(fun)
+	except (TypeError, ValueError):  # builtins, some C callables
+		return frozenset()
+	names = []
+	for p in sig.parameters.values():
+		if p.kind is inspect.Parameter.VAR_KEYWORD:
+			return None
+		if p.kind is not inspect.Parameter.VAR_POSITIONAL:
+			names.append(p.name)
+	return frozenset(names)
 
 
-def setdiff_kwargs(f: Callable, kwargs: dict) -> dict:
-	"""Return the subset of ``kwargs`` that are NOT parameters of ``f``."""
-	valid = set(inspect.signature(f).parameters)
-	return {k: kwargs[k] for k in set(kwargs) - valid}
+def split_kwargs(fun: Callable, kwargs: Mapping[str, Any]) -> tuple[dict, dict]:
+	"""Partition ``kwargs`` into (accepted-by-``fun``, everything-else)."""
+	try:
+		names = _accepted_names(fun)
+	except TypeError:  # unhashable callable: probe without the cache
+		names = _accepted_names.__wrapped__(fun)
+	if names is None:
+		return dict(kwargs), {}
+	taken, rest = {}, {}
+	for key, val in kwargs.items():
+		(taken if key in names else rest)[key] = val
+	return taken, rest
+
+
+def restrict_kwargs(fun: Callable, kwargs: Mapping[str, Any]) -> dict:
+	"""The subset of ``kwargs`` that ``fun``'s signature accepts."""
+	return split_kwargs(fun, kwargs)[0]
+
+
+def setdiff_kwargs(f: Callable, kwargs: Mapping[str, Any]) -> dict:
+	"""The subset of ``kwargs`` that ``f``'s signature does NOT accept."""
+	return split_kwargs(f, kwargs)[1]
