@@ -139,34 +139,66 @@ class DenseOperator(LinearOperator):
 
 @jax.tree_util.register_pytree_node_class
 class FunctionOperator(LinearOperator):
-	"""Wrap an arbitrary jittable callable ``V ↦ A V`` as an operator.
+	"""Wrap an arbitrary callable ``V ↦ A V`` as an operator.
 
 	Replaces the reference's ``PyLinearOperator`` callback bridge
 	(`pylinop.h:16-73`) — with no FFI boundary, the callable simply traces into
 	the estimator program. The callable must accept ``(n, k)`` blocks (pass
 	``batched=False`` to lift a single-vector matvec via `vmap`).
+
+	``traceable=False`` is the escape hatch for host-only callables (numpy,
+	C extensions, IO): the apply routes through :func:`jax.pure_callback`, so
+	the operator still composes with the fused jitted estimator programs — the
+	device program pauses at each apply, ships ``V`` to the host, and resumes
+	with the result (the TPU analog of the reference's per-matvec C++→Python
+	round trip, `pylinop.h:32-40`). The callable must be pure and is handed
+	numpy arrays.
 	"""
 
-	def __init__(self, fn: Callable, shape: Tuple[int, int], dtype=None, batched: bool = True, captures: tuple = ()):
+	def __init__(
+		self,
+		fn: Callable,
+		shape: Tuple[int, int],
+		dtype=None,
+		batched: bool = True,
+		captures: tuple = (),
+		traceable: bool = True,
+	):
 		self.fn = fn
 		self.shape = tuple(shape)
 		self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(0.0).dtype
 		self.batched = batched
+		self.traceable = traceable
 		self.captures = tuple(captures)  # pytree leaves the callable closes over
 
-	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+	def _apply_fn(self, V: jnp.ndarray) -> jnp.ndarray:
 		if self.batched:
 			return self.fn(V) if not self.captures else self.fn(*self.captures, V)
 		f = (lambda v: self.fn(v)) if not self.captures else (lambda v: self.fn(*self.captures, v))
 		return jax.vmap(f, in_axes=1, out_axes=1)(V)
 
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		if self.traceable:
+			return self._apply_fn(V)
+		out_spec = jax.ShapeDtypeStruct((self.shape[0], V.shape[1]), self.dtype)
+
+		def _host(*args):
+			*caps, Vh = (np.asarray(a) for a in args)
+			if self.batched:
+				out = self.fn(*caps, Vh)
+			else:
+				out = np.stack([self.fn(*caps, Vh[:, j]) for j in range(Vh.shape[1])], axis=1)
+			return np.asarray(out, dtype=self.dtype.name).reshape(out_spec.shape)
+
+		return jax.pure_callback(_host, out_spec, *self.captures, V, vmap_method="sequential")
+
 	def tree_flatten(self):
-		return self.captures, (self.fn, self.shape, self.dtype, self.batched)
+		return self.captures, (self.fn, self.shape, self.dtype, self.batched, self.traceable)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		fn, shape, dtype, batched = aux
-		return cls(fn, shape, dtype=dtype, batched=batched, captures=tuple(children))
+		fn, shape, dtype, batched, traceable = aux
+		return cls(fn, shape, dtype=dtype, batched=batched, captures=tuple(children), traceable=traceable)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -305,6 +337,15 @@ def aslinop(A: Any, dtype=None) -> LinearOperator:
 			from .sparse import CSROperator
 
 			return CSROperator.from_scipy(A, dtype=dtype)
+		# scipy LinearOperators compute on host numpy by construction — route
+		# their applies through the pure_callback bridge so they still compose
+		# with the fused device programs (reference analog: PyLinearOperator).
+		import scipy.sparse.linalg as spsla
+
+		if isinstance(A, spsla.LinearOperator):
+			n, m = A.shape
+			dt = dtype or getattr(A, "dtype", None) or jnp.float64
+			return FunctionOperator(lambda V: A.matmat(V), (n, m), dtype=dt, batched=True, traceable=False)
 	except ImportError:  # pragma: no cover
 		pass
 	if is_linear_op(A):

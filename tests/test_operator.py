@@ -338,3 +338,47 @@ def test_matrix_function_quad_rule_gram_brackets():
 	assert np.all(ql <= truth + 1e-8)
 	assert np.all(qg >= truth - 1e-8)
 	assert np.all(qh >= truth - 1e-8)
+
+
+def test_host_operator_pure_callback_bridge():
+	"""Non-traceable (pure numpy) operators ride through jax.pure_callback.
+
+	Parity: the reference accepts any Python object with .matvec via its
+	PyLinearOperator FFI bridge (`pylinop.h:16-73`); here a scipy
+	LinearOperator (host numpy by construction) must compose with the FUSED
+	estimator programs and with the Lanczos sweep.
+	"""
+	import scipy.sparse.linalg as spla
+
+	A, ew, rng = _fixture(n=48)
+	n = A.shape[0]
+	calls = []
+
+	def mv(v):
+		calls.append(1)
+		return A @ np.asarray(v)  # np.asarray on a tracer would raise under jit
+
+	Aop = spla.LinearOperator((n, n), matvec=mv, dtype=np.float64)
+
+	# auto-routing: aslinop marks scipy LinearOperators non-traceable
+	op = aslinop(Aop)
+	assert isinstance(op, FunctionOperator) and not op.traceable
+
+	est = pt.hutch(Aop, seed=2, converge="count", count=128)
+	assert len(calls) > 0, "host matvec was never invoked"
+	assert abs(est - ew.sum()) <= 10 / np.sqrt(n)
+
+	a, b = pt.lanczos(Aop, deg=n, orth=n)
+	assert np.allclose(np.sort(np.asarray(pt.eigvalsh_tridiag(a, b))), np.sort(ew), atol=1e-8)
+
+	# explicit wrapper: batched host callable with captures
+	def block_fn(M, V):
+		return np.asarray(M) @ np.asarray(V)
+
+	op2 = FunctionOperator(block_fn, (n, n), dtype=np.float64, batched=True, captures=(jnp.asarray(A),), traceable=False)
+	V = rng.normal(size=(n, 3))
+	assert np.allclose(np.asarray(op2.matmat(jnp.asarray(V))), A @ V, atol=1e-12)
+
+	# explicit wrapper: unbatched host matvec lifts column-wise
+	op3 = FunctionOperator(lambda v: A @ np.asarray(v), (n, n), dtype=np.float64, batched=False, traceable=False)
+	assert np.allclose(np.asarray(op3.matmat(jnp.asarray(V))), A @ V, atol=1e-12)
