@@ -22,6 +22,7 @@ __version__ = "0.1.0"
 
 from . import kpm, operators, random, recipes, special, stats
 from .bidiag import lanczos_bidiag
+from .block_krylov import block_lanczos, block_quadrature, block_slq_trace
 from .density import cumulative_spectral_density, spectral_density
 from .diagonal import diag, diagpp, xdiag
 from .eigen import eigsh, rand_nystrom, rsvd, svds
@@ -78,6 +79,9 @@ __all__ = [
 	"kpm_trace",
 	"lanczos",
 	"lanczos_block",
+	"block_lanczos",
+	"block_quadrature",
+	"block_slq_trace",
 	"lanczos_bidiag",
 	"matrix_function",
 	"normalize_unit",
