@@ -25,7 +25,7 @@ from .estimators import (
 	convergence_criterion,
 )
 from .operators import aslinop, is_valid_operator
-from .random import as_key, real_dtype, sample_isotropic
+from .random import as_key, classify_pdf, real_dtype, sample_isotropic
 from .stats import MeanState, make_mean_state, mean_update
 
 __all__ = ["diag", "diagpp", "xdiag"]
@@ -135,7 +135,7 @@ def diag(
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
-	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
+	pdf_kind = classify_pdf(pdf)  # "size"-style callables sample on host per probe
 	criterion = convergence_criterion(converge, **kwargs)
 	from .estimators import criterion_needs_values
 
@@ -176,7 +176,7 @@ def diag(
 			m2=jnp.asarray(st["m2"], acc),
 		)
 
-	if callback is None and not record and is_jittable_criterion(criterion):
+	if callback is None and not record and is_jittable_criterion(criterion) and pdf_kind != "size":
 		carry = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout)
 		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
@@ -210,7 +210,12 @@ def diag(
 		it = 0
 	result = EstimatorResult(estimator, criterion)
 	while not bool(criterion(estimator)) and it < maxiter:
-		v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=op.dtype)[:, 0]
+		if pdf_kind == "size":
+			# Reference semantics (`diagonal.py:71-78`): stateful closure draws
+			# on host; the matvec runs on device.
+			v = jnp.asarray(np.asarray(pdf(size=(N,))).reshape(N), dtype=op.dtype)
+		else:
+			v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=op.dtype)[:, 0]
 		u = op.matvec(v) if hasattr(op, "matvec") else op @ v
 		numer = numer + (u * v).reshape(-1)
 		denom = denom + v * v
@@ -279,6 +284,8 @@ def diagpp(A, m: Optional[int] = None, pdf: str = "rademacher", seed=None) -> np
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
+	if classify_pdf(pdf) == "size":
+		raise NotImplementedError("diagpp samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	n = op.shape[0]
 	if int(np.prod(op.shape)) == 0:
 		return np.zeros(0)
@@ -330,6 +337,8 @@ def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndar
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
+	if classify_pdf(pdf) == "size":
+		raise NotImplementedError("xdiag samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	n = op.shape[0]
 	m = 2 * n if m is None else min(int(m) + (int(m) % 2), 2 * n)
 	m = m // 2

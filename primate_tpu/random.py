@@ -75,6 +75,31 @@ def as_key(seed: Union[int, np.random.Generator, jax.Array, None] = None) -> jax
 	return jax.random.key(int(seed))
 
 
+def classify_pdf(pdf) -> str:
+	"""Classify a ``pdf`` argument: "string" | "key" | "size".
+
+	The reference accepts callables everywhere a distribution name is allowed
+	(`trace.py:34`, its closures are numpy-style ``pdf(size=...)``). Here two
+	callable conventions are supported:
+
+	  * "key"  — jax-traceable ``(key, shape, dtype) -> array``; rides inside
+	    the fused device programs via :func:`sample_isotropic`.
+	  * "size" — numpy-style ``pdf(size=...)`` (typically stateful, e.g. a
+	    closure over a Generator); estimators that support it sample on host
+	    in their host-stepped loop, exactly like the reference's hot loop.
+	"""
+	if isinstance(pdf, str):
+		return "string"
+	assert callable(pdf), f"pdf must be a distribution name or a callable; got {type(pdf)}"
+	import inspect
+
+	try:
+		params = inspect.signature(pdf).parameters
+	except (TypeError, ValueError):
+		params = {}
+	return "size" if "size" in params else "key"
+
+
 def sample_isotropic(
 	key: jax.Array,
 	shape: Union[int, tuple],
@@ -92,6 +117,15 @@ def sample_isotropic(
 	Returns:
 		Array of the given shape whose columns satisfy ``E[v vᵀ] = I``.
 	"""
+	if callable(pdf):
+		# Custom jax-traceable sampler ``(key, shape, dtype) -> array`` — the
+		# stateless analog of the reference's callable pdfs (`trace.py:34`).
+		# Isotropy (E[vvᵀ] = I) is the caller's contract, as upstream.
+		shape = (shape, 1) if isinstance(shape, int) else tuple(shape)
+		dtype = dtype or jnp.asarray(0.0).dtype
+		out = jnp.asarray(pdf(key, shape, dtype))
+		assert out.shape == shape, f"custom pdf returned shape {out.shape}, expected {shape}"
+		return out
 	assert pdf in _ISO_DISTRIBUTIONS, f"Invalid distribution '{pdf}' supplied."
 	pdf = _ISO_DISTRIBUTIONS[pdf]
 	shape = (shape, 1) if isinstance(shape, int) else tuple(shape)

@@ -41,7 +41,7 @@ from .estimators import (
 )
 from .linalg import qr_append, update_trinv_block
 from .operators import aslinop, is_valid_operator, quad_form
-from .random import as_key, real_dtype, sample_isotropic
+from .random import as_key, classify_pdf, real_dtype, sample_isotropic
 from .stats import CovState, cov_matrix, cov_update, make_cov_state
 
 __all__ = ["hutch", "hutchpp", "xnystrace", "xtrace"]
@@ -116,6 +116,9 @@ def _hutch_step(A, key, it, *, n: int, batch: int, pdf: str):
 	return quad_form(A, V)
 
 
+_quad_form_jit = jax.jit(quad_form)  # host-sampled probe blocks ("size"-style pdfs)
+
+
 def hutch(
 	A,
 	batch: int = 32,
@@ -178,7 +181,7 @@ def hutch(
 		return 0.0 if not full else (0.0, EstimatorResult(MeanEstimator(covariance=True), criterion))
 
 	key = as_key(seed)
-	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
+	pdf_kind = classify_pdf(pdf)  # "size"-style callables sample on host per batch
 
 	# A STACKED spectral function (operator.quad returns (nt..., batch), see
 	# special.stacked) estimates the whole family from the shared sweeps: the
@@ -208,7 +211,7 @@ def hutch(
 		init_cov = CovState(n=jnp.asarray(st.n, jnp.int32), mu=jnp.asarray(st.mu, acc), S=jnp.asarray(st.S, acc))
 		init_it = n_seen // int(batch)
 
-	if callback is None and is_jittable_criterion(criterion):
+	if callback is None and is_jittable_criterion(criterion) and pdf_kind != "size":
 		carry = _hutch_fused(
 			op, criterion, key, init_cov, init_it,
 			n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record, dim=dim,
@@ -247,7 +250,13 @@ def hutch(
 	result = EstimatorResult(estimator, criterion)
 	it = 0 if init_it is None else int(init_it)
 	while not bool(criterion(estimator)) and it < maxiter:
-		samples = np.asarray(_hutch_step(op, key, it, n=N, batch=int(batch), pdf=pdf))
+		if pdf_kind == "size":
+			# Reference hot-loop semantics (`trace.py:114-115`): the stateful
+			# closure draws on host; only the quadratic forms run on device.
+			V = jnp.asarray(np.asarray(pdf(size=(N, int(batch)))), dtype=real_dtype(op.dtype))
+			samples = np.asarray(_quad_form_jit(op, V.astype(op.dtype)))
+		else:
+			samples = np.asarray(_hutch_step(op, key, it, n=N, batch=int(batch), pdf=pdf))
 		estimator.update(samples.reshape(dim, -1).T if samples.ndim > 1 else samples)
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
@@ -320,6 +329,8 @@ def hutchpp(
 	N = op.shape[0]
 	if int(np.prod(op.shape)) == 0:
 		return 0.0 if not full else (0.0, EstimatorResult())
+	if classify_pdf(pdf) == "size":
+		raise NotImplementedError("hutchpp samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	nb = (N // 3) if m is None else int(m)
 	nb = max(3, nb + (-nb) % 3)  # round UP to a multiple of 3; ≥3 so tiny N can't divide by zero
 	if converge is not None:
@@ -426,7 +437,8 @@ def xnystrace(
 		return 0.0 if not full else (0.0, EstimatorResult())
 	m_ = (N // 3) if m is None else int(m)
 	m_ = max(2, min(m_, N))  # ≥2 so every leave-one-out sketch is nonempty
-	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
+	if classify_pdf(pdf) == "size":
+		raise NotImplementedError("xnystrace samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	t_samples = _xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf)
 	estimator = MeanEstimator(covariance=True)
 	estimator.update(t_samples)
@@ -595,7 +607,8 @@ def xtrace(
 		)
 	record = record or criterion_needs_values(criterion)
 
-	assert isinstance(pdf, str), "Custom callable pdfs: pass samples via the functional API instead."
+	if classify_pdf(pdf) == "size":
+		raise NotImplementedError("xtrace samples inside fused growth rounds; pass a jax-style pdf(key, shape, dtype) callable.")
 	sphere_flag = jnp.asarray(pdf == "sphere")
 	key = as_key(seed)
 

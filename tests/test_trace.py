@@ -232,3 +232,40 @@ def test_hutchpp_adaptive_mode():
 	# Non-adaptive path is unchanged by the new kwarg.
 	e0 = pt.hutchpp(A, m=18, seed=2)
 	assert abs(e0 - tr) < 6.0
+
+
+def test_callable_pdf_key_style_fused():
+	"""jax-style pdf(key, shape, dtype) callables ride inside the fused program
+	(reference parity: hutch accepts Callable pdfs, `trace.py:34`)."""
+	import jax.random as jr
+
+	A, tr, _ = _fixture(50)
+
+	def keypdf(key, shape, dtype):
+		return jr.normal(key, shape, dtype)
+
+	est = pt.hutch(A, pdf=keypdf, seed=1, converge="count", count=512)
+	assert abs(est - tr) <= 10 / np.sqrt(50)
+	# reproducible
+	assert est == pt.hutch(A, pdf=keypdf, seed=1, converge="count", count=512)
+	# sketch estimators take key-style callables too
+	assert abs(pt.hutchpp(A, pdf=keypdf, seed=4) - tr) <= 10 / np.sqrt(50)
+	assert abs(pt.xtrace(A, pdf=keypdf, seed=5) - tr) <= 10 / np.sqrt(50)
+
+
+def test_callable_pdf_size_style_host():
+	"""numpy-style pdf(size=...) closures (the reference's own convention,
+	`trace.py:97`) run on the host-stepped path; fused-only estimators raise."""
+	import pytest
+
+	A, tr, _ = _fixture(50)
+	rng = np.random.default_rng(7)
+
+	def sizepdf(size=None):
+		return rng.choice([-1.0, 1.0], size=size)
+
+	est = pt.hutch(A, pdf=sizepdf, converge="count", count=256)
+	assert abs(est - tr) <= 10 / np.sqrt(50)
+	for fn in (pt.hutchpp, pt.xtrace, pt.xnystrace):
+		with pytest.raises(NotImplementedError, match="jax-style"):
+			fn(A, pdf=sizepdf, seed=1)
