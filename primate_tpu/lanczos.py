@@ -54,6 +54,7 @@ class LanczosOutput(NamedTuple):
 	betas: jnp.ndarray
 	Q: Optional[jnp.ndarray]
 	y: Optional[jnp.ndarray] = None  # Σ_t coeffs[t]·q_t when coeffs given (2-pass f(A)v)
+	reorth_steps: Optional[jnp.ndarray] = None  # (deg,) bool — selective-reorth trigger trace
 
 
 def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_basis: bool) -> Tuple[int, int, int]:
@@ -70,7 +71,7 @@ def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_bas
 	return deg, orth, ncv
 
 
-@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype"))
+@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype", "selective"))
 def lanczos_block_op(
 	op,
 	V0: jnp.ndarray,
@@ -82,6 +83,7 @@ def lanczos_block_op(
 	return_basis: bool = True,
 	coeffs: Optional[jnp.ndarray] = None,
 	basis_dtype=None,
+	selective: bool = False,
 ) -> LanczosOutput:
 	"""`lanczos_block` with the operator as a PYTREE argument.
 
@@ -94,11 +96,11 @@ def lanczos_block_op(
 	return _lanczos_core(
 		op.matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
 		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
-		matmat_t=getattr(op, "matmat_t", None),
+		matmat_t=getattr(op, "matmat_t", None), selective=selective,
 	)
 
 
-@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype", "matmat_t"))
+@partial(jax.jit, static_argnames=("matmat", "deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype", "matmat_t", "selective"))
 def lanczos_block(
 	matmat: Callable[[jnp.ndarray], jnp.ndarray],
 	V0: jnp.ndarray,
@@ -111,6 +113,7 @@ def lanczos_block(
 	coeffs: Optional[jnp.ndarray] = None,
 	basis_dtype=None,
 	matmat_t: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+	selective: bool = False,
 ) -> LanczosOutput:
 	"""Run ``deg`` Lanczos steps on a block of probes ``V0 (n, nv)`` — pure/jittable.
 
@@ -134,10 +137,25 @@ def lanczos_block(
 	``y = Σ_t coeffs[t]·q_t`` in O(n·nv) memory — the second pass of two-pass
 	Lanczos ``f(A)v``, which never materializes the (deg, n, nv) basis.
 	Early-exit columns stop contributing automatically (q_t → 0).
+
+	``selective=True`` enables ω-monitored partial re-orthogonalization
+	(Simon 1984): the scalar ω-recurrence estimates every ⟨q_{j+1}, q_t⟩ at
+	O(ncv·nv) per step (no n-sized work), and the CGS window pass runs under
+	``lax.cond`` only on steps where max|ω| crosses √eps — cleaning TWO
+	consecutive vectors per breach so the β-coupling cannot re-inject the
+	loss. Semiorthogonality (‖QᵀQ − I‖ ≲ √eps) is maintained, which keeps the
+	Jacobi coefficients fully accurate; the trigger rate adapts to the
+	spectrum (benign spectra: a few percent of steps; a converged dominant
+	Ritz pair: every other step — the theoretical requirement). Use
+	``ncv=deg`` (the driver `lanczos(..., selective=True)` forces this): the ω
+	slots are window-cyclic, so a short window would track the wrong vectors.
+	The per-step trigger trace is returned as ``reorth_steps``. The ``orth``
+	parameter is ignored when selective is on.
 	"""
 	return _lanczos_core(
 		matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
 		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype, matmat_t=matmat_t,
+		selective=selective,
 	)
 
 
@@ -154,6 +172,7 @@ def _lanczos_core(
 	coeffs: Optional[jnp.ndarray],
 	basis_dtype=None,
 	matmat_t: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+	selective: bool = False,
 ) -> LanczosOutput:
 	n, nv = V0.shape
 	dtype = V0.dtype
@@ -169,7 +188,7 @@ def _lanczos_core(
 	# dtype/acc_dtype, so Jacobi coefficients keep full precision and only the
 	# re-orth *corrections* (second-order) and the returned basis are truncated.
 	b_dtype = jnp.dtype(basis_dtype) if basis_dtype is not None else dtype
-	keep_window = return_basis or orth > 0
+	keep_window = return_basis or orth > 0 or selective
 
 	# The whole sweep runs PROBE-MAJOR: state is (nv, n), window (ncv, nv, n).
 	# With the contiguous n axis on vector lanes, no array pads its lane
@@ -193,6 +212,22 @@ def _lanczos_core(
 	# coeffs (deg, nv) — or (deg, ..., nv) for a STACKED family of expansions
 	# sharing this sweep (multi-f two-pass matvec); y broadcasts accordingly.
 	y0 = jnp.zeros(coeffs.shape[1:] + (n,), acc_dtype) if coeffs is not None else jnp.zeros((0,), acc_dtype)
+	# Selective (partial) re-orthogonalization state — Simon's ω-recurrence:
+	# ω_j[t] estimates ⟨q_j, q_t⟩ for every window slot at O(ncv·nv) per step
+	# (no n involved). The CGS pass then runs under `lax.cond` only on steps
+	# where max|ω| crosses √eps — long stretches of a well-behaved sweep skip
+	# the window traffic entirely. (The reference has no analog: its C++ loop
+	# re-orthogonalizes unconditionally, `lanczos.h:132-136`.)
+	eps_noise = jnp.asarray(float(jnp.finfo(r_dtype).eps) * np.sqrt(n), r_dtype)
+	sel_tol = jnp.sqrt(jnp.asarray(float(jnp.finfo(r_dtype).eps), r_dtype))
+	om0 = jnp.zeros((nv, ncv), r_dtype).at[:, 0].set(1.0) if selective else jnp.zeros((0,), r_dtype)
+	sel0 = (
+		jnp.zeros((nv, ncv), r_dtype),  # ω_{j-1}
+		om0,  # ω_j (j=0: only q0 itself)
+		jnp.zeros((nv, ncv), r_dtype),  # α_t per slot
+		jnp.zeros((nv, ncv), r_dtype),  # β_t per slot (coupling q_{t-1}→q_t)
+		jnp.asarray(False),  # force: a breach last step → clean this step too
+	) if selective else ()
 	carry0 = (
 		jnp.zeros((nv, n), dtype),  # q_prev
 		q0,  # q_cur
@@ -200,14 +235,24 @@ def _lanczos_core(
 		jnp.zeros(nv, r_dtype),  # beta_j (coupling into the current step; real)
 		jnp.zeros(nv, bool),  # done
 		y0,
-	)
+	) + sel0
 
 	# Re-orth window validity: slot s at step j holds q_t with age (j - s) mod ncv;
 	# valid if the slot was written (age <= j) and within the last `orth` vectors.
 	slot_ids = jnp.arange(ncv)
 
+	def _cgs_window(v, Q_win, valid):
+		"""reorth_passes of classical Gram-Schmidt against the masked window."""
+		for _ in range(max(1, reorth_passes)):
+			if is_cplx:
+				proj = jnp.sum(jnp.conj(Q_win) * v[None, :, :], axis=2) * valid[:, None]
+			else:
+				proj = jnp.sum(Q_win * v[None, :, :], axis=2) * valid[:, None]
+			v = v - jnp.sum(Q_win * proj[:, :, None].astype(acc_dtype), axis=0)
+		return v
+
 	def step(carry, j):
-		q_prev, q_cur, Q_win, beta_j, done, y = carry
+		q_prev, q_cur, Q_win, beta_j, done, y, *sel = carry
 		if coeffs is not None:
 			y = y + coeffs[j][..., None].astype(acc_dtype) * q_cur.astype(acc_dtype)
 		with jax.named_scope("lanczos_matmat"):  # xprof/trace label (SURVEY §5.1)
@@ -220,23 +265,62 @@ def _lanczos_core(
 			alpha_j = jnp.sum(v * qc, axis=1)
 		v = v - alpha_j[:, None] * qc
 
-		if orth > 0:
+		if selective:
+			om_pp, om_p, a_win, b_win, force = sel
+			# ω-recurrence level j+1 (estimates ⟨q_{j+1}, q_t⟩ for window slots),
+			# using the pre-reorth residual norm as the β_{j+1} denominator.
+			if is_cplx:
+				beta_est = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=1))
+			else:
+				beta_est = jnp.sqrt(jnp.sum(v * v, axis=1))
+			slot_j = j % ncv
+			a_win = a_win.at[:, slot_j].set(alpha_j.astype(r_dtype))
+			b_win = b_win.at[:, slot_j].set(beta_j.astype(r_dtype))
+			# neighbors in t map to adjacent slots (slot = t mod ncv)
+			om_tp1 = jnp.roll(om_p, -1, axis=1)
+			om_tm1 = jnp.roll(om_p, 1, axis=1)
+			b_tp1 = jnp.roll(b_win, -1, axis=1)
+			num = b_tp1 * om_tp1 + (a_win - alpha_j[:, None].astype(r_dtype)) * om_p + b_win * om_tm1 - beta_j[:, None] * om_pp
+			om_next = num / jnp.where(beta_est > 0, beta_est, jnp.inf)[:, None].astype(r_dtype)
+			om_next = om_next + jnp.sign(om_next) * eps_noise + eps_noise  # rounding-noise floor
+			age_next = (j + 1 - slot_ids) % ncv  # slot ages at level j+1
+			written_next = age_next <= j + 1
+			tracked = written_next & (age_next >= 2)  # exclude q_{j+1} itself and q_j (locally orthogonal)
+			om_next = jnp.where(tracked[None, :], om_next, 0.0)
+			om_next = om_next.at[:, slot_j].set(eps_noise)  # ⟨q_{j+1}, q_j⟩ ≈ ε (local orthogonality)
+			om_next = om_next.at[:, (j + 1) % ncv].set(1.0)  # q_{j+1} against itself
+			# one collective trigger for the whole probe block (a per-probe cond
+			# would vmap into a select — executing both branches for everyone)
+			live = jnp.abs(om_next) * (~done)[:, None].astype(r_dtype)
+			breach = jnp.any(live * tracked[None, :].astype(r_dtype) > sel_tol)
+			# A breach cleans TWO consecutive vectors (Simon's rule): q_j's
+			# own lost orthogonality re-enters q_{j+2} through the β-coupling,
+			# so cleaning q_{j+1} alone just re-fires every other step.
+			trigger = breach | force
+			valid_all = ((j - slot_ids) % ncv <= j).astype(r_dtype)  # every written slot incl. q_j
+			with jax.named_scope("lanczos_selective_reorth"):
+				v = lax.cond(trigger, lambda v: _cgs_window(v, Q_win, valid_all), lambda v: v, v)
+			# after a CGS2 pass the window components sit at the noise floor —
+			# floor BOTH carried ω levels (q_{j+1} is clean now; q_j will be
+			# clean after the forced pass next step)
+			om_next = jnp.where(trigger & tracked[None, :], jnp.sign(om_next) * eps_noise, om_next)
+			om_p_out = jnp.where(trigger & (slot_ids != (j % ncv))[None, :], jnp.sign(om_p) * eps_noise, om_p)
+			sel = (om_p_out, om_next, a_win, b_win, breach)
+			trig_out = trigger
+		else:
+			trig_out = jnp.asarray(False)
+		if not selective and orth > 0:
 			age = (j - slot_ids) % ncv
 			valid = ((age < orth) & (age <= j)).astype(r_dtype)  # (ncv,)
 			with jax.named_scope("lanczos_reorth"):  # xprof/trace label (SURVEY §5.1)
-				for _ in range(max(1, reorth_passes)):
-					# Broadcast-multiply + lane-axis reductions, NOT dot_general:
-					# the contraction over n with the probe axis as batch
-					# lowers to per-probe GEMVs on the MXU (slow); as
-					# elementwise+reduce it streams the window on the VPU.
-					# Q_win is used at its storage dtype — mixed-dtype multiply
-					# promotes inside the fusion, so no materialized f32 copy
-					# of the (ncv, nv, n) window per step.
-					if is_cplx:
-						proj = jnp.sum(jnp.conj(Q_win) * v[None, :, :], axis=2) * valid[:, None]
-					else:
-						proj = jnp.sum(Q_win * v[None, :, :], axis=2) * valid[:, None]  # (ncv, b)
-					v = v - jnp.sum(Q_win * proj[:, :, None].astype(acc_dtype), axis=0)
+				# Broadcast-multiply + lane-axis reductions, NOT dot_general:
+				# the contraction over n with the probe axis as batch
+				# lowers to per-probe GEMVs on the MXU (slow); as
+				# elementwise+reduce it streams the window on the VPU.
+				# Q_win is used at its storage dtype — mixed-dtype multiply
+				# promotes inside the fusion, so no materialized f32 copy
+				# of the (ncv, nv, n) window per step.
+				v = _cgs_window(v, Q_win, valid)
 
 		if is_cplx:
 			beta_next = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=1))
@@ -266,14 +350,15 @@ def _lanczos_core(
 				new_slot = q_next.astype(b_dtype)
 			Q_win = lax.dynamic_update_index_in_dim(Q_win, new_slot, slot, axis=0)
 
-		return (q_cur, q_next, Q_win, beta_next, done | newly_done, y), (alpha_out, beta_out)
+		return (q_cur, q_next, Q_win, beta_next, done | newly_done, y) + tuple(sel), (alpha_out, beta_out, trig_out)
 
-	(_, _, Q_win, _, _, y_fin), (alphas, betas) = lax.scan(step, carry0, jnp.arange(deg))
+	(_, _, Q_win, _, _, y_fin, *_sel_fin), (alphas, betas, trig_trace) = lax.scan(step, carry0, jnp.arange(deg))
 	return LanczosOutput(
 		alphas=alphas,
 		betas=betas,
 		Q=jnp.swapaxes(Q_win, 1, 2) if keep_window else None,  # → (ncv, n, nv) API layout
 		y=jnp.swapaxes(y_fin, -1, -2) if coeffs is not None else None,  # → (..., n, nv)
+		reorth_steps=trig_trace if selective else None,
 	)
 
 
@@ -290,6 +375,7 @@ def lanczos(
 	ncv: Optional[int] = None,
 	reorth_passes: int = 2,
 	basis_dtype=None,
+	selective: bool = False,
 	**kwargs,
 ) -> tuple:
 	r"""Lanczos tridiagonalization: build ``T = Qᵀ A Q`` from a symmetric operator.
@@ -307,6 +393,11 @@ def lanczos(
 	eigensolves densify anyway since deg ≲ 100).
 
 	Parity: reference `lanczos.py:25-117`.
+
+	``selective=True`` replaces the fixed ``orth`` window policy with
+	ω-monitored partial re-orthogonalization: full-reorthogonalization
+	accuracy at a per-step cost that adapts to the spectrum (see
+	:func:`lanczos_block`). Implies ``ncv = deg``.
 	"""
 	from .operators import aslinop
 
@@ -320,6 +411,11 @@ def lanczos(
 	n = op.shape[0]
 	deg = n if deg is None else min(int(deg), n)
 	assert deg > 0, "Number of steps must be positive!"
+	if selective:
+		# ω-monitored partial reorthogonalization needs the whole basis window
+		# to project against when it fires; the ω bookkeeping is slot-cyclic,
+		# so a short window would silently track the wrong vectors.
+		ncv = deg
 	deg, orth, ncv = _validate_params(n, deg, orth, ncv, return_basis)
 
 	f_dtype = dtype or op.dtype
@@ -337,7 +433,7 @@ def lanczos(
 
 	out = lanczos_block_op(
 		op, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
-		return_basis=return_basis, basis_dtype=basis_dtype,
+		return_basis=return_basis, basis_dtype=basis_dtype, selective=selective,
 	)
 	a = out.alphas.astype(f_dtype)  # (deg, nv)
 	b = out.betas[: deg - 1].astype(f_dtype)  # (deg-1, nv)
