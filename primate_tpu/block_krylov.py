@@ -63,11 +63,19 @@ class BlockLanczosOutput(NamedTuple):
 
 
 def _qr_pos(W: jnp.ndarray):
-	"""Thin QR with a nonnegative-diagonal R (deterministic sign convention)."""
+	"""Thin QR with a nonnegative-real-diagonal R (deterministic sign convention).
+
+	For complex ``W`` the sign flip generalizes to a unit-phase rotation per
+	column: ``Q ← Q·diag(p)``, ``R ← diag(p̄)·R`` with ``p = d/|d|``.
+	"""
 	Q, R = jnp.linalg.qr(W, mode="reduced")
 	d = jnp.diagonal(R)
-	s = jnp.where(d < 0, -1.0, 1.0).astype(W.dtype)
-	return Q * s[None, :], R * s[:, None]
+	if jnp.iscomplexobj(W):
+		mag = jnp.abs(d)
+		p = jnp.where(mag > 0, d / jnp.where(mag > 0, mag, 1.0), 1.0 + 0.0j)
+	else:
+		p = jnp.where(d < 0, -1.0, 1.0).astype(W.dtype)
+	return Q * p[None, :], R * jnp.conj(p)[:, None]
 
 
 @partial(jax.jit, static_argnames=("matmat", "deg", "reorth", "return_basis"))
@@ -78,10 +86,20 @@ def _block_lanczos_core(
 	reorth: bool = True,
 	return_basis: bool = False,
 ) -> BlockLanczosOutput:
-	"""``deg`` block Lanczos steps from ``V0 (n, b)`` — pure/jittable."""
+	"""``deg`` block Lanczos steps from ``V0 (n, b)`` — pure/jittable.
+
+	Complex-Hermitian operators are handled by the package-wide convention
+	(conjugated bra-side inner products; the diagonal blocks Aⱼ are Hermitian
+	and T stays Hermitian, so eigh-based quadrature is unchanged). V0 may be
+	real even when the operator is complex — the first apply promotes it.
+	"""
 	n, b = V0.shape
 	acc = jnp.promote_types(V0.dtype, jnp.float32)
 	V0 = V0.astype(acc)
+	out_aval = jax.eval_shape(matmat, jax.ShapeDtypeStruct((n, b), acc))
+	if jnp.issubdtype(out_aval.dtype, jnp.complexfloating):
+		acc = jnp.promote_types(acc, out_aval.dtype)
+		V0 = V0.astype(acc)
 	Q1, R0 = _qr_pos(V0)
 
 	keep_basis = reorth or return_basis
@@ -92,14 +110,14 @@ def _block_lanczos_core(
 	def step(carry, j):
 		V_prev, V_cur, B_prev, basis = carry
 		W = matmat(V_cur).astype(acc)
-		Aj = V_cur.T @ W
-		Aj = 0.5 * (Aj + Aj.T)
-		W = W - V_cur @ Aj - V_prev @ B_prev.T
+		Aj = V_cur.conj().T @ W
+		Aj = 0.5 * (Aj + Aj.conj().T)
+		W = W - V_cur @ Aj - V_prev @ B_prev.conj().T
 		if reorth:
 			# two CGS passes against every block written so far; slots ≥ j are
 			# zero, so they project to zero — no validity mask required.
 			for _ in range(2):
-				proj = jnp.einsum("tnb,nc->tbc", basis, W)
+				proj = jnp.einsum("tnb,nc->tbc", basis.conj(), W)
 				W = W - jnp.einsum("tnb,tbc->nc", basis, proj)
 		V_next, B_next = _qr_pos(W)
 		if keep_basis:
@@ -164,7 +182,7 @@ def block_jacobi_dense(Ablocks: jnp.ndarray, Bblocks: jnp.ndarray) -> jnp.ndarra
 
 		def with_off(T):
 			T = lax.dynamic_update_slice(T, off, ((j + 1) * b, j * b))
-			return lax.dynamic_update_slice(T, off.T, (j * b, (j + 1) * b))
+			return lax.dynamic_update_slice(T, off.conj().T, (j * b, (j + 1) * b))
 
 		return lax.cond(j + 1 < deg, with_off, lambda T: T, T), None
 
@@ -181,11 +199,11 @@ def block_quadrature(out: BlockLanczosOutput, fun: Union[str, Callable], **kwarg
 	"""
 	f = param_callable(fun, **kwargs) if isinstance(fun, str) else (fun or (lambda x: x))
 	T = block_jacobi_dense(out.Ablocks, out.Bblocks)
-	theta, Y = jnp.linalg.eigh(T)
+	theta, Y = jnp.linalg.eigh(T)  # T is Hermitian; theta real either way
 	b = out.R0.shape[0]
 	Y1 = Y[:b, :]  # (b, deg·b) first block-row of eigenvectors
-	F11 = (Y1 * f(theta)[None, :]) @ Y1.T
-	return out.R0.T @ F11 @ out.R0
+	F11 = (Y1 * f(theta)[None, :]) @ Y1.conj().T
+	return out.R0.conj().T @ F11 @ out.R0
 
 
 def block_slq_trace(
@@ -221,7 +239,8 @@ def block_slq_trace(
 		V0 = sample_isotropic(k, (n, b), pdf=pdf, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 		out = _block_lanczos_core(op.matmat, V0, deg=deg, reorth=reorth)
 		G = block_quadrature(out, f)
-		return jnp.trace(G) / b
+		# Hermitian quadrature: tr(Vᵀf(A)V) is real up to roundoff.
+		return jnp.real(jnp.trace(G)) / b
 
 	samples = jax.lax.map(one_block, jax.random.split(key, nblocks))
 	est = jnp.mean(samples)

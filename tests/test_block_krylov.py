@@ -103,3 +103,39 @@ def test_block_lanczos_operator_input():
 	ev = np.linalg.eigvalsh(T)
 	true = np.linalg.eigvalsh(L.toarray())
 	assert ev.min() >= true.min() - 1e-8 and ev.max() <= true.max() + 1e-8
+
+
+def test_block_lanczos_complex_hermitian_full_degree():
+	"""Complex-Hermitian operator: real probes, Hermitian block-tridiagonal T,
+	full-degree spectrum recovery (package-wide Hermitian convention)."""
+	n = 36
+	rng = np.random.default_rng(41)
+	ew = rng.uniform(0.5, 2.0, n)
+	H = np.asarray(pt.hermitian(n, ew=ew, seed=43))
+	out = block_lanczos(H, b=4, deg=9, seed=47)
+	T = np.asarray(block_jacobi_dense(out.Ablocks, out.Bblocks))
+	assert np.allclose(T, T.conj().T, atol=1e-10)  # Hermitian by construction
+	assert np.allclose(np.sort(np.linalg.eigvalsh(T)), np.sort(ew), atol=1e-8)
+
+
+def test_block_quadrature_complex_hermitian_exact():
+	"""V† f(H) V matches the dense ground truth on a complex-Hermitian H."""
+	n = 32
+	rng = np.random.default_rng(53)
+	ew = rng.uniform(0.2, 3.0, n)
+	H = np.asarray(pt.hermitian(n, ew=ew, seed=59))
+	lam, U = np.linalg.eigh(H)
+	fH = (U * np.log(lam)) @ U.conj().T
+	V = rng.normal(size=(n, 4))  # real probes, complex Krylov space
+	G = np.asarray(block_quadrature(block_lanczos(H, V0=jnp.asarray(V), deg=8), "log"))
+	assert np.allclose(G, V.T @ fH @ V, atol=1e-8)
+
+
+def test_block_slq_trace_complex_hermitian():
+	n = 48
+	rng = np.random.default_rng(61)
+	ew = rng.uniform(0.5, 2.0, n)
+	H = pt.hermitian(n, ew=ew, seed=67)
+	est, samples = block_slq_trace(H, "log", b=8, deg=6, nblocks=32, seed=71, full=True)
+	assert np.isrealobj(samples)
+	assert abs(est - np.log(ew).sum()) <= 10 / np.sqrt(n)
