@@ -28,6 +28,7 @@ from .diagonal import diag, diagpp, xdiag
 from .eigen import eigsh, rand_nystrom, rsvd, svds
 from .estimators import (
 	ConfidenceCriterion,
+	ConfidenceEstimator,
 	ControlVariableEstimator,
 	ConvergenceCriterion,
 	CountCriterion,
@@ -49,6 +50,7 @@ from .tridiag import eigh_tridiag, eigvalsh_tridiag
 
 __all__ = [
 	"ConfidenceCriterion",
+	"ConfidenceEstimator",
 	"ControlVariableEstimator",
 	"ConvergenceCriterion",
 	"ChebyshevFunction",

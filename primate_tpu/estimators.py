@@ -38,6 +38,7 @@ __all__ = [
 	"Estimator",
 	"MeanEstimator",
 	"ControlVariableEstimator",
+	"ConfidenceEstimator",
 	"EstimatorResult",
 	"ConvergenceCriterion",
 	"CountCriterion",
@@ -593,6 +594,65 @@ class ControlVariableEstimator(MeanEstimator):
 			delta=jnp.atleast_1d(jnp.asarray(self.delta, jnp.float32)),
 			var=var,
 			values=jnp.asarray(self.values) if self.values else None,
+		)
+
+
+class ConfidenceEstimator(MeanEstimator):
+	"""Sample-mean estimator that carries its own CLT confidence interval.
+
+	The reference *planned* this class — ``from .stats import
+	ControlVariableEstimator, ConfidenceEstimator`` sits commented in its
+	`__init__.py:10` — but never shipped it; this is the working version.
+	It is a variance-tracking :class:`MeanEstimator` whose ``margin_of_error``
+	/ ``interval`` use the same Student-t (n < 30) / normal quantile ladder as
+	:class:`ConfidenceCriterion`, so ``est.margin_of_error`` always agrees with
+	the stopping rule that consumed the estimator.
+
+	>>> est = ConfidenceEstimator(confidence=0.95)
+	>>> est.update(samples)
+	>>> lo, hi = est.interval          # 95% CI for the running mean
+	"""
+
+	def __init__(self, confidence: float = 0.95, dim: int = 1, record: bool = False, dtype=None):
+		assert 0 < confidence < 1, "Confidence must be in (0, 1)"
+		super().__init__(dim=dim, covariance=True, record=record, dtype=dtype)
+		import scipy.special as spc
+		import scipy.stats as st
+
+		self.confidence = confidence
+		self._z = float(np.sqrt(2.0) * spc.erfinv(confidence))
+		self._t = np.asarray(st.t.ppf((confidence + 1.0) / 2.0, df=np.arange(30) + 1))
+
+	@property
+	def stderr(self) -> float:
+		"""Standard error of the running mean (scalar-proxy variance at dim>1)."""
+		if self.n_samples < 2:
+			return np.inf
+		var = float(np.mean(np.diagonal(np.atleast_2d(np.asarray(self.converged_variance)))))
+		return float(np.sqrt(max(var, 0.0) / self.n_samples))
+
+	@property
+	def margin_of_error(self) -> float:
+		n = self.n_samples
+		if n < 3:
+			return np.inf
+		score = self._t[min(max(n - 2, 0), 29)] if n < 30 else self._z
+		return float(score * self.stderr)
+
+	@property
+	def interval(self) -> tuple:
+		"""(lo, hi) confidence interval around :attr:`estimate`."""
+		mu, moe = self.estimate, self.margin_of_error
+		if self.dim == 1:
+			return float(mu) - moe, float(mu) + moe
+		return np.asarray(mu) - moe, np.asarray(mu) + moe
+
+	def __repr__(self) -> str:
+		if self.n_samples == 0:
+			return f"ConfidenceEstimator(confidence={self.confidence}, <empty>)"
+		return (
+			f"ConfidenceEstimator({arr_summary(np.atleast_1d(np.asarray(self.estimate)))} "
+			f"+/- {self.margin_of_error:.4g} @ {self.confidence * 100:.0f}%, #S:{self.n_samples})"
 		)
 
 

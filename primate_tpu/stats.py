@@ -179,3 +179,14 @@ def confidence_interval(a, confidence: float = 0.95, sdist: str = "t") -> tuple:
 		scale = np.std(a, ddof=1) / np.sqrt(len(a))
 		return st.norm.interval(confidence, loc=mean, scale=scale)
 	raise ValueError(f"Unknown sampling distribution '{sdist}'.")
+
+
+def __getattr__(name):
+	# The reference planned `from .stats import ControlVariableEstimator,
+	# ConfidenceEstimator` (commented in its `__init__.py:10`); both live in
+	# `estimators` here — mirror that import location lazily (no import cycle).
+	if name in ("ConfidenceEstimator", "ControlVariableEstimator"):
+		from . import estimators
+
+		return getattr(estimators, name)
+	raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

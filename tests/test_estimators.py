@@ -214,3 +214,49 @@ def test_diag_confidence_criterion_works():
 	A = pt.symmetric(32, pd=True, seed=3)
 	d = pt.diag(A, converge="confidence", atol=0.2, seed=4)
 	assert np.abs(np.asarray(d) - np.diag(np.asarray(A))).mean() < 0.5
+
+
+def test_confidence_estimator_interval_matches_scipy():
+	"""ConfidenceEstimator (the reference's planned-but-unshipped class,
+	`__init__.py:10` commented import) — its CI matches scipy's t-interval."""
+	import scipy.stats as st
+	from primate_tpu import ConfidenceEstimator
+
+	rng = np.random.default_rng(7)
+	x = rng.normal(2.0, 1.5, size=25)
+	est = ConfidenceEstimator(confidence=0.95)
+	for chunk in np.split(x, 5):
+		est.update(chunk)
+	assert est.n_samples == 25
+	assert np.isclose(est.estimate, x.mean())
+	lo, hi = est.interval
+	slo, shi = st.t.interval(0.95, df=24, loc=x.mean(), scale=st.sem(x, ddof=1))
+	# Our t-quantile uses df = n-1 via the table index convention of
+	# ConfidenceCriterion (index n-2 → df=n-1); matches scipy exactly.
+	assert np.isclose(lo, slo, atol=1e-8) and np.isclose(hi, shi, atol=1e-8)
+
+
+def test_confidence_estimator_agrees_with_criterion():
+	"""margin_of_error crosses atol exactly when ConfidenceCriterion fires."""
+	from primate_tpu import ConfidenceCriterion, ConfidenceEstimator
+
+	rng = np.random.default_rng(11)
+	est = ConfidenceEstimator(confidence=0.95)
+	crit = ConfidenceCriterion(confidence=0.95, atol=0.3, rtol=0.0)
+	fired = False
+	for _ in range(200):
+		est.update(rng.normal(5.0, 1.0, size=4))
+		fired = bool(crit(est))
+		if fired:
+			break
+	assert fired
+	assert est.margin_of_error <= 0.3
+	assert "+/-" in repr(est)
+
+
+def test_confidence_estimator_stats_import_location():
+	"""The reference planned `from .stats import ConfidenceEstimator` — honor it."""
+	from primate_tpu.stats import ConfidenceEstimator, ControlVariableEstimator  # noqa: F401
+
+	est = ConfidenceEstimator()
+	assert est.margin_of_error == np.inf  # undefined before 3 samples
