@@ -31,6 +31,7 @@ __all__ = [
 	"eigencount",
 	"schatten",
 	"suggest_degree",
+	"suggest_probes",
 	"weighted_trace",
 ]
 
@@ -616,3 +617,76 @@ def suggest_degree(
 			break
 		deg = min(2 * deg, max_deg)
 	return (deg, history) if full else deg
+
+
+def suggest_probes(
+	A=None,
+	fun: Union[str, callable, None] = None,
+	eps: float = 0.05,
+	eta: float = 0.05,
+	method: str = "auto",
+	pilot: int = 32,
+	deg: int = 20,
+	orth: int = -1,
+	pdf: str = "rademacher",
+	seed=None,
+	fun_kwargs: Optional[dict] = None,
+	full: bool = False,
+	**kwargs,
+):
+	"""How many probe vectors for a ``(1 ± eps)``-accurate trace, w.p. ``1 − eta``?
+
+	Companion to :func:`suggest_degree` — the OTHER parameter SLQ users must
+	guess. Two answers:
+
+	* ``method="bound"`` — the a-priori worst-case guarantee the reference
+	  documents (`docs/src/guides/intro_trace.qmd:253-261`):
+	  ``nv ≥ (24/eps²)·log(2/eta)`` Rademacher probes suffice for any PSD
+	  ``f(A)``. No matrix needed; wildly conservative in practice.
+	* ``method="clt"`` — a *measured* answer: run a ``pilot``-probe estimate,
+	  read the sample variance s² and running mean m̂ off its Welford state,
+	  and size ``nv = (z_{1−eta/2} · s / (eps·|m̂|))²`` so the CLT margin of
+	  error lands inside ``eps·|m̂|``. Typically orders of magnitude below the
+	  bound (the bound must cover the worst operator; the pilot sees *yours*).
+
+	``method="auto"`` measures when an operator is given, else falls back to
+	the bound. ``fun`` wraps ``A`` in a :class:`MatrixFunction` (``deg``,
+	``orth``, ``fun_kwargs``) exactly as the trace recipes do; extra kwargs
+	reach the pilot :func:`~primate_tpu.hutch` call.
+
+	Returns ``nv`` (int); with ``full=True`` returns ``(nv, info)`` where info
+	carries the pilot estimate/variance or the bound's constants::
+
+	    nv = pt.recipes.suggest_probes(A, "log", eps=0.01)  # measured
+	    est = pt.recipes.logdet(A, nv=nv)
+
+	(A follow-up run with ``nv`` total probes has expected CI half-width
+	``≈ eps·|tr|``; re-measure with a larger pilot if s² is itself noisy.)
+	"""
+	assert 0 < eps and 0 < eta < 1, "eps must be positive and eta in (0, 1)"
+	if method == "auto":
+		method = "clt" if A is not None else "bound"
+	if method == "bound":
+		nv = int(np.ceil((24.0 / eps**2) * np.log(2.0 / eta)))
+		return (nv, {"method": "bound", "eps": eps, "eta": eta}) if full else nv
+	assert method == "clt", f"Unknown method '{method}' (expected 'bound', 'clt', or 'auto')"
+	assert A is not None, "method='clt' sizes probes from a pilot run — an operator is required"
+
+	import scipy.special as spc
+
+	op = aslinop(A) if not hasattr(A, "quad") else A
+	if fun is not None:
+		op = MatrixFunction(op, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
+	pilot = max(int(pilot), 4)
+	_, res = hutch(op, converge="count", count=pilot, batch=pilot, seed=seed, full=True, **kwargs)
+	est = float(np.asarray(res.estimator.estimate))
+	var = float(np.mean(np.diagonal(np.atleast_2d(np.asarray(res.estimator.converged_variance)))))
+	z = float(np.sqrt(2.0) * spc.erfinv(1.0 - eta))
+	target = eps * abs(est)
+	if target == 0.0 or not np.isfinite(target):
+		nv = pilot  # degenerate pilot (zero/NaN mean): no relative target exists
+	else:
+		nv = int(np.ceil(z * z * var / (target * target)))
+	nv = max(nv, pilot)
+	info = {"method": "clt", "pilot": pilot, "estimate": est, "variance": var, "z": z}
+	return (nv, info) if full else nv

@@ -263,3 +263,39 @@ def test_suggest_degree_caps():
 	# exp converges spectrally fast: small degree suffices
 	d2 = recipes.suggest_degree(A, "exp", rtol=1e-6, deg0=8, nv=4, seed=1)
 	assert d2 <= 32
+
+
+def test_suggest_probes_bound():
+	"""A-priori mode reproduces the documented (24/eps^2)·log(2/eta) bound."""
+	nv = pt.recipes.suggest_probes(eps=0.1, eta=0.05, method="bound")
+	assert nv == int(np.ceil((24 / 0.1**2) * np.log(2 / 0.05)))
+	nv2, info = pt.recipes.suggest_probes(eps=0.5, eta=0.5, full=True)  # no A -> bound
+	assert info["method"] == "bound" and nv2 >= 1
+
+
+def test_suggest_probes_clt_sizes_to_target():
+	"""Measured mode: a follow-up run with the suggested nv lands its CI
+	half-width near eps·|tr| (the sizing identity, checked empirically)."""
+	rng = np.random.default_rng(5)
+	ew = rng.uniform(0.5, 2.0, 64)
+	A = pt.symmetric(64, pd=True, ew=ew, seed=7)
+	eps, eta = 0.02, 0.05
+	nv, info = pt.recipes.suggest_probes(A, eps=eps, eta=eta, pilot=64, seed=11, full=True)
+	assert info["method"] == "clt" and nv >= 64
+	# empirical check: run nv probes, margin of error should be ~eps·|tr|
+	_, res = pt.hutch(A, converge="count", count=nv, batch=min(nv, 256), seed=13, full=True)
+	est = pt.ConfidenceEstimator(confidence=1 - eta)
+	est._moments = res.estimator._moments
+	# within 3x of the target (variance of the pilot's variance estimate)
+	assert est.margin_of_error <= 3 * eps * ew.sum()
+	# and the estimate itself is inside the advertised relative tolerance band
+	assert abs(float(np.asarray(res.estimator.estimate)) - ew.sum()) <= 3 * eps * ew.sum()
+
+
+def test_suggest_probes_matrix_function():
+	"""fun= wraps in MatrixFunction exactly as the trace recipes do."""
+	rng = np.random.default_rng(17)
+	ew = rng.uniform(0.5, 2.0, 48)
+	A = pt.symmetric(48, pd=True, ew=ew, seed=19)
+	nv = pt.recipes.suggest_probes(A, "log", eps=0.1, pilot=16, deg=24, seed=23)
+	assert isinstance(nv, int) and nv >= 16
