@@ -29,7 +29,7 @@ preallocated ``(deg, n, b)`` buffer (zero slots project to zero, so the
 re-orthogonalization needs no masking).
 """
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, NamedTuple, Optional, Union
 
 import numpy as np
@@ -78,9 +78,9 @@ def _qr_pos(W: jnp.ndarray):
 	return Q * p[None, :], R * jnp.conj(p)[:, None]
 
 
-@partial(jax.jit, static_argnames=("matmat", "deg", "reorth", "return_basis"))
+@partial(jax.jit, static_argnames=("deg", "reorth", "return_basis"))
 def _block_lanczos_core(
-	matmat: Callable[[jnp.ndarray], jnp.ndarray],
+	op,
 	V0: jnp.ndarray,
 	deg: int,
 	reorth: bool = True,
@@ -88,11 +88,17 @@ def _block_lanczos_core(
 ) -> BlockLanczosOutput:
 	"""``deg`` block Lanczos steps from ``V0 (n, b)`` — pure/jittable.
 
+	``op`` is a LinearOperator PYTREE argument (not a static callable), so the
+	compiled program is cached by operator *structure* — sweeping many
+	same-shaped matrices reuses one executable instead of baking each matrix
+	in as a constant (same design as `lanczos.lanczos_block_op`).
+
 	Complex-Hermitian operators are handled by the package-wide convention
 	(conjugated bra-side inner products; the diagonal blocks Aⱼ are Hermitian
 	and T stays Hermitian, so eigh-based quadrature is unchanged). V0 may be
 	real even when the operator is complex — the first apply promotes it.
 	"""
+	matmat = op.matmat
 	n, b = V0.shape
 	acc = jnp.promote_types(V0.dtype, jnp.float32)
 	V0 = V0.astype(acc)
@@ -158,12 +164,14 @@ def block_lanczos(
 	n = op.shape[0]
 	if V0 is None:
 		key = as_key(seed)
-		V0 = sample_isotropic(key, (n, int(b)), pdf=pdf, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+		b = min(int(b), n)  # a block wider than the space has dependent columns
+		V0 = sample_isotropic(key, (n, b), pdf=pdf, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 	V0 = jnp.asarray(V0)
 	assert V0.ndim == 2 and V0.shape[0] == n, f"V0 must be (n, b) with n={n}; got {V0.shape}"
+	assert V0.shape[1] <= n, f"Block width b={V0.shape[1]} exceeds the operator dimension n={n}; thin QR of the block would be rank-deficient"
 	b = V0.shape[1]
 	deg = int(max(1, min(n // b if deg is None else deg, n // max(b, 1))))
-	return _block_lanczos_core(op.matmat, V0, deg=deg, reorth=reorth, return_basis=return_basis)
+	return _block_lanczos_core(op, V0, deg=deg, reorth=reorth, return_basis=return_basis)
 
 
 def block_jacobi_dense(Ablocks: jnp.ndarray, Bblocks: jnp.ndarray) -> jnp.ndarray:
@@ -231,17 +239,44 @@ def block_slq_trace(
 	op = aslinop(A)
 	n = op.shape[0]
 	key = as_key(seed)
-	f = param_callable(fun, **kwargs) if isinstance(fun, str) else (fun or (lambda x: x))
+	f = _resolve_fun(fun, **kwargs)
+	b = min(int(b), n)
 	deg = int(max(1, min(deg, n // max(b, 1))))
+	samples = _block_slq_program(op, key, fun=f, n=n, b=b, deg=deg, pdf=pdf, reorth=reorth, nblocks=int(nblocks))
+	est = jnp.mean(samples)
+	return (float(est), np.asarray(samples)) if full else float(est)
 
-	@jax.jit
+
+def _resolve_fun(fun, **kwargs):
+	if isinstance(fun, str):
+		try:
+			return _param_callable_cached(fun, tuple(sorted(kwargs.items())))
+		except TypeError:  # unhashable kwargs — skip memoization
+			return param_callable(fun, **kwargs)
+	return fun or _identity_fun
+
+
+def _identity_fun(x):
+	return x
+
+
+@lru_cache(maxsize=64)
+def _param_callable_cached(fun: str, kw_items: tuple):
+	# Stable callable identity per (name, params): the jitted program below
+	# treats `fun` as a static argument, so a fresh closure per call would
+	# defeat the compilation cache.
+	return param_callable(fun, **dict(kw_items))
+
+
+@partial(jax.jit, static_argnames=("fun", "n", "b", "deg", "pdf", "reorth", "nblocks"))
+def _block_slq_program(op, key, *, fun, n: int, b: int, deg: int, pdf: str, reorth: bool, nblocks: int):
+	"""All ``nblocks`` block-quadrature samples as ONE program (op = pytree arg)."""
+
 	def one_block(k):
 		V0 = sample_isotropic(k, (n, b), pdf=pdf, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-		out = _block_lanczos_core(op.matmat, V0, deg=deg, reorth=reorth)
-		G = block_quadrature(out, f)
+		out = _block_lanczos_core(op, V0, deg=deg, reorth=reorth)
+		G = block_quadrature(out, fun)
 		# Hermitian quadrature: tr(Vᵀf(A)V) is real up to roundoff.
 		return jnp.real(jnp.trace(G)) / b
 
-	samples = jax.lax.map(one_block, jax.random.split(key, nblocks))
-	est = jnp.mean(samples)
-	return (float(est), np.asarray(samples)) if full else float(est)
+	return jax.lax.map(one_block, jax.random.split(key, nblocks))

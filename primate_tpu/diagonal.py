@@ -209,16 +209,25 @@ def diag(
 		m2_res = np.zeros(nout * N)
 		it = 0
 	result = EstimatorResult(estimator, criterion)
+	# Hermitian (complex) operators: mirror the fused path — real probes (unless
+	# pdf="phase"), real accumulators, Re(conj(v)∘Av) / |v|² per sample.
+	is_cplx = jnp.dtype(op.dtype).kind == "c"
+	sample_dtype = op.dtype if (is_cplx and pdf == "phase") else real_dtype(op.dtype)
 	while not bool(criterion(estimator)) and it < maxiter:
 		if pdf_kind == "size":
 			# Reference semantics (`diagonal.py:71-78`): stateful closure draws
 			# on host; the matvec runs on device.
-			v = jnp.asarray(np.asarray(pdf(size=(N,))).reshape(N), dtype=op.dtype)
+			v = jnp.asarray(np.asarray(pdf(size=(N,))).reshape(N), dtype=sample_dtype)
 		else:
-			v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=op.dtype)[:, 0]
-		u = op.matvec(v) if hasattr(op, "matvec") else op @ v
-		numer = numer + (u * v).reshape(-1)
-		denom = denom + v * v
+			v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=sample_dtype)[:, 0]
+		va = v.astype(op.dtype)
+		u = op.matvec(va) if hasattr(op, "matvec") else op @ va
+		if is_cplx:
+			numer = numer + jnp.real(jnp.conj(va) * u).reshape(-1)
+			denom = denom + jnp.real(jnp.conj(va) * va)
+		else:
+			numer = numer + (u * v).reshape(-1)
+			denom = denom + v * v
 		estimator.update((numer.reshape(nout, N) / denom).reshape(1, -1))
 		result.estimate = np.asarray(estimator.estimate).reshape(stack_shape + (N,))
 		result.nit = estimator.n_samples

@@ -114,6 +114,23 @@ def _as_snapshot(est) -> EstSnapshot:
 # ---------------------------------------------------------------------------
 
 
+def clt_quantiles(confidence: float) -> tuple:
+	"""``(z, t_table)`` for a two-sided CLT interval at ``confidence``.
+
+	The ONE construction of the normal quantile and the df=1..30 Student-t
+	table — shared by :class:`ConfidenceCriterion`, :class:`ConfidenceEstimator`
+	and ``recipes.suggest_probes`` so the three can never drift apart. Index
+	convention: ``t_table[i]`` is the df=i+1 quantile, so n samples (df=n−1)
+	reads ``t_table[n−2]``.
+	"""
+	import scipy.special as spc
+	import scipy.stats as st
+
+	z = float(np.sqrt(2.0) * spc.erfinv(confidence))
+	t = np.asarray(st.t.ppf((confidence + 1.0) / 2.0, df=np.arange(30) + 1))
+	return z, t
+
+
 class ConvergenceCriterion:
 	"""Composable stopping rule; ``crit(est)`` returns a (traceable) boolean.
 
@@ -302,14 +319,12 @@ class ConfidenceCriterion(ConvergenceCriterion):
 
 	def __init__(self, confidence: float = 0.95, atol: float = 0.00, rtol: float = 0.01):
 		assert 0 < confidence < 1, "Confidence must be in (0, 1)"
-		import scipy.special as spc
-		import scipy.stats as st
-
 		self.confidence = confidence
 		self.atol = 0.0 if atol is None else atol
 		self.rtol = 0.0 if rtol is None else rtol
-		self.z = float(np.sqrt(2.0) * spc.erfinv(confidence))
-		self.t_scores = jnp.asarray(st.t.ppf((confidence + 1.0) / 2.0, df=np.arange(30) + 1), jnp.float32)
+		z, t = clt_quantiles(confidence)
+		self.z = z
+		self.t_scores = jnp.asarray(t, jnp.float32)
 
 	def _error(self, snap: EstSnapshot):
 		assert snap.var is not None, "ConfidenceCriterion requires a variance-tracking estimator"
@@ -616,12 +631,8 @@ class ConfidenceEstimator(MeanEstimator):
 	def __init__(self, confidence: float = 0.95, dim: int = 1, record: bool = False, dtype=None):
 		assert 0 < confidence < 1, "Confidence must be in (0, 1)"
 		super().__init__(dim=dim, covariance=True, record=record, dtype=dtype)
-		import scipy.special as spc
-		import scipy.stats as st
-
 		self.confidence = confidence
-		self._z = float(np.sqrt(2.0) * spc.erfinv(confidence))
-		self._t = np.asarray(st.t.ppf((confidence + 1.0) / 2.0, df=np.arange(30) + 1))
+		self._z, self._t = clt_quantiles(confidence)
 
 	@property
 	def stderr(self) -> float:

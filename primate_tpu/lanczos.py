@@ -282,7 +282,10 @@ def _lanczos_core(
 			b_tp1 = jnp.roll(b_win, -1, axis=1)
 			num = b_tp1 * om_tp1 + (a_win - alpha_j[:, None].astype(r_dtype)) * om_p + b_win * om_tm1 - beta_j[:, None] * om_pp
 			om_next = num / jnp.where(beta_est > 0, beta_est, jnp.inf)[:, None].astype(r_dtype)
-			om_next = om_next + jnp.sign(om_next) * eps_noise + eps_noise  # rounding-noise floor
+			# rounding-noise floor: inflate MAGNITUDE by ε for either sign (a
+			# signed `+ sign(ω)ε + ε` would cancel to zero on negative entries,
+			# systematically under-tracking negative orthogonality loss)
+			om_next = jnp.where(om_next >= 0, om_next + eps_noise, om_next - eps_noise)
 			age_next = (j + 1 - slot_ids) % ncv  # slot ages at level j+1
 			written_next = age_next <= j + 1
 			tracked = written_next & (age_next >= 2)  # exclude q_{j+1} itself and q_j (locally orthogonal)

@@ -166,7 +166,10 @@ class FunctionOperator(LinearOperator):
 	):
 		self.fn = fn
 		self.shape = tuple(shape)
-		self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.asarray(0.0).dtype
+		# Canonicalize so a host callable advertising float64 (every scipy
+		# LinearOperator) still yields a legal pure_callback result spec when
+		# jax_enable_x64 is off — 64-bit ShapeDtypeStructs are rejected there.
+		self.dtype = jnp.dtype(jax.dtypes.canonicalize_dtype(dtype)) if dtype is not None else jnp.asarray(0.0).dtype
 		self.batched = batched
 		self.traceable = traceable
 		self.captures = tuple(captures)  # pytree leaves the callable closes over

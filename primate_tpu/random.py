@@ -96,7 +96,12 @@ def classify_pdf(pdf) -> str:
 	try:
 		params = inspect.signature(pdf).parameters
 	except (TypeError, ValueError):
-		params = {}
+		# Uninspectable callables (C-implemented, some wrappers) are in practice
+		# numpy-style samplers from migrating reference users — jax-style
+		# samplers are ordinary Python functions whose signatures inspect fine.
+		# "size" also fails loudly at the call site if the guess is wrong,
+		# instead of a TypeError from deep inside a fused program.
+		return "size"
 	return "size" if "size" in params else "key"
 
 

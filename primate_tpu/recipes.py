@@ -672,16 +672,16 @@ def suggest_probes(
 	assert method == "clt", f"Unknown method '{method}' (expected 'bound', 'clt', or 'auto')"
 	assert A is not None, "method='clt' sizes probes from a pilot run — an operator is required"
 
-	import scipy.special as spc
+	from .estimators import clt_quantiles
 
 	op = aslinop(A) if not hasattr(A, "quad") else A
 	if fun is not None:
 		op = MatrixFunction(op, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
 	pilot = max(int(pilot), 4)
-	_, res = hutch(op, converge="count", count=pilot, batch=pilot, seed=seed, full=True, **kwargs)
+	_, res = hutch(op, converge="count", count=pilot, batch=pilot, pdf=pdf, seed=seed, full=True, **kwargs)
 	est = float(np.asarray(res.estimator.estimate))
 	var = float(np.mean(np.diagonal(np.atleast_2d(np.asarray(res.estimator.converged_variance)))))
-	z = float(np.sqrt(2.0) * spc.erfinv(1.0 - eta))
+	z, _ = clt_quantiles(1.0 - eta)
 	target = eps * abs(est)
 	if target == 0.0 or not np.isfinite(target):
 		nv = pilot  # degenerate pilot (zero/NaN mean): no relative target exists

@@ -363,3 +363,25 @@ def test_sharded_complex_operator():
 	assert np.isclose(float(tr_sh), float(tr_un), rtol=1e-12)
 	trp = pt.hutch(op, pdf="phase", converge="count", count=128, seed=105)
 	assert abs(float(trp) - ew.sum()) < 3.0
+
+
+def test_diag_complex_host_path_matches_fused():
+	"""Regression: the host-stepped loop (taken for callbacks / record / size-
+	pdfs) must apply the same conjugated real math as the fused path — it used
+	to accumulate complex v∘Av and return a complex (and wrong) diagonal."""
+	n = 40
+	rng = np.random.default_rng(3)
+	H = pt.hermitian(n, ew=rng.uniform(0.5, 2.0, n), seed=5)
+	true = np.real(np.diagonal(np.asarray(H)))
+
+	calls = []
+	est_host = pt.diag(H, pdf="phase", converge="count", count=96, seed=7, callback=lambda r: calls.append(r.nit))
+	assert len(calls) == 96
+	assert not np.iscomplexobj(est_host)
+	assert np.max(np.abs(np.asarray(est_host) - true)) < 0.35  # phase probes: exact denominators
+
+	# and with a numpy-style size-pdf on a complex operator (real probes)
+	g = np.random.default_rng(11)
+	est_size = pt.diag(H, pdf=lambda size: g.normal(size=size), converge="count", count=256, seed=13)
+	assert not np.iscomplexobj(est_size)
+	assert np.max(np.abs(np.asarray(est_size) - true)) < 0.6

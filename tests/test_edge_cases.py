@@ -76,3 +76,87 @@ def test_hutchpp_small_m():
 	A = pt.symmetric(30, pd=True, seed=11)
 	est = pt.hutchpp(A, m=3, seed=12)
 	assert np.isfinite(est)
+
+
+def test_scipy_bridge_works_without_x64():
+	"""Regression: a scipy LinearOperator advertising float64 must still work
+	when jax_enable_x64 is OFF (the TPU default) — the pure_callback result
+	spec is canonicalized to f32 instead of crashing."""
+	import subprocess, sys, textwrap
+
+	code = textwrap.dedent("""
+		import jax
+		jax.config.update("jax_platforms", "cpu")   # x64 stays OFF
+		import numpy as np, scipy.sparse as sp, scipy.sparse.linalg as spla
+		import primate_tpu as pt
+		n = 48
+		M = sp.eye(n, format="csr") * 3.0
+		est = pt.hutch(spla.aslinearoperator(M), seed=1, converge="count", count=16)
+		assert abs(est - 3.0 * n) < 1e-3, est
+		print("OK")
+	""")
+	r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
+	assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_block_lanczos_tiny_matrix_default_width():
+	"""Regression: default b=4 on a 3x3 operator clamps instead of crashing."""
+	from primate_tpu.block_krylov import block_jacobi_dense, block_lanczos
+
+	A = np.diag([1.0, 2.0, 3.0])
+	out = block_lanczos(A, seed=0)  # default b=4 > n=3
+	T = np.asarray(block_jacobi_dense(out.Ablocks, out.Bblocks))
+	assert np.allclose(np.sort(np.linalg.eigvalsh(T)), [1.0, 2.0, 3.0], atol=1e-8)
+
+
+def test_block_lanczos_no_recompile_across_matrices():
+	"""Regression: the core is cached by operator STRUCTURE — two different
+	same-shaped matrices share one compiled executable."""
+	import jax
+	from primate_tpu.block_krylov import _block_lanczos_core
+	from primate_tpu.operators import DenseOperator
+
+	V0 = jnp.asarray(np.random.default_rng(0).normal(size=(16, 4)))
+	A1 = DenseOperator(jnp.asarray(pt.symmetric(16, pd=True, seed=1)))
+	A2 = DenseOperator(jnp.asarray(pt.symmetric(16, pd=True, seed=2)))
+	_block_lanczos_core(A1, V0, deg=3)
+	n_compiles = _block_lanczos_core._cache_size()
+	_block_lanczos_core(A2, V0, deg=3)
+	assert _block_lanczos_core._cache_size() == n_compiles
+
+
+def test_classify_pdf_uninspectable_callable_is_size():
+	"""Regression: samplers with no inspectable signature (C-implemented)
+	classify as numpy-style 'size' callables, not jax-style 'key' ones."""
+	import time
+
+	from primate_tpu.random import classify_pdf
+
+	# time.time is a C builtin whose signature inspect.signature() rejects —
+	# a stand-in for C-implemented/wrapped numpy-style samplers.
+	assert classify_pdf(time.time) == "size"
+	# numpy Generator methods carry a real `size=` signature → "size" directly
+	assert classify_pdf(np.random.default_rng(0).standard_normal) == "size"
+
+
+def test_clt_quantile_ladder_is_shared():
+	"""ConfidenceCriterion / ConfidenceEstimator / suggest_probes use ONE
+	quantile construction."""
+	from primate_tpu.estimators import clt_quantiles
+
+	z, t = clt_quantiles(0.95)
+	crit = pt.ConfidenceCriterion(confidence=0.95)
+	est = pt.ConfidenceEstimator(confidence=0.95)
+	assert np.isclose(crit.z, z) and np.isclose(est._z, z)
+	assert np.allclose(np.asarray(crit.t_scores), t.astype(np.float32))
+	assert np.allclose(est._t, t)
+
+
+def test_suggest_probes_pdf_reaches_pilot():
+	"""Regression: pdf= forwards to the pilot run. On A = c·I the Rademacher
+	quad form is EXACT (variance 0 → pilot minimum), Gaussian probes are not."""
+	A = np.eye(64) * 2.0
+	nv_rad, info_rad = pt.recipes.suggest_probes(A, eps=0.001, pilot=16, seed=3, full=True)
+	nv_nrm, info_nrm = pt.recipes.suggest_probes(A, eps=0.001, pdf="normal", pilot=16, seed=3, full=True)
+	assert info_rad["variance"] < 1e-8 and nv_rad == 16
+	assert info_nrm["variance"] > 1.0 and nv_nrm > 16
