@@ -5,7 +5,9 @@ MatrixFunction / Toeplitz / spectrum normalization.
 """
 
 from .base import (
+	AdjointOperator,
 	AffineOperator,
+	ComposedOperator,
 	DeflatedOperator,
 	DenseOperator,
 	FunctionOperator,
@@ -21,7 +23,9 @@ from .sparse import BSROperator, COOOperator, CSROperator, DIAOperator, GramOper
 from .special_ops import MatrixFunction, ScaledOperator, Toeplitz, matrix_function, normalize_unit
 
 __all__ = [
+	"AdjointOperator",
 	"AffineOperator",
+	"ComposedOperator",
 	"BSROperator",
 	"COOOperator",
 	"CSROperator",

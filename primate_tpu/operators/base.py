@@ -29,6 +29,8 @@ __all__ = [
 	"DeflatedOperator",
 	"FunctionOperator",
 	"AffineOperator",
+	"AdjointOperator",
+	"ComposedOperator",
 	"aslinop",
 	"is_linear_op",
 	"is_valid_operator",
@@ -83,12 +85,71 @@ class LinearOperator:
 		(the Golub-Kahan sweep's second hot primitive; see ``matmat_t``)."""
 		return self.rmatmat(Ut.T).T
 
-	def __matmul__(self, x) -> jnp.ndarray:
+	def __matmul__(self, x):
+		# operator @ operator composes (scipy LinearOperator semantics);
+		# operator @ array applies.
+		if isinstance(x, LinearOperator):
+			return ComposedOperator(self, x)
 		x = jnp.asarray(x)
 		return self.matvec(x) if x.ndim == 1 else self.matmat(x)
 
 	def todense(self) -> jnp.ndarray:
 		return self.matmat(jnp.eye(self.shape[1], dtype=self.dtype))
+
+	# -- operator algebra (the scipy LinearOperator surface migrating users
+	#    expect: `pylinop.h` wraps scipy operators, which support all of these) --
+
+	def __add__(self, other):
+		if _is_scalar(other):  # A + c means A + c·I, matching AffineOperator's pencil
+			return AffineOperator(self, None, other)
+		return AffineOperator(self, other, 1.0)
+
+	__radd__ = __add__
+
+	def __sub__(self, other):
+		if _is_scalar(other):
+			return AffineOperator(self, None, -other)
+		from .special_ops import ScaledOperator
+
+		return AffineOperator(self, ScaledOperator(other, s=-1.0), 1.0)
+
+	def __rsub__(self, other):  # other − A
+		from .special_ops import ScaledOperator
+
+		if _is_scalar(other):  # c·I − A
+			return ScaledOperator(self, t=-other, s=-1.0)
+		return AffineOperator(other, ScaledOperator(self, s=-1.0), 1.0)
+
+	def __mul__(self, c):
+		if not _is_scalar(c):
+			return NotImplemented
+		from .special_ops import ScaledOperator
+
+		return ScaledOperator(self, s=c)
+
+	__rmul__ = __mul__
+
+	def __truediv__(self, c):
+		if not _is_scalar(c):
+			return NotImplemented
+		from .special_ops import ScaledOperator
+
+		return ScaledOperator(self, s=1.0 / c)
+
+	def __neg__(self):
+		from .special_ops import ScaledOperator
+
+		return ScaledOperator(self, s=-1.0)
+
+	@property
+	def H(self) -> "LinearOperator":
+		"""The adjoint ``A†`` as an operator (applies via ``rmatmat``)."""
+		return AdjointOperator(self, transpose=False)
+
+	@property
+	def T(self) -> "LinearOperator":
+		"""The transpose ``Aᵀ`` (``= A†`` for real operators)."""
+		return AdjointOperator(self, transpose=True)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -242,6 +303,107 @@ class AffineOperator(LinearOperator):
 		obj = object.__new__(cls)
 		obj.A, obj.B, obj.t = children
 		obj.shape, obj.dtype = aux
+		return obj
+
+
+def _is_scalar(x) -> bool:
+	return isinstance(x, (int, float, complex, np.number)) or (
+		isinstance(x, (np.ndarray, jnp.ndarray)) and getattr(x, "ndim", None) == 0
+	)
+
+
+@jax.tree_util.register_pytree_node_class
+class ComposedOperator(LinearOperator):
+	"""Operator product ``A @ B`` (applies right-to-left, never materialized).
+
+	The scipy-LinearOperator composition surface for implicit operators:
+	``(A @ B).matvec(v) = A(B v)``; adjoints compose in reverse. Note the
+	product of two symmetric operators is NOT symmetric in general — compose
+	symmetrically (e.g. ``B.H @ A @ B``) before handing to the symmetric
+	estimators.
+	"""
+
+	def __init__(self, A, B):
+		A, B = aslinop(A), aslinop(B)
+		assert A.shape[1] == B.shape[0], f"Composition shape mismatch: {A.shape} @ {B.shape}"
+		self.A, self.B = A, B
+		self.shape = (A.shape[0], B.shape[1])
+		self.dtype = jnp.promote_types(A.dtype, B.dtype)
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		return self.A.matmat(self.B.matmat(V))
+
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		return self.A.matmat_t(self.B.matmat_t(Vt))
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		return self.B.rmatvec(self.A.rmatvec(v))
+
+	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		return self.B.rmatmat(self.A.rmatmat(V))
+
+	def rmatmat_t(self, Ut: jnp.ndarray) -> jnp.ndarray:
+		return self.B.rmatmat_t(self.A.rmatmat_t(Ut))
+
+	def tree_flatten(self):
+		return (self.A, self.B), (self.shape, self.dtype)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.A, obj.B = children
+		obj.shape, obj.dtype = aux
+		return obj
+
+
+@jax.tree_util.register_pytree_node_class
+class AdjointOperator(LinearOperator):
+	"""``A†`` (``transpose=False``) or ``Aᵀ`` (``transpose=True``) as an operator.
+
+	Backed by the base operator's ``rmatmat``; for real operators the two
+	coincide. ``Aᵀ = conj(A† · conj(·))`` handles the complex transpose.
+	"""
+
+	def __init__(self, base, transpose: bool = False):
+		self.base = aslinop(base)
+		self.transpose = bool(transpose)
+		self.shape = (self.base.shape[1], self.base.shape[0])
+		self.dtype = self.base.dtype
+
+	def _plain_transpose(self) -> bool:
+		return self.transpose and jnp.dtype(self.dtype).kind == "c"
+
+	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		if self._plain_transpose():
+			return jnp.conj(self.base.rmatmat(jnp.conj(V)))
+		return self.base.rmatmat(V)
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		if self._plain_transpose():
+			return jnp.conj(self.base.matvec(jnp.conj(v)))
+		return self.base.matvec(v)
+
+	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		if self._plain_transpose():
+			return jnp.conj(self.base.matmat(jnp.conj(V)))
+		return self.base.matmat(V)
+
+	@property
+	def H(self) -> LinearOperator:
+		return self.base if not self.transpose else AdjointOperator(self, transpose=False)
+
+	@property
+	def T(self) -> LinearOperator:
+		return self.base if self.transpose else AdjointOperator(self, transpose=True)
+
+	def tree_flatten(self):
+		return (self.base,), (self.transpose, self.shape, self.dtype)
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		(obj.base,) = children
+		obj.transpose, obj.shape, obj.dtype = aux
 		return obj
 
 

@@ -382,3 +382,52 @@ def test_host_operator_pure_callback_bridge():
 	# explicit wrapper: unbatched host matvec lifts column-wise
 	op3 = FunctionOperator(lambda v: A @ np.asarray(v), (n, n), dtype=np.float64, batched=False, traceable=False)
 	assert np.allclose(np.asarray(op3.matmat(jnp.asarray(V))), A @ V, atol=1e-12)
+
+
+# -- operator algebra (the scipy-LinearOperator surface, `pylinop.h` analog) --
+
+
+def test_operator_algebra_affine_and_scale():
+	rng = np.random.default_rng(0)
+	Ad = np.asarray(pt.symmetric(24, pd=True, seed=1))
+	Bd = np.asarray(pt.symmetric(24, pd=True, seed=2))
+	A, B = pt.operators.aslinop(jnp.asarray(Ad)), pt.operators.aslinop(jnp.asarray(Bd))
+	v = rng.normal(size=24)
+	assert np.allclose(np.asarray((A + B) @ v), (Ad + Bd) @ v, atol=1e-10)
+	assert np.allclose(np.asarray((A - B) @ v), (Ad - Bd) @ v, atol=1e-10)
+	assert np.allclose(np.asarray((A + 2.5) @ v), (Ad + 2.5 * np.eye(24)) @ v, atol=1e-10)
+	assert np.allclose(np.asarray((3.0 * A) @ v), 3.0 * (Ad @ v), atol=1e-10)
+	assert np.allclose(np.asarray((A / 2.0) @ v), (Ad @ v) / 2.0, atol=1e-10)
+	assert np.allclose(np.asarray((-A) @ v), -(Ad @ v), atol=1e-10)
+	assert np.allclose(np.asarray((1.0 - A) @ v), (np.eye(24) - Ad) @ v, atol=1e-10)
+
+
+def test_operator_algebra_composition_and_estimators():
+	"""Composed/shifted operators flow straight into the estimators — the
+	idiom `hutch(A - sigma)` for eigencounts, `B.H @ A @ B` for projections."""
+	rng = np.random.default_rng(3)
+	Ad = np.asarray(pt.symmetric(32, pd=True, seed=5))
+	A = pt.operators.aslinop(jnp.asarray(Ad))
+	AA = A @ A  # symmetric composition
+	v = rng.normal(size=32)
+	assert np.allclose(np.asarray(AA @ v), Ad @ (Ad @ v), atol=1e-10)
+	est = pt.hutch(AA, converge="count", count=4096, seed=7)
+	assert abs(est - np.trace(Ad @ Ad)) <= 0.05 * np.trace(Ad @ Ad) + 0.5
+	# shifted trace: tr(A - sigma I) = tr(A) - n sigma
+	est2 = pt.hutch(A - 0.25, converge="count", count=4096, seed=9)
+	assert abs(est2 - (np.trace(Ad) - 32 * 0.25)) <= 1.0
+
+
+def test_operator_adjoint_transpose():
+	rng = np.random.default_rng(11)
+	X = rng.normal(size=(20, 12)) + 1j * rng.normal(size=(20, 12))
+	op = pt.operators.aslinop(jnp.asarray(X))
+	v, w = rng.normal(size=12), rng.normal(size=20)
+	assert op.H.shape == (12, 20) and op.T.shape == (12, 20)
+	assert np.allclose(np.asarray(op.H @ w), X.conj().T @ w, atol=1e-10)
+	assert np.allclose(np.asarray(op.T @ w), X.T @ w, atol=1e-10)
+	assert op.H.H is op and op.T.T is op  # involution returns the base
+	# real operator: T == H
+	Y = rng.normal(size=(16, 16))
+	opr = pt.operators.aslinop(jnp.asarray(Y))
+	assert np.allclose(np.asarray(opr.T @ np.ones(16)), Y.T @ np.ones(16), atol=1e-10)
