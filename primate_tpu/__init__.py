@@ -39,7 +39,7 @@ from .estimators import (
 	convergence_criterion,
 )
 from .integrate import lanczos_quadrature, lobatto_rule, quadrature, radau_rule
-from .kpm import ChebyshevFunction, kpm_density, kpm_trace
+from .kpm import ChebyshevFunction, kpm_density, kpm_trace, suggest_chebyshev_degree
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
 from .operators import MatrixFunction, Toeplitz, auto_operator, matrix_function, normalize_unit
 from .random import haar, hermitian, isotropic, symmetric
@@ -79,6 +79,7 @@ __all__ = [
 	"isotropic",
 	"kpm_density",
 	"kpm_trace",
+	"suggest_chebyshev_degree",
 	"lanczos",
 	"lanczos_block",
 	"block_lanczos",

@@ -28,7 +28,14 @@ from .operators import aslinop
 from .random import as_key, real_dtype, sample_isotropic
 from .special import param_callable
 
-__all__ = ["chebyshev_moments", "kpm_trace", "kpm_density", "jackson_coefficients", "ChebyshevFunction"]
+__all__ = [
+	"chebyshev_moments",
+	"kpm_trace",
+	"kpm_density",
+	"jackson_coefficients",
+	"suggest_chebyshev_degree",
+	"ChebyshevFunction",
+]
 
 
 def jackson_coefficients(m: int) -> jnp.ndarray:
@@ -126,10 +133,49 @@ def _chebyshev_coefficients(fun: Callable, m: int, c: float, r: float, quad_poin
 	return coeff
 
 
+def suggest_chebyshev_degree(
+	fun: Union[str, Callable],
+	interval: Tuple[float, float],
+	rtol: float = 1e-8,
+	max_deg: int = 2048,
+	**fun_kwargs,
+) -> int:
+	"""Smallest Chebyshev degree resolving ``fun`` on ``interval`` to ``rtol``.
+
+	The Chebyshev-path companion of :func:`~primate_tpu.recipes.suggest_degree`
+	(which sizes the Lanczos path by quadrature brackets). Here no operator is
+	needed at all: expand ``fun`` to ``max_deg`` coefficients on the interval
+	and truncate where the coefficient envelope falls below
+	``rtol · max|a_j|`` — the standard chebfun-style rule; for f analytic on
+	the interval the coefficients decay geometrically, so the returned degree
+	grows only logarithmically in ``1/rtol``.
+
+	Use the operator's spectral interval (e.g. from
+	:func:`~primate_tpu.operators.normalize_unit`'s Krylov estimate, or domain
+	knowledge)::
+
+	    m = suggest_chebyshev_degree("exp", (lo, hi), rtol=1e-6)
+	    est = kpm_trace(A, "exp", m=m, interval=(lo, hi))
+
+	or pass ``deg="auto"`` to :class:`ChebyshevFunction` / ``m="auto"`` to
+	:func:`kpm_trace`, which call this with their resolved interval.
+	"""
+	f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
+	lo, hi = float(interval[0]), float(interval[1])
+	c, r = (hi + lo) / 2.0, max((hi - lo) / 2.0, 1e-30)
+	a = _chebyshev_coefficients(f, int(max_deg), c, r)
+	mag = np.max(np.abs(np.atleast_2d(a)).reshape(-1, a.shape[-1]), axis=0)  # stacked → envelope
+	scale = float(mag.max())
+	if scale == 0.0 or not np.isfinite(scale):
+		return 2
+	keep = np.nonzero(mag >= rtol * scale)[0]
+	return int(max(2, (keep[-1] + 1) if keep.size else 1))
+
+
 def kpm_trace(
 	A,
 	fun: Union[str, Callable, None] = None,
-	m: int = 64,
+	m: Union[int, str] = 64,
 	nv: int = 32,
 	pdf: str = "rademacher",
 	interval: Optional[Tuple[float, float]] = None,
@@ -156,6 +202,8 @@ def kpm_trace(
 	op = aslinop(A)
 	if interval is None:
 		interval = _spectral_interval(op, seed)
+	if m == "auto":
+		m = max(suggest_chebyshev_degree(f, interval) for f in fs)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])  # (nt, m)
@@ -229,7 +277,7 @@ class ChebyshevFunction:
 		self,
 		A,
 		fun: Union[str, Callable, None] = None,
-		deg: int = 64,
+		deg: Union[int, str] = 64,
 		interval: Optional[Tuple[float, float]] = None,
 		damping: str = "jackson",
 		dtype=None,
@@ -241,7 +289,6 @@ class ChebyshevFunction:
 		self._op = aslinop(A, dtype=dtype)
 		self.shape = self._op.shape
 		self.dtype = jnp.dtype(dtype) if dtype is not None else self._op.dtype
-		self._deg = int(deg)
 		self._damping = damping
 		if interval is None:
 			interval = _spectral_interval(self._op, seed)
@@ -253,9 +300,15 @@ class ChebyshevFunction:
 		# the coefficient rows differ — matmat/quad gain a leading stack axis.
 		if isinstance(fun, (list, tuple)):
 			fs = [param_callable(fi, **fun_kwargs) if (fi is None or isinstance(fi, str)) else fi for fi in fun]
+			if deg == "auto":  # family shares one degree: the largest member needs
+				deg = max(suggest_chebyshev_degree(f, (lo, hi)) for f in fs)
+			self._deg = int(deg)
 			a = np.stack([_chebyshev_coefficients(f, self._deg, c, r) for f in fs])
 		else:
 			f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
+			if deg == "auto":
+				deg = suggest_chebyshev_degree(f, (lo, hi))
+			self._deg = int(deg)
 			a = _chebyshev_coefficients(f, self._deg, c, r)  # (m,) — or (nt, m) stacked
 		g = np.asarray(jackson_coefficients(self._deg)) if damping == "jackson" else np.ones(self._deg)
 		# Damped coefficients are data (pytree leaf): same compiled program for

@@ -117,3 +117,31 @@ def test_kpm_trace_multi_function_shares_moments():
 	assert np.allclose(ests, gt, rtol=0.1)
 	e0 = pt.kpm_trace(A, funs[0], m=96, nv=64, seed=1)
 	assert isinstance(e0, float) and np.isclose(e0, ests[0], rtol=1e-12)
+
+
+def test_suggest_chebyshev_degree_decay():
+	"""Analytic f: geometric coefficient decay → small degree; the suggested
+	degree actually resolves f (KPM estimate within tolerance)."""
+	from primate_tpu.kpm import suggest_chebyshev_degree
+
+	m_exp = suggest_chebyshev_degree("exp", (0.0, 1.0), rtol=1e-8)
+	assert 5 <= m_exp <= 40  # exp on [0,1] is entire — tiny expansion
+	# a harder f on a wider interval needs (monotonically) more terms
+	m_exp_wide = suggest_chebyshev_degree("exp", (0.0, 30.0), rtol=1e-8)
+	assert m_exp_wide > m_exp
+	# tighter tolerance never shrinks the degree
+	assert suggest_chebyshev_degree("exp", (0.0, 1.0), rtol=1e-12) >= m_exp
+
+
+def test_kpm_auto_degree_end_to_end():
+	rng = np.random.default_rng(7)
+	ew = rng.uniform(0.1, 2.0, 64)
+	A = pt.symmetric(64, ew=ew, seed=9)
+	est = pt.kpm_trace(A, "exp", m="auto", nv=64, seed=11)
+	true = np.exp(ew).sum()
+	assert abs(est - true) <= 0.05 * true
+	# ChebyshevFunction deg="auto" — quad path through hutch
+	M = pt.ChebyshevFunction(A, "exp", deg="auto", seed=13)
+	assert M._deg >= 5
+	est2 = pt.hutch(M, converge="count", count=256, seed=15)
+	assert abs(est2 - true) <= 0.05 * true
