@@ -23,7 +23,7 @@ __version__ = "0.1.0"
 from . import kpm, operators, random, recipes, special, stats
 from .bidiag import lanczos_bidiag
 from .block_krylov import block_lanczos, block_quadrature, block_slq_trace
-from .density import cumulative_spectral_density, spectral_density
+from .density import cumulative_spectral_density, spectral_density, spectral_quantile
 from .diagonal import diag, diagpp, xdiag
 from .eigen import eigsh, rand_nystrom, rsvd, svds
 from .estimators import (

@@ -25,7 +25,7 @@ from .lanczos import lanczos_block_op
 from .operators import aslinop
 from .random import as_key, sample_isotropic
 
-__all__ = ["spectral_density", "cumulative_spectral_density"]
+__all__ = ["spectral_density", "cumulative_spectral_density", "spectral_quantile"]
 
 
 def _gauss(t: jnp.ndarray, mu: jnp.ndarray, sigma) -> jnp.ndarray:
@@ -109,3 +109,31 @@ def cumulative_spectral_density(A, grid: Union[int, jnp.ndarray] = 256, **kwargs
 	dt = np.diff(ts, prepend=ts[0])
 	csm = np.cumsum(phi * dt)
 	return ts, csm
+
+
+def spectral_quantile(A, q, grid: Union[int, jnp.ndarray] = 512, **kwargs):
+	"""Spectrum quantiles: the value ``t`` with ``Φ(t) ≈ q·n`` (q in [0, 1]).
+
+	Inverts the normalized cumulative spectral measure by monotone
+	interpolation — matrix-free percentiles of the eigenvalue distribution
+	(median eigenvalue, spectrum deciles, trimmed spectral ranges) without any
+	eigendecomposition. ``q`` may be a scalar or an array of quantiles; extra
+	kwargs reach :func:`spectral_density` (``deg``, ``nv``, ``sigma``,
+	``seed``, ...).
+
+	Resolution note: quantiles inherit the Gaussian broadening σ of the
+	density — isolated eigenvalues are located to ~σ, and quantiles within
+	O(1/nv) of 0 or 1 ride on Monte-Carlo noise in the CDF tails (use
+	:func:`~primate_tpu.eigen.eigsh` for extremal eigenvalues instead).
+
+	>>> lam_med = spectral_quantile(A, 0.5)
+	>>> deciles = spectral_quantile(A, np.linspace(0.1, 0.9, 9))
+	"""
+	ts, csm = cumulative_spectral_density(A, grid=grid, **kwargs)
+	total = float(csm[-1])
+	assert total > 0 and np.isfinite(total), "Degenerate spectral measure (empty grid or NaN density)"
+	cdf = np.asarray(csm) / total
+	qs = np.atleast_1d(np.asarray(q, dtype=float))
+	assert np.all((qs >= 0.0) & (qs <= 1.0)), "Quantiles must lie in [0, 1]"
+	out = np.interp(qs, cdf, np.asarray(ts))
+	return float(out[0]) if np.isscalar(q) or getattr(q, "ndim", 1) == 0 else out

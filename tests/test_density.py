@@ -70,3 +70,28 @@ def test_singular_value_density_via_gram_gkl():
 	mean_est = float(np.sum(ts * phi * dt) / mass)
 	assert abs(mass - 1.0) < 0.1
 	assert abs(mean_est - s2.mean()) / s2.mean() < 0.2
+
+
+def test_spectral_quantile_uniform_spectrum():
+	"""Prescribed uniform spectrum on [0, 1]: quantile(q) ≈ q."""
+	n = 256
+	ew = (np.arange(n) + 0.5) / n
+	A = pt.symmetric(n, ew=ew, seed=1)
+	qs = np.asarray([0.25, 0.5, 0.75])
+	t = pt.spectral_quantile(A, qs, deg=64, nv=32, seed=3)
+	assert np.all(np.abs(t - qs) < 0.08)
+	# scalar in, scalar out
+	med = pt.spectral_quantile(A, 0.5, deg=64, nv=32, seed=3)
+	assert isinstance(med, float) and abs(med - 0.5) < 0.08
+
+
+def test_spectral_quantile_bimodal():
+	"""Two well-separated clusters: the median sits between them, the 0.2/0.8
+	quantiles inside the clusters."""
+	n = 200
+	ew = np.concatenate([np.full(n // 2, 1.0), np.full(n // 2, 5.0)])
+	ew += np.random.default_rng(5).normal(0, 0.02, n)
+	A = pt.symmetric(n, ew=ew, seed=7)
+	lo = pt.spectral_quantile(A, 0.2, deg=48, nv=32, seed=9)
+	hi = pt.spectral_quantile(A, 0.8, deg=48, nv=32, seed=9)
+	assert abs(lo - 1.0) < 0.3 and abs(hi - 5.0) < 0.3
