@@ -31,6 +31,7 @@ __all__ = [
 	"eigencount",
 	"schatten",
 	"suggest_degree",
+	"shifted_trace",
 	"suggest_probes",
 	"weighted_trace",
 ]
@@ -690,3 +691,42 @@ def suggest_probes(
 	nv = max(nv, pilot)
 	info = {"method": "clt", "pilot": pilot, "estimate": est, "variance": var, "z": z}
 	return (nv, info) if full else nv
+
+
+def shifted_trace(
+	A,
+	fun: Union[str, callable] = "log",
+	shifts=None,
+	deg: int = 20,
+	orth: int = 5,
+	fun_kwargs: Optional[dict] = None,
+	**est_kwargs,
+):
+	"""``tr(f(A + t·I))`` for EVERY shift ``t`` from one Lanczos sweep per probe.
+
+	Krylov spaces are shift-invariant — ``K(A + tI, v) = K(A, v)`` — so the
+	Jacobi matrix of the shifted operator is ``J + tI``: one sweep yields the
+	Gauss rule ``(θ + t, τ)`` for the whole shift grid simultaneously. An
+	``nt``-point curve costs exactly the operator applications of one point.
+
+	The flagship use is the GP noise-hyperparameter sweep
+	``log det(K + σ²I)`` over a σ grid::
+
+	    curve = pt.recipes.shifted_trace(K, "log", shifts=sigmas**2)
+
+	All shifts share the same probes, so the curve is smooth in ``t`` (errors
+	are correlated across shifts — finite differences of the curve are far
+	more accurate than independent runs would give). For ``fun="log"``/"sqrt",
+	``A + t·I`` must stay positive definite over the grid.
+
+	Returns an array of ``len(shifts)`` estimates (plus the
+	:class:`EstimatorResult` when ``full=True``). Extra kwargs reach
+	:func:`~primate_tpu.hutch`.
+	"""
+	from .special import param_callable
+
+	assert shifts is not None, "Provide shifts= (an array of t values for tr(f(A + t·I)))"
+	f = param_callable(fun, **(fun_kwargs or {})) if isinstance(fun, str) else fun
+	fam = stacked(lambda x, t: f(x + t), shifts)
+	M = MatrixFunction(aslinop(A), fun=fam, deg=deg, orth=orth)
+	return hutch(M, **est_kwargs)

@@ -299,3 +299,26 @@ def test_suggest_probes_matrix_function():
 	A = pt.symmetric(48, pd=True, ew=ew, seed=19)
 	nv = pt.recipes.suggest_probes(A, "log", eps=0.1, pilot=16, deg=24, seed=23)
 	assert isinstance(nv, int) and nv >= 16
+
+
+def test_shifted_trace_logdet_curve():
+	"""tr(log(A + tI)) over a shift grid from one sweep matches dense truth,
+	and the curve is monotone increasing in t (as log det must be)."""
+	rng = np.random.default_rng(31)
+	ew = rng.uniform(0.5, 2.0, 64)
+	A = pt.symmetric(64, pd=True, ew=ew, seed=37)
+	ts = np.asarray([0.0, 0.5, 1.0, 2.0])
+	curve = pt.recipes.shifted_trace(A, "log", shifts=ts, deg=24, orth=-1, converge="count", count=256, seed=41)
+	true = np.asarray([np.log(ew + t).sum() for t in ts])
+	assert curve.shape == (4,)
+	assert np.max(np.abs(np.asarray(curve) - true)) <= 0.05 * np.abs(true).max()
+	assert np.all(np.diff(np.asarray(curve)) > 0)
+
+
+def test_shifted_trace_shares_probes():
+	"""Same seed, different grids: overlapping shifts agree EXACTLY (one sweep,
+	shared probes — the correlated-curve property the docstring promises)."""
+	A = pt.symmetric(48, pd=True, seed=43)
+	a = pt.recipes.shifted_trace(A, "log", shifts=[1.0, 2.0], deg=16, converge="count", count=64, seed=47)
+	b = pt.recipes.shifted_trace(A, "log", shifts=[1.0, 3.0], deg=16, converge="count", count=64, seed=47)
+	assert float(a[0]) == float(b[0])
