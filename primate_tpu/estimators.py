@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from .stats import Covariance, CovState, Mean, MeanState, cov_matrix
-from .utils.typing import restrict_kwargs
+from .utils.kwargs import restrict_kwargs
 
 __all__ = [
 	"EstSnapshot",

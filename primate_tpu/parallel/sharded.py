@@ -544,7 +544,7 @@ def auto_shard_operator(
 	...) and the sharding constructors (``halo``, ...).
 	"""
 	from ..operators.prepare import auto_operator
-	from ..utils.typing import restrict_kwargs, setdiff_kwargs
+	from ..utils.kwargs import restrict_kwargs, setdiff_kwargs
 
 	prep_kwargs = restrict_kwargs(auto_operator, kwargs)
 	shard_kwargs = setdiff_kwargs(auto_operator, kwargs)

@@ -1,5 +1,5 @@
 """Utility helpers: kwargs routing, misc glue."""
 
-from .typing import restrict_kwargs, setdiff_kwargs
+from .kwargs import restrict_kwargs, setdiff_kwargs
 
 __all__ = ["restrict_kwargs", "setdiff_kwargs"]

@@ -177,7 +177,7 @@ def test_mesh_devices_and_lanczos_block_op_cache():
 def test_restrict_and_setdiff_kwargs():
 	"""Signature-based kwargs routing — the reference's whole "config system"
 	(`typing.py:5-14`): restrict keeps only params of f, setdiff the rest."""
-	from primate_tpu.utils.typing import restrict_kwargs, setdiff_kwargs
+	from primate_tpu.utils.kwargs import restrict_kwargs, setdiff_kwargs
 
 	def f(a, b=1, *, c=2):
 		return a + b + c
