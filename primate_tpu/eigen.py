@@ -22,6 +22,7 @@ from typing import Callable, Optional, Tuple, Union
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .operators import aslinop
 
@@ -34,6 +35,103 @@ def _lobpcg_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol)
 	X0 = jax.random.normal(key, (n, k), dtype=dtype)
 	theta, U, _ = lobpcg_standard(matmat, X0, m=maxiter, tol=tol)
 	return theta, U
+
+
+def _trlan_cycle(matmat, V, lam, s, ell, key, *, m: int, keep: int):
+	"""One thick-restart cycle: extend the basis to ``m`` Lanczos vectors,
+	eigendecompose the projected matrix, compress back to ``keep`` Ritz pairs.
+
+	State (all shapes static; ``ell`` is a traced scalar so first and restart
+	cycles share ONE compiled program):
+	  V    (n, m+1) — cols [0, ell) kept Ritz vectors, col ell the next start
+	  lam  (m,)     — kept Ritz values (zero-padded)
+	  s    (m,)     — residual couplings: A·V_i = λ_i·V_i + s_i·v_ell
+	"""
+	n = V.shape[0]
+	dtype = V.dtype
+	eps = jnp.finfo(dtype).eps
+	idx = jnp.arange(m + 1)
+	kept = (idx[:m] < ell).astype(dtype)
+	# Projected matrix: diag of kept Ritz values + coupling row/col at ell.
+	e_ell = (idx[:m] == ell).astype(dtype)
+	col = jnp.where(idx[:m] < ell, s, 0.0)
+	T = jnp.diag(lam * kept) + jnp.outer(col, e_ell) + jnp.outer(e_ell, col)
+
+	def body(j, carry):
+		V, T, _ = carry
+		v = jnp.take(V, j, axis=1)
+		w = matmat(v[:, None])[:, 0]
+		alpha = jnp.dot(v, w)
+		mask = (idx <= j).astype(dtype)
+		for _ in range(2):  # CGS2 against the FULL current basis (cols 0..j)
+			w = w - V @ ((V.T @ w) * mask)
+		beta = jnp.linalg.norm(w)
+		tiny = 10.0 * eps * (jnp.abs(alpha) + beta + 1.0)
+		ok = beta > tiny
+		bet = jnp.where(ok & (j + 1 < m), beta, 0.0)  # last step stores no off-diagonal
+		jp = jnp.minimum(j + 1, m - 1)  # when j+1 == m both adds hit [m-1,m-1] with bet=0
+		T = T.at[j, j].add(alpha).at[j, jp].add(bet).at[jp, j].add(bet)
+
+		def renew(w):
+			# Invariant subspace: continue the basis with a fresh random
+			# direction orthogonalized against everything found so far.
+			r = jax.random.normal(jax.random.fold_in(key, j), (n,), dtype)
+			for _ in range(2):
+				r = r - V @ ((V.T @ r) * mask)
+			return r / jnp.maximum(jnp.linalg.norm(r), eps)
+
+		w_next = lax.cond(ok, lambda w: w / jnp.maximum(beta, eps), renew, w)
+		return V.at[:, j + 1].set(w_next), T, jnp.where(ok, beta, 0.0)
+
+	V, T, beta_last = lax.fori_loop(ell, m, body, (V, T, jnp.zeros((), dtype)))
+	theta, Y = jnp.linalg.eigh(T)
+	order = jnp.argsort(-theta)
+	sel = order[:keep]
+	resid = beta_last * jnp.abs(Y[m - 1, :])
+	lam_new = jnp.zeros(m, dtype).at[:keep].set(theta[sel])
+	s_new = jnp.zeros(m, dtype).at[:keep].set(beta_last * Y[m - 1, sel])
+	V_new = jnp.zeros_like(V)
+	V_new = V_new.at[:, :keep].set(V[:, :m] @ Y[:, sel])
+	V_new = V_new.at[:, keep].set(V[:, m])
+	return V_new, lam_new, s_new, theta[order], resid[order]
+
+
+def _trlan_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol) -> Tuple[jnp.ndarray, jnp.ndarray]:
+	"""Top-``k`` eigenpairs by thick-restart Lanczos (Wu-Simon 2000).
+
+	The implicit-restart engine of the reference's scipy/ARPACK dependency,
+	rebuilt TPU-native: every cycle is a fixed-shape program — (m−ℓ) matvecs,
+	each followed by a CGS2 sweep against the (n, m+1) basis (two GEMMs), one
+	(m×m) dense `eigh`, one (n,m)×(m,keep) compression GEMM — reused across
+	restarts because ``ell`` is traced, not compiled in. Converges faster than
+	LOBPCG for well-separated extremal eigenvalues (Krylov vs block-gradient
+	rates); LOBPCG remains the default for clustered/multiple eigenvalues,
+	which single-vector Lanczos resolves only through restart randomization.
+	"""
+	from functools import partial as _partial
+
+	m = int(min(n - 1, max(3 * k, k + 12)))
+	keep = int(np.clip(min(2 * k, k + 8), k, m - 2))
+	tol = float(np.sqrt(jnp.finfo(dtype).eps)) if tol is None else float(tol)
+	span = max(1, m - keep)
+	ncycles = int(np.clip((int(maxiter) * max(k, 1)) // span + 1, 10, 500))
+
+	cycle = jax.jit(_partial(_trlan_cycle, matmat, m=m, keep=keep))
+	key, k0 = jax.random.split(key)
+	v0 = jax.random.normal(k0, (n,), dtype)
+	V = jnp.zeros((n, m + 1), dtype).at[:, 0].set(v0 / jnp.linalg.norm(v0))
+	lam = jnp.zeros(m, dtype)
+	s = jnp.zeros(m, dtype)
+	ell = jnp.zeros((), jnp.int32)
+	theta = resid = None
+	for it in range(ncycles):
+		V, lam, s, theta, resid = cycle(V, lam, s, ell, jax.random.fold_in(key, it))
+		ell = jnp.asarray(keep, jnp.int32)
+		r_top = np.asarray(resid[:k])
+		scale = max(float(np.max(np.abs(np.asarray(theta)))), 1e-30)
+		if np.all(r_top <= tol * scale):
+			break
+	return lam[:k], V[:, :k]
 
 
 class _Realified:
@@ -104,6 +202,7 @@ def eigsh(
 	return_eigenvectors: bool = True,
 	seed=None,
 	dtype=None,
+	method: str = "lobpcg",
 ) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
 	"""Extremal eigenpairs of a symmetric operator, scipy-`eigsh`-compatible.
 
@@ -111,6 +210,11 @@ def eigsh(
 	the sparse pytree operators, sharded operators, jittable callables).
 	Returns eigenvalues in ascending order (and eigenvectors as columns,
 	like `scipy.sparse.linalg.eigsh`).
+
+	``method`` selects the iteration: ``"lobpcg"`` (default — blocked, robust
+	to clustered/multiple eigenvalues) or ``"trlan"`` (thick-restart Lanczos —
+	the ARPACK-style Krylov engine, faster per matvec for well-separated
+	extremal eigenvalues).
 	"""
 	from .random import as_key
 
@@ -119,6 +223,9 @@ def eigsh(
 	assert 0 < k < n, f"k must be in (0, n); got k={k}, n={n}"
 	which = which.upper()
 	assert which in ("LA", "SA", "LM", "BE"), f"Unknown which='{which}'"
+	method = method.lower()
+	assert method in ("lobpcg", "trlan"), f"Unknown method='{method}'"
+	_solve_top = _trlan_top if method == "trlan" else _lobpcg_top
 	f_dtype = jnp.promote_types(op.dtype, jnp.float32)
 
 	is_cplx = jnp.dtype(op.dtype).kind == "c"
@@ -146,9 +253,9 @@ def eigsh(
 		# pairs back to k complex eigenpairs.
 		if which == "BE":
 			k_top, k_bot = (k + 1) // 2, k // 2
-			w_t, V_t = eigsh(op, k=k_top, which="LA", maxiter=maxiter, tol=tol, seed=seed)
+			w_t, V_t = eigsh(op, k=k_top, which="LA", maxiter=maxiter, tol=tol, seed=seed, method=method)
 			if k_bot > 0:
-				w_b, V_b = eigsh(op, k=k_bot, which="SA", maxiter=maxiter, tol=tol, seed=seed)
+				w_b, V_b = eigsh(op, k=k_bot, which="SA", maxiter=maxiter, tol=tol, seed=seed, method=method)
 				w = np.concatenate([w_b, w_t])
 				V = np.concatenate([np.asarray(V_b), np.asarray(V_t)], axis=1)
 			else:
@@ -157,7 +264,7 @@ def eigsh(
 			w, V = w[asc], V[:, asc]
 			return (w, V) if return_eigenvectors else w
 		k2 = min(2 * k + 2, 2 * n - 1)
-		w2, V2 = eigsh(_Realified(op), k=k2, which=which, maxiter=maxiter, tol=tol, seed=seed)
+		w2, V2 = eigsh(_Realified(op), k=k2, which=which, maxiter=maxiter, tol=tol, seed=seed, method=method)
 		w2, V2 = np.asarray(w2), np.asarray(V2)
 		if which == "LA":
 			order = np.argsort(-w2)
@@ -178,11 +285,11 @@ def eigsh(
 	pad = min(max(2, k // 4), n - k - 1, max(0, (n - 1) // 5 - k)) if n - k > 1 else 0
 
 	def top(kk, key2):
-		th, U = _lobpcg_top(lambda X: op.matmat(X.astype(op.dtype)).astype(f_dtype), n, kk, f_dtype, key2, maxiter, tol)
-		return th[:kk], U  # lobpcg returns descending theta
+		th, U = _solve_top(lambda X: op.matmat(X.astype(op.dtype)).astype(f_dtype), n, kk, f_dtype, key2, maxiter, tol)
+		return th[:kk], U  # both solvers return descending theta
 
 	def bottom(kk, key2, c):
-		th, U = _lobpcg_top(
+		th, U = _solve_top(
 			lambda X: (c * X - op.matmat(X.astype(op.dtype)).astype(f_dtype)), n, kk, f_dtype, key2, maxiter, tol
 		)
 		return c - th[:kk], U  # ascending eigenvalues of A

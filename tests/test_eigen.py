@@ -167,3 +167,66 @@ def test_rand_nystrom_feeds_deflated_trace():
 	est = exact + float(rest)
 	# Variance comes only from the small tail, so the tolerance scales with it.
 	assert abs(est - ew.sum()) < 10 / np.sqrt(n) * np.sqrt(ew[k:].max())
+
+
+# ---------------------------------------------------------------- trlan
+
+
+@pytest.mark.parametrize("which", ["LA", "SA", "LM", "BE"])
+def test_eigsh_trlan_matches_spectrum(which):
+	"""Thick-restart Lanczos recovers prescribed extremal eigenvalues."""
+	rng = np.random.default_rng(1234)
+	n, k = 200, 5
+	ew = np.sort(rng.uniform(0.1, 2.0, n))
+	A = pt.symmetric(n, ew=ew, seed=rng)
+	w, V = pt.eigsh(A, k=k, which=which, seed=3, method="trlan")
+	if which == "LA":
+		expect = ew[-k:]
+	elif which == "SA":
+		expect = ew[:k]
+	elif which == "LM":
+		expect = np.sort(ew[np.argsort(-np.abs(ew))[:k]])
+	else:  # BE
+		expect = np.sort(np.concatenate([ew[: k // 2], ew[-(k - k // 2) :]]))
+	assert np.abs(np.sort(w) - expect).max() < 1e-8
+	r = np.asarray(A) @ V - V * w[None, :]
+	assert np.abs(r).max() < 1e-6
+	assert np.allclose(V.T @ V, np.eye(k), atol=1e-8)
+
+
+def test_eigsh_trlan_indefinite_lm():
+	"""LM on an indefinite spectrum picks the magnitude-dominant (negative) end."""
+	ew = np.concatenate([np.linspace(-3, -1, 50), np.linspace(0.5, 2.5, 150)])
+	A = pt.symmetric(200, ew=ew, seed=11)
+	w = pt.eigsh(A, k=4, which="LM", seed=7, method="trlan", return_eigenvectors=False)
+	expect = np.sort(ew[np.argsort(-np.abs(ew))[:4]])
+	assert np.abs(np.sort(w) - expect).max() < 1e-8
+
+
+def test_eigsh_trlan_complex_hermitian():
+	ew = np.linspace(0.2, 3.0, 120)
+	H = pt.random.hermitian(120, ew=ew, seed=5)
+	w, V = pt.eigsh(H, k=3, which="LA", seed=11, method="trlan")
+	assert np.abs(np.sort(w) - ew[-3:]).max() < 1e-7
+	r = np.asarray(H) @ V - V * w[None, :]
+	assert np.abs(r).max() < 1e-5
+
+
+def test_eigsh_trlan_multiplicity_via_restarts():
+	"""Restart randomization recovers a triple eigenvalue single-vector Lanczos
+	would otherwise see once (one Krylov copy per distinct eigenvalue)."""
+	ew = np.sort(np.concatenate([np.full(3, 2.0), np.linspace(0.1, 1.0, 97)]))
+	A = pt.symmetric(100, ew=ew, seed=0)
+	w = pt.eigsh(A, k=4, which="LA", seed=2, method="trlan", return_eigenvectors=False)
+	assert np.abs(np.sort(w) - np.array([1.0, 2.0, 2.0, 2.0])).max() < 1e-7
+
+
+def test_eigsh_trlan_early_breakdown_renewal():
+	"""Five distinct eigenvalues: Krylov spans in ~5 steps, the cycle renews the
+	basis with orthogonalized random directions instead of stalling."""
+	ew = np.repeat(np.array([0.5, 1.0, 1.5, 2.0, 2.5]), 30)
+	A = pt.symmetric(150, ew=ew, seed=1)
+	w, V = pt.eigsh(A, k=3, which="LA", seed=4, method="trlan")
+	assert np.abs(w - 2.5).max() < 1e-6  # top eigenvalue has multiplicity 30
+	r = np.asarray(A) @ V - V * w[None, :]
+	assert np.abs(r).max() < 1e-5
