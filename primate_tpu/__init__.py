@@ -25,7 +25,7 @@ from .bidiag import lanczos_bidiag
 from .block_krylov import block_lanczos, block_quadrature, block_slq_trace
 from .density import cumulative_spectral_density, spectral_density, spectral_quantile
 from .diagonal import diag, diagpp, xdiag
-from .eigen import eigsh, rand_nystrom, rsvd, svds
+from .eigen import eigsh, filtered_eigsh, rand_nystrom, rsvd, svds
 from .estimators import (
 	ConfidenceCriterion,
 	ConfidenceEstimator,
@@ -69,6 +69,7 @@ __all__ = [
 	"diagpp",
 	"eigh_tridiag",
 	"eigsh",
+	"filtered_eigsh",
 	"rand_nystrom",
 	"rsvd",
 	"eigvalsh_tridiag",

@@ -26,7 +26,7 @@ from jax import lax
 
 from .operators import aslinop
 
-__all__ = ["eigsh", "rand_nystrom", "rsvd", "svds"]
+__all__ = ["eigsh", "filtered_eigsh", "rand_nystrom", "rsvd", "svds"]
 
 
 def _lobpcg_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -325,6 +325,143 @@ def eigsh(
 	asc = np.argsort(w)
 	w, V = w[asc], V[:, asc]
 	return (w, V) if return_eigenvectors else w
+
+
+def filtered_eigsh(
+	A,
+	interval: Tuple[float, float],
+	k: Optional[int] = None,
+	deg: Optional[int] = None,
+	maxiter: int = 30,
+	tol: Optional[float] = None,
+	oversample: Optional[int] = None,
+	spectral_interval: Optional[Tuple[float, float]] = None,
+	seed=None,
+	dtype=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+	"""All eigenpairs inside ``interval = (a, b)`` — spectrum slicing by
+	Chebyshev-Jackson filtered subspace iteration (Zhou-Saad).
+
+	Interior eigenproblems defeat both shift-invert (no factorization exists
+	for an implicit operator) and plain Krylov (interior Ritz values converge
+	last). The filter route is TPU-native end to end: each iteration applies a
+	degree-``deg`` Chebyshev bandpass approximant ``ρ(A)`` to the whole
+	``(n, s)`` subspace — ``deg`` operator applications via the Clenshaw
+	recurrence of :class:`~primate_tpu.ChebyshevFunction`, all GEMM/SpMM — then
+	one thin QR and one ``(s, s)`` Rayleigh-Ritz eigensolve. ρ amplifies the
+	slice and damps everything else, so a handful of iterations converge.
+
+	``k`` (the expected count in the slice) defaults to a stochastic
+	:func:`~primate_tpu.recipes.eigencount` estimate — the natural workflow is
+	count-then-slice, and both consume the same operator. The subspace is
+	oversampled by ``max(6, k/4)`` and grown adaptively if it saturates (more
+	eigenvalues inside than the sketch can hold).
+
+	Beyond-reference capability: the reference can only *count* eigenvalues in
+	an interval (`docs/src/table.qmd`), not compute them.
+
+	Returns ``(w, V)``: ascending eigenvalues in the closed slice and their
+	orthonormal eigenvectors.
+	"""
+	from .kpm import ChebyshevFunction, _spectral_interval
+	from .random import as_key
+	from .special import smoothstep
+
+	op = aslinop(A, dtype=dtype)
+	n = op.shape[0]
+	a, b = float(interval[0]), float(interval[1])
+	assert a < b, f"interval must satisfy a < b; got {interval}"
+	lmin, lmax = spectral_interval if spectral_interval is not None else _spectral_interval(op, seed)
+	a, b = max(a, lmin), min(b, lmax)
+	f_dtype = jnp.promote_types(op.dtype, jnp.float32)
+	r_dtype = jnp.finfo(f_dtype).dtype if jnp.dtype(f_dtype).kind == "c" else f_dtype
+	# Relative-residual target. Filtered subspace iteration converges at the
+	# ratio of filter gains, which for eigenvalues near the slice boundary is
+	# barely below 1 — boundary pairs land at ~1e-6 relative quickly and then
+	# crawl. 1e-6 accepts them; pass a tighter tol (and more maxiter) to polish.
+	tol = max(1e-6, float(np.sqrt(jnp.finfo(r_dtype).eps))) if tol is None else float(tol)
+	key = as_key(seed)
+
+	if k is None:
+		from .recipes import eigencount
+
+		k = max(int(eigencount(op, (a, b), seed=seed)), 1)
+	k = int(k)
+	assert 0 < k < n, f"k must be in (0, n); got k={k}"
+
+	# Bandpass filter: difference of smoothsteps (the eigencount window) with a
+	# transition of ~2% of the slice, Jackson-damped. Degree heuristic: the
+	# Chebyshev resolution near the slice must match the transition width —
+	# ~8·(spectral range)/(slice width), clamped.
+	width = 0.02 * (b - a)
+	rise, fall = smoothstep(a=a - width, b=a + width), smoothstep(a=b - width, b=b + width)
+	window = lambda x: rise(x) - fall(x)  # noqa: E731
+	if deg is None:
+		deg = int(np.clip(8.0 * (lmax - lmin) / max(b - a, 1e-12), 32, 600))
+	rho = ChebyshevFunction(op, fun=window, deg=int(deg), interval=(lmin, lmax), damping="jackson", dtype=dtype)
+
+	s = min(k + (int(oversample) if oversample is not None else max(6, k // 4)), n)
+	scale = max(abs(lmin), abs(lmax), 1e-30)
+	X = _gaussian_sketch(key, (n, s), op.dtype)
+
+	theta = resid = inside = None
+	best_acc, best_rem, stall = -1, np.inf, 0
+	for it in range(int(maxiter)):
+		Q, _ = jnp.linalg.qr(rho.matmat(X).astype(f_dtype))
+		W = op.matmat(Q.astype(op.dtype)).astype(f_dtype)
+		H = jnp.conj(Q).T @ W
+		theta, U = jnp.linalg.eigh(0.5 * (H + jnp.conj(H).T))
+		X = Q @ U
+		R = W @ U - X * theta[None, :]
+		resid = np.asarray(jnp.linalg.norm(R, axis=0))
+		theta_np = np.asarray(theta)
+		inside = (theta_np >= a) & (theta_np <= b)
+		n_in = int(np.count_nonzero(inside))
+		if n_in >= s - 1 and s < n:
+			# Slice saturated the sketch: eigencount undercounted. Grow the
+			# subspace with fresh random directions and keep iterating.
+			grow = min(max(s // 2, 4), n - s)
+			key, kg = jax.random.split(key)
+			X = jnp.concatenate([X, _gaussian_sketch(kg, (n, grow), op.dtype)], axis=1)
+			s += grow
+			best_acc, best_rem, stall = -1, np.inf, 0
+			continue
+		if n_in > 0 and np.all(resid[inside] <= tol * scale):
+			break
+		# Ghost Ritz pairs in the filter's transition band hover with O(1)
+		# residuals no matter how long we iterate. Detect a TRUE stall — no new
+		# pair converging AND no geometric-mean improvement among the rest —
+		# instead of burning the remaining budget on ghosts.
+		r_in = resid[inside]
+		n_acc = int(np.count_nonzero(r_in <= tol * scale))
+		rem = r_in[r_in > tol * scale]
+		cur = float(np.exp(np.mean(np.log(np.maximum(rem, 1e-300))))) if rem.size else 0.0
+		if n_acc > best_acc or cur < 0.9 * best_rem:
+			stall = 0
+		else:
+			stall += 1
+		best_acc = max(best_acc, n_acc)
+		best_rem = min(best_rem, cur) if rem.size else best_rem
+		if stall >= 4:
+			break
+
+	# Accept converged pairs only; an unconverged pair inside the slice is a
+	# transition-band ghost (or a genuinely missed direction — warn either way).
+	accept = inside & (resid <= 100.0 * tol * scale)
+	n_drop = int(np.count_nonzero(inside & ~accept))
+	if n_drop:
+		import warnings
+
+		warnings.warn(
+			f"filtered_eigsh: dropped {n_drop} unconverged Ritz pair(s) inside "
+			f"[{a:g}, {b:g}] (relative residual > {100.0 * tol:g}); if the count "
+			"looks short, raise deg/maxiter or widen the interval.",
+			stacklevel=2,
+		)
+	w = np.asarray(theta)[accept]
+	V = np.asarray(X)[:, accept]
+	order = np.argsort(w)
+	return w[order], V[:, order]
 
 
 def svds(

@@ -230,3 +230,54 @@ def test_eigsh_trlan_early_breakdown_renewal():
 	assert np.abs(w - 2.5).max() < 1e-6  # top eigenvalue has multiplicity 30
 	r = np.asarray(A) @ V - V * w[None, :]
 	assert np.abs(r).max() < 1e-5
+
+
+# ---------------------------------------------------- filtered (spectrum slicing)
+
+
+def test_filtered_eigsh_recovers_interior_slice():
+	"""Every eigenpair inside the interval, to near machine precision."""
+	rng = np.random.default_rng(0)
+	ew = np.sort(rng.uniform(0.0, 10.0, 300))
+	A = pt.symmetric(300, ew=ew, seed=1)
+	true = ew[(ew >= 4.0) & (ew <= 5.0)]
+	w, V = pt.filtered_eigsh(A, (4.0, 5.0), seed=2)
+	assert len(w) == len(true)
+	assert np.abs(np.sort(w) - true).max() < 1e-6
+	r = np.asarray(A) @ V - V * w[None, :]
+	assert np.abs(r).max() < 1e-4
+	assert np.allclose(V.T @ V, np.eye(len(w)), atol=1e-8)
+
+
+def test_filtered_eigsh_grows_when_undercounted():
+	"""k far below the true slice count: the sketch saturates and auto-grows."""
+	ew = np.sort(np.concatenate([np.linspace(4.2, 4.8, 20), np.linspace(0, 10, 180)]))
+	A = pt.symmetric(200, ew=ew, seed=6)
+	true = ew[(ew >= 4.0) & (ew <= 5.0)]
+	w, V = pt.filtered_eigsh(A, (4.0, 5.0), k=3, seed=7)
+	assert len(w) == len(true)
+	assert np.abs(np.sort(w) - true).max() < 1e-6
+
+
+def test_filtered_eigsh_complex_hermitian():
+	ew = np.linspace(-2, 2, 200)
+	H = pt.random.hermitian(200, ew=ew, seed=4)
+	true = ew[(ew >= -0.5) & (ew <= 0.5)]
+	w, V = pt.filtered_eigsh(H, (-0.5, 0.5), seed=5)
+	assert len(w) == len(true)
+	assert np.abs(np.sort(w) - true).max() < 1e-6
+	r = np.asarray(H) @ V - V * w[None, :]
+	assert np.abs(r).max() < 1e-4
+
+
+def test_filtered_eigsh_sparse_operator():
+	import scipy.sparse as sps
+
+	n = 400
+	L = sps.diags([-np.ones(n - 1), 2.5 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	kk = np.arange(1, n + 1)
+	lam = 2.5 - 2 * np.cos(kk * np.pi / (n + 1))
+	true = np.sort(lam[(lam >= 2.0) & (lam <= 2.4)])
+	w, V = pt.filtered_eigsh(L, (2.0, 2.4), seed=8)
+	assert len(w) == len(true)
+	assert np.abs(np.sort(w) - true).max() < 1e-6
