@@ -20,7 +20,9 @@ from .trace import hutch
 
 __all__ = [
 	"bilinear_form",
+	"condition_number",
 	"deflated_trace",
+	"effective_dim",
 	"logdet",
 	"trace_bounds",
 	"trace_inv",
@@ -329,6 +331,53 @@ def trace_inv(
 		captures=(op, precond),
 	)
 	return hutch(inv_op, **kwargs)
+
+
+def effective_dim(A, lam: Union[float, np.ndarray] = 1.0, deg: int = 30, orth: int = 5, **kwargs):
+	"""Effective dimension ``tr(A(A + λI)⁻¹)`` of a PSD operator (ridge/GP
+	degrees of freedom; Hastie-Tibshirani-Friedman §7.6, Zhang 2005).
+
+	The capacity curve over a whole regularization grid is the standard
+	diagnostic for choosing λ in kernel ridge regression / GP regression —
+	and every grid point shares ONE Lanczos sweep per probe batch: the
+	spectral family ``f_λ(x) = x/(x+λ)`` is evaluated on function-independent
+	Gauss rules (:func:`~primate_tpu.special.stacked`), so an array ``lam``
+	returns the whole curve for the operator applications of a single point.
+
+	Beyond-reference capability (composable there as
+	``hutch(MatrixFunction(A, lambda x: x/(x+lam)))``, one full run per λ).
+	"""
+
+	def _f(x, v):
+		return x / (x + v)
+
+	if np.ndim(lam) > 0:
+		return _slq(A, stacked(_f, np.asarray(lam)), deg, orth, **kwargs)
+	lam = float(lam)
+	return _slq(A, lambda x: x / (x + lam), deg, orth, **kwargs)
+
+
+def condition_number(A, k: int = 1, maxiter: int = 200, seed=None, method: str = "lobpcg", **eigsh_kwargs):
+	"""2-norm condition number ``κ(A) = λ_max/λ_min`` of a symmetric PD operator.
+
+	Both spectral ends from :func:`~primate_tpu.eigsh` (``k`` extremal pairs
+	each side; the extra pairs guard against the trailing Ritz value still
+	drifting). For indefinite operators this is NOT ``κ`` in the ‖·‖₂ sense —
+	use ``abs``: κ = σ_max/σ_min requires singular values; this routine raises
+	if the smallest computed eigenvalue is ≤ 0.
+
+	Beyond-reference capability (the reference computes `normalize_unit`'s
+	single extreme magnitude via ARPACK but ships no conditioning tool).
+	"""
+	from .eigen import eigsh
+
+	op = aslinop(A)
+	w_hi = eigsh(op, k=k, which="LA", maxiter=maxiter, seed=seed, method=method, return_eigenvectors=False, **eigsh_kwargs)
+	w_lo = eigsh(op, k=k, which="SA", maxiter=maxiter, seed=seed, method=method, return_eigenvectors=False, **eigsh_kwargs)
+	lo, hi = float(np.min(w_lo)), float(np.max(w_hi))
+	if lo <= 0:
+		raise ValueError(f"condition_number requires a positive-definite operator; smallest eigenvalue ≈ {lo:.3e}")
+	return hi / lo
 
 
 def estrada_index(A, deg: int = 20, orth: int = 5, t: float = 1.0, **kwargs):

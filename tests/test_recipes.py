@@ -1,6 +1,7 @@
 """High-level recipe functions vs dense ground truth."""
 
 import numpy as np
+import pytest
 import scipy.sparse as sps
 import jax.numpy as jnp
 
@@ -322,3 +323,33 @@ def test_shifted_trace_shares_probes():
 	a = pt.recipes.shifted_trace(A, "log", shifts=[1.0, 2.0], deg=16, converge="count", count=64, seed=47)
 	b = pt.recipes.shifted_trace(A, "log", shifts=[1.0, 3.0], deg=16, converge="count", count=64, seed=47)
 	assert float(a[0]) == float(b[0])
+
+
+def test_effective_dim_curve_shares_sweeps():
+	"""tr(A(A+λI)^{-1}) over a λ grid, one stacked-sweep estimate per point."""
+	rng = np.random.default_rng(0)
+	n = 150
+	ew = np.sort(rng.uniform(0.01, 5.0, n))
+	A = pt.symmetric(n, pd=True, ew=ew, seed=1)
+	lams = np.array([0.01, 0.1, 1.0, 10.0])
+	true = np.array([(ew / (ew + lam)).sum() for lam in lams])
+	est = np.asarray(pt.recipes.effective_dim(A, lams, deg=40, orth=-1, converge="count", count=256, seed=2))
+	assert est.shape == (4,)
+	assert np.all(np.abs(est - true) / true < 0.01)
+	# Monotone decreasing in λ, like the exact curve.
+	assert np.all(np.diff(est) < 0)
+	# Scalar λ path agrees with the dense value too.
+	e1 = float(pt.recipes.effective_dim(A, 0.5, deg=40, orth=-1, converge="count", count=256, seed=2))
+	assert abs(e1 - (ew / (ew + 0.5)).sum()) / (ew / (ew + 0.5)).sum() < 0.01
+
+
+def test_condition_number():
+	rng = np.random.default_rng(3)
+	ew = np.sort(rng.uniform(0.05, 8.0, 120))
+	A = pt.symmetric(120, pd=True, ew=ew, seed=4)
+	k = pt.recipes.condition_number(A, seed=5, method="trlan")
+	assert abs(k - ew[-1] / ew[0]) / (ew[-1] / ew[0]) < 1e-6
+	# Indefinite operators are rejected (κ₂ needs singular values there).
+	B = pt.symmetric(60, ew=np.linspace(-1, 2, 60), seed=6)
+	with pytest.raises(ValueError):
+		pt.recipes.condition_number(B, seed=7)
