@@ -311,3 +311,20 @@ def test_auto_shard_scattered_falls_back_to_bsr(mesh8):
 	assert info.format in ("csr", "bsr") and info.perm is None
 	V = np.random.default_rng(10).normal(size=(256, 4))
 	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-9)
+
+
+def test_eigensolvers_on_sharded_operator(mesh8):
+	"""trlan eigsh and filtered_eigsh drive sharded matmats transparently."""
+	from primate_tpu.parallel import auto_shard_operator
+
+	n = 512
+	A = _laplacian(n)
+	op, _ = auto_shard_operator(A, mesh8)
+	kk = np.arange(1, n + 1)
+	lam = np.sort(3.0 - 2.0 * np.cos(kk * np.pi / (n + 1)))
+	w = pt.eigsh(op, k=3, which="SA", seed=1, method="trlan", return_eigenvectors=False)
+	assert np.abs(np.sort(w) - lam[:3]).max() < 1e-5
+	sl = (lam >= 2.5) & (lam <= 2.7)
+	wf, Vf = pt.filtered_eigsh(op, (2.5, 2.7), seed=2)
+	assert len(wf) == int(np.count_nonzero(sl))
+	assert np.abs(np.sort(wf) - lam[sl]).max() < 1e-8
