@@ -457,8 +457,16 @@ class DIAOperator(LinearOperator):
 		# Probe-major stencil: out[b, i] = Σ_k band_k[i] · Vt[b, i + off_k].
 		# Shifts run along the contiguous lane axis; bands broadcast over the
 		# probe axis — still zero gathers, and no lane padding for any k.
-		if self.use_pallas:  # honor the explicit kernel request (node-major)
-			return self._matmat(Vt.T).T
+		if self.use_pallas:
+			# Manual double-buffered stencil kernel. Measured: the kernel body
+			# streams ~2.2× faster than XLA's shift-multiply-add schedule, but
+			# the per-call halo pad + unpad copies (unavoidable inside a scan
+			# carry) bring it back to parity (47.9 vs 47.0 ms per 20-step
+			# chain, 64×500k f32 on v5e) — kept opt-in as the explicitly
+			# scheduled alternative.
+			from ..ops.dia_pallas import dia_matmat_t
+
+			return dia_matmat_t(self, Vt)
 		n = self.shape[0]
 		moff = max((abs(o) for o in self.offsets), default=0)
 		Vp = jnp.pad(Vt, ((0, 0), (moff, moff))) if moff else Vt

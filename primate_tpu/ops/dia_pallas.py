@@ -22,9 +22,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["dia_matmat", "dia_matmat_pallas"]
+__all__ = ["dia_matmat", "dia_matmat_pallas", "dia_matmat_t", "dia_matmat_t_pallas"]
 
 TILE = 2048  # rows per grid step (f32 sublane-aligned; moff must fit in one tile)
+
+# --- probe-major stencil (lanes = rows, sublanes = probes) -------------------
+#
+# The Lanczos sweep carries its probe block (nv, n) PROBE-MAJOR, so the stencil
+# shifts run along the contiguous lane axis. XLA's schedule for the
+# shift-multiply-add DAG materializes a shifted copy of V per diagonal
+# (~2 HBM round trips of the block per diagonal); this kernel streams V ONCE —
+# each grid step double-buffer-DMAs its lane tile plus a 128-lane halo into
+# VMEM while the previous tile computes, and all diagonals are fused into one
+# VPU pass over the resident tile.
+
+LANE_TILE = 2048  # lanes (rows) per grid step
+HALO = 128  # lane-aligned halo each side; covers |offset| ≤ 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -88,6 +101,93 @@ def dia_matmat_pallas(
 			transcendentals=0,
 		),
 	)(bands.astype(acc), Vp.astype(acc))
+
+
+def _dia_t_kernel(bands_ref, x_hbm, out_ref, scratch, sem, *, offsets: Tuple[int, ...], n_tiles: int):
+	"""out[b, r] = Σ_d bands[d, r] · x[b, r + off_d] for one lane tile.
+
+	``scratch``/``sem`` persist across grid steps: step j waits on buffer
+	j%2 (started at step j−1) and prefetches buffer (j+1)%2 — the HBM read
+	of the NEXT tile overlaps this tile's VPU stencil.
+	"""
+	j = pl.program_id(0)
+	T = out_ref.shape[1]
+
+	def get_dma(slot, idx):
+		return pltpu.make_async_copy(
+			x_hbm.at[:, pl.ds(idx * T, T + 2 * HALO)],
+			scratch.at[slot],
+			sem.at[slot],
+		)
+
+	@pl.when(j == 0)
+	def _():
+		get_dma(0, 0).start()
+
+	@pl.when(j + 1 < n_tiles)
+	def _():
+		get_dma((j + 1) % 2, j + 1).start()
+
+	get_dma(j % 2, j).wait()
+	cur = scratch[j % 2]
+	acc = jnp.zeros(out_ref.shape, out_ref.dtype)
+	for d, off in enumerate(offsets):
+		b = bands_ref[d, :][None, :]  # (1, T) broadcast over probes
+		acc += b * cur[:, HALO + off : HALO + off + T]  # static lane slice
+	out_ref[:, :] = acc
+
+
+@partial(jax.jit, static_argnames=("offsets", "interpret"))
+def dia_matmat_t_pallas(
+	bands: jnp.ndarray,  # (n_d, n_pad) row-aligned bands, n_pad % LANE_TILE == 0
+	Xp: jnp.ndarray,  # (nv, HALO + n_pad + HALO) zero-padded probe-major block
+	offsets: Tuple[int, ...],
+	interpret: bool = False,
+) -> jnp.ndarray:
+	n_d, n_pad = bands.shape
+	nv = Xp.shape[0]
+	n_tiles = n_pad // LANE_TILE
+	acc = jnp.promote_types(bands.dtype, jnp.float32)
+
+	return pl.pallas_call(
+		partial(_dia_t_kernel, offsets=offsets, n_tiles=n_tiles),
+		grid=(n_tiles,),
+		in_specs=[
+			pl.BlockSpec((n_d, LANE_TILE), lambda j: (0, j), memory_space=pltpu.VMEM),
+			pl.BlockSpec(memory_space=pltpu.ANY),  # X stays in HBM; manual DMA
+		],
+		out_specs=pl.BlockSpec((nv, LANE_TILE), lambda j: (0, j), memory_space=pltpu.VMEM),
+		out_shape=jax.ShapeDtypeStruct((nv, n_pad), acc),
+		scratch_shapes=[
+			pltpu.VMEM((2, nv, LANE_TILE + 2 * HALO), acc),
+			pltpu.SemaphoreType.DMA((2,)),
+		],
+		interpret=interpret,
+		cost_estimate=pl.CostEstimate(
+			flops=2 * n_d * n_pad * nv,
+			bytes_accessed=(2 * n_pad * nv + n_d * n_pad) * 4,
+			transcendentals=0,
+		),
+	)(bands.astype(acc), Xp.astype(acc))
+
+
+def dia_matmat_t(op, Xt: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+	"""Probe-major SpMM ``(op @ Xtᵀ)ᵀ`` for a :class:`DIAOperator` — fused
+	single-stream stencil kernel (|offsets| ≤ 128; wider bands use XLA)."""
+	n = op.shape[0]
+	Xt = jnp.asarray(Xt)
+	nv = Xt.shape[0]
+	moff = max((abs(o) for o in op.offsets), default=0)
+	if moff > HALO:
+		raise NotImplementedError(f"DIA Pallas stencil covers |offset| ≤ {HALO}; got {moff}.")
+	n_pad = _round_up(n, LANE_TILE)
+	nv_pad = _round_up(max(nv, 8), 8)  # f32 sublane alignment
+	bands = op.bands
+	if n_pad != n:
+		bands = jnp.pad(bands, ((0, 0), (0, n_pad - n)))
+	Xp = jnp.pad(Xt, ((0, nv_pad - nv), (HALO, HALO + (n_pad - n))))
+	out = dia_matmat_t_pallas(bands, Xp, tuple(op.offsets), interpret=interpret)
+	return out[:nv, :n].astype(op.dtype)
 
 
 def dia_matmat(op, V: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:

@@ -70,3 +70,36 @@ def test_slq_logdet_on_dia():
 	k = np.arange(1, n + 1)
 	exact = float(np.sum(np.log(3.0 - 2.0 * np.cos(k * np.pi / (n + 1)))))
 	assert abs(est - exact) / abs(exact) < 0.05
+
+
+def test_dia_pallas_probe_major_matches_jnp():
+	"""Probe-major double-buffered stencil kernel ≡ the XLA matmat_t path."""
+	from primate_tpu.ops.dia_pallas import dia_matmat_t
+
+	n = 300
+	A = _banded(n, [-7, -1, 0, 1, 7], seed=7)
+	op = DIAOperator.from_scipy(A)
+	Xt = jnp.asarray(np.random.default_rng(8).normal(size=(13, n)))  # odd probe count on sublanes
+	got = dia_matmat_t(op, Xt, interpret=True)
+	want = op.matmat_t(Xt)
+	assert got.shape == (13, n)
+	assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+def test_dia_pallas_probe_major_wide_band_rejected():
+	from primate_tpu.ops.dia_pallas import dia_matmat_t
+
+	op = DIAOperator.from_scipy(_banded(600, [-200, 0, 200], seed=9))
+	with pytest.raises(NotImplementedError, match="128"):
+		dia_matmat_t(op, jnp.ones((4, 600)), interpret=True)
+
+
+def test_dia_use_pallas_routes_matmat_t():
+	op = DIAOperator.from_scipy(_banded(256, [-1, 0, 1], seed=10), )
+	op_k = DIAOperator(op.bands, op.offsets, op.shape, use_pallas=False)
+	Xt = jnp.asarray(np.random.default_rng(11).normal(size=(8, 256)))
+	# On CPU the kernel runs in interpret mode only; just check the XLA route
+	# and the kernel (interpret) agree through the public dispatch surface.
+	from primate_tpu.ops.dia_pallas import dia_matmat_t
+
+	assert np.allclose(np.asarray(dia_matmat_t(op_k, Xt, interpret=True)), np.asarray(op_k.matmat_t(Xt)), atol=1e-10)
