@@ -32,6 +32,7 @@ __all__ = [
 	"numrank",
 	"eigencount",
 	"schatten",
+	"slogdet",
 	"suggest_degree",
 	"shifted_trace",
 	"suggest_probes",
@@ -116,6 +117,39 @@ def deflated_trace(
 def logdet(A, deg: int = 20, orth: int = 5, **kwargs):
 	"""``log det(A) = tr(log A)`` for SPD ``A`` via stochastic Lanczos quadrature."""
 	return _slq(A, "log", deg, orth, **kwargs)
+
+
+def slogdet(A, deg: int = 30, orth: int = 5, count_deg: int = 30, **kwargs):
+	"""``(sign, log|det A|)`` of a symmetric INDEFINITE operator.
+
+	``log|det| = tr(log|A|)`` (Lanczos quadrature of ``log∘abs`` — Gauss nodes
+	never sit exactly at 0 for a nonsingular operator, and |θ| keeps the rule
+	real), and ``sign = (−1)^{#negative eigenvalues}`` with the negative count
+	estimated by :func:`eigencount` over ``[λ_min, 0)``. Matches
+	``numpy.linalg.slogdet`` semantics for symmetric input. For SPD operators
+	:func:`logdet` is cheaper (skips the eigencount).
+
+	The count is stochastic: it is rounded to the nearest integer, so the sign
+	is reliable when the estimator error is ≲ 0.5 — the default criterion's
+	tolerance; raise probes (``converge``/``count``) near-singular spectra.
+	Beyond-reference capability.
+	"""
+	from .kpm import _spectral_interval
+
+	op = aslinop(A)
+	lo, _ = _spectral_interval(op, kwargs.get("seed"))
+	n_neg = 0
+	if lo < 0:
+		n_neg = eigencount(op, (lo, 0.0), deg=count_deg, **{k: v for k, v in kwargs.items() if k != "full"})
+		n_neg = int(n_neg)
+	sign = -1.0 if (n_neg % 2) else 1.0
+	est = _slq(op, lambda x: jnp.log(jnp.maximum(jnp.abs(x), 1e-30)), deg, orth, **kwargs)
+	if isinstance(est, tuple):
+		val, result = est
+		result.info["sign"] = sign
+		result.info["n_negative"] = n_neg
+		return (sign, float(val)), result
+	return sign, float(est)
 
 
 # Derivative-sign classes for Golub–Meurant bracketing (see trace_bounds):

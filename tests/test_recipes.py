@@ -353,3 +353,30 @@ def test_condition_number():
 	B = pt.symmetric(60, ew=np.linspace(-1, 2, 60), seed=6)
 	with pytest.raises(ValueError):
 		pt.recipes.condition_number(B, seed=7)
+
+
+def test_slogdet_indefinite():
+	rng = np.random.default_rng(0)
+	# Odd number of negative eigenvalues → negative determinant sign.
+	ew = np.sort(np.concatenate([rng.uniform(-3, -0.5, 7), rng.uniform(0.5, 3, 93)]))
+	A = pt.symmetric(100, ew=ew, seed=1)
+	(s, ld) = pt.recipes.slogdet(A, deg=40, orth=-1, converge="count", count=512, seed=2)
+	s_t, ld_t = np.linalg.slogdet(np.asarray(A))
+	assert s == s_t
+	assert abs(ld - ld_t) / abs(ld_t) < 0.02
+	# Even count → positive sign.
+	ew2 = np.sort(np.concatenate([rng.uniform(-3, -0.5, 8), rng.uniform(0.5, 3, 92)]))
+	A2 = pt.symmetric(100, ew=ew2, seed=3)
+	(s2, ld2) = pt.recipes.slogdet(A2, deg=40, orth=-1, converge="count", count=512, seed=4)
+	st2, ldt2 = np.linalg.slogdet(np.asarray(A2))
+	assert s2 == st2
+	assert abs(ld2 - ldt2) / abs(ldt2) < 0.02
+
+
+def test_slogdet_spd_skips_count_and_full_result():
+	ew = np.random.default_rng(5).uniform(0.5, 2.0, 80)
+	A = pt.symmetric(80, pd=True, ew=ew, seed=5)
+	(s, ld), result = pt.recipes.slogdet(A, deg=40, orth=-1, converge="count", count=512, seed=6, full=True)
+	assert s == 1.0
+	assert result.info["n_negative"] == 0
+	assert abs(ld - np.sum(np.log(ew))) / abs(np.sum(np.log(ew))) < 0.05
