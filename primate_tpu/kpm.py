@@ -94,6 +94,22 @@ def _spectral_interval(op, seed) -> Tuple[float, float]:
 	return lo - pad, hi + pad
 
 
+def _resolve_interval(op, interval, seed) -> Tuple[float, float]:
+	"""``None`` → Rayleigh-Ritz sweep (tight, probabilistic); ``"gershgorin"``
+	→ deterministic Gershgorin enclosure (guaranteed to contain the spectrum —
+	an eigenvalue outside the mapped [−1, 1] makes the Chebyshev recurrence
+	diverge, so entry-accessible operators can pay a looser interval for
+	safety); anything else is taken as an explicit ``(lo, hi)``."""
+	if interval is None:
+		return _spectral_interval(op, seed)
+	if isinstance(interval, str):
+		assert interval == "gershgorin", f"Unknown interval spec {interval!r}"
+		from .operators.prepare import gershgorin_interval
+
+		return gershgorin_interval(op)
+	return float(interval[0]), float(interval[1])
+
+
 def chebyshev_moments(
 	A,
 	m: int = 64,
@@ -109,8 +125,7 @@ def chebyshev_moments(
 	reconstruction step).
 	"""
 	op = aslinop(A)
-	if interval is None:
-		interval = _spectral_interval(op, seed)
+	interval = _resolve_interval(op, interval, seed)
 	lo, hi = interval
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	key = as_key(seed)
@@ -200,8 +215,7 @@ def kpm_trace(
 	funs = list(fun) if isinstance(fun, (list, tuple)) else [fun]
 	fs = [param_callable(fi, **fun_kwargs) if (fi is None or isinstance(fi, str)) else fi for fi in funs]
 	op = aslinop(A)
-	if interval is None:
-		interval = _spectral_interval(op, seed)
+	interval = _resolve_interval(op, interval, seed)
 	if m == "auto":
 		m = max(suggest_chebyshev_degree(f, interval) for f in fs)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
@@ -229,8 +243,7 @@ def kpm_density(
 	:func:`~primate_tpu.spectral_density` (Gaussian-broadened SLQ).
 	"""
 	op = aslinop(A)
-	if interval is None:
-		interval = _spectral_interval(op, seed)
+	interval = _resolve_interval(op, interval, seed)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	ts = np.linspace(lo, hi, int(grid)) if np.isscalar(grid) else np.asarray(grid)
@@ -290,8 +303,7 @@ class ChebyshevFunction:
 		self.shape = self._op.shape
 		self.dtype = jnp.dtype(dtype) if dtype is not None else self._op.dtype
 		self._damping = damping
-		if interval is None:
-			interval = _spectral_interval(self._op, seed)
+		interval = _resolve_interval(self._op, interval, seed)
 		lo, hi = float(interval[0]), float(interval[1])
 		self._interval = (lo, hi)
 		c, r = (hi + lo) / 2.0, max((hi - lo) / 2.0, 1e-30)

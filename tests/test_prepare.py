@@ -10,6 +10,8 @@ import scipy.sparse as sps
 
 import pytest
 
+import primate_tpu as pt
+import jax.numpy as jnp
 from primate_tpu import hutch
 from primate_tpu.operators import (
 	BSROperator,
@@ -174,3 +176,55 @@ def test_reorder_invalid_raises():
 		auto_operator(banded(700), reorder="sometimes")
 	with pytest.raises(ValueError):
 		reorder_rcm(sps.random(10, 5, density=0.5, format="csr"))
+
+
+def test_gershgorin_interval_encloses_spectrum_all_formats():
+	from primate_tpu.operators.base import DenseOperator
+	from primate_tpu.operators.prepare import gershgorin_interval
+	from primate_tpu.operators.sparse import BSROperator, COOOperator, CSROperator, DIAOperator
+
+	n = 200
+	L = sps.diags([-np.ones(n - 1), 2.5 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	kk = np.arange(1, n + 1)
+	lam = 2.5 - 2 * np.cos(kk * np.pi / (n + 1))
+	for op in (
+		L,
+		L.toarray(),
+		DIAOperator.from_scipy(L),
+		CSROperator.from_scipy(L),
+		COOOperator.from_scipy(L),
+		BSROperator.from_scipy(L, blocksize=(4, 4)),
+		DenseOperator(jnp.asarray(L.toarray())),
+	):
+		lo, hi = gershgorin_interval(op)
+		assert lo <= lam.min() and hi >= lam.max(), type(op).__name__
+		assert (lo, hi) == (0.5, 4.5), type(op).__name__  # exact for this stencil
+
+
+def test_gershgorin_interval_hermitian_and_rejects_implicit():
+	import pytest
+
+	from primate_tpu.operators import FunctionOperator
+	from primate_tpu.operators.prepare import gershgorin_interval
+
+	H = pt.random.hermitian(50, ew=np.linspace(-1, 1, 50), seed=0)
+	lo, hi = gershgorin_interval(np.asarray(H))
+	assert lo <= -1 and hi >= 1
+	fop = FunctionOperator(lambda V: V, shape=(8, 8), dtype=jnp.float32)
+	with pytest.raises(TypeError):
+		gershgorin_interval(fop)
+
+
+def test_kpm_accepts_gershgorin_interval():
+	from primate_tpu.operators.sparse import DIAOperator
+
+	n = 200
+	L = sps.diags([-np.ones(n - 1), 2.5 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	kk = np.arange(1, n + 1)
+	lam = 2.5 - 2 * np.cos(kk * np.pi / (n + 1))
+	op = DIAOperator.from_scipy(L)
+	est = float(np.asarray(pt.kpm_trace(op, fun="exp", t=-1.0, m=64, nv=64, interval="gershgorin", seed=1)))
+	true = float(np.sum(np.exp(-lam)))
+	assert abs(est - true) / true < 0.05
+	cf = pt.ChebyshevFunction(op, "exp", t=-1.0, deg=64, interval="gershgorin")
+	assert cf.interval == (0.5, 4.5)
