@@ -110,8 +110,10 @@ def _trlan_top(matmat: Callable, n: int, k: int, dtype, key, maxiter: int, tol) 
 	"""
 	from functools import partial as _partial
 
+	assert n >= k + 4, f"thick-restart Lanczos needs n ≥ k+4 (room to extend past the kept set); got k={k}, n={n}"
 	m = int(min(n - 1, max(3 * k, k + 12)))
-	keep = int(np.clip(min(2 * k, k + 8), k, m - 2))
+	keep = min(max(k, min(2 * k, k + 8)), m - 2)
+	assert keep >= k  # guaranteed by n ≥ k+4 → m ≥ k+3 → m−2 ≥ k+1
 	tol = float(np.sqrt(jnp.finfo(dtype).eps)) if tol is None else float(tol)
 	span = max(1, m - keep)
 	ncycles = int(np.clip((int(maxiter) * max(k, 1)) // span + 1, 10, 500))
@@ -373,6 +375,19 @@ def filtered_eigsh(
 	assert a < b, f"interval must satisfy a < b; got {interval}"
 	lmin, lmax = spectral_interval if spectral_interval is not None else _spectral_interval(op, seed)
 	a, b = max(a, lmin), min(b, lmax)
+	if a >= b:
+		# The requested slice lies entirely outside the (inflated) estimated
+		# spectral range — it cannot contain eigenvalues. Return empty rather
+		# than iterating a degenerate filter.
+		import warnings
+
+		warnings.warn(
+			f"filtered_eigsh: interval {interval} is outside the estimated spectral "
+			f"range [{lmin:g}, {lmax:g}]; returning no eigenpairs.",
+			stacklevel=2,
+		)
+		rd = np.dtype(jnp.finfo(jnp.promote_types(op.dtype, jnp.float32)).dtype)
+		return np.zeros(0, rd), np.zeros((n, 0), np.dtype(op.dtype))
 	f_dtype = jnp.promote_types(op.dtype, jnp.float32)
 	r_dtype = jnp.finfo(f_dtype).dtype if jnp.dtype(f_dtype).kind == "c" else f_dtype
 	# Relative-residual target. Filtered subspace iteration converges at the
@@ -386,8 +401,8 @@ def filtered_eigsh(
 		from .recipes import eigencount
 
 		k = max(int(eigencount(op, (a, b), seed=seed)), 1)
-	k = int(k)
-	assert 0 < k < n, f"k must be in (0, n); got k={k}"
+	k = int(min(k, n))  # a whole-spectrum slice (eigencount ≈ n, ± noise) is legitimate
+	assert k > 0, f"k must be positive; got k={k}"
 
 	# Bandpass filter: difference of smoothsteps (the eigencount window) with a
 	# transition of ~2% of the slice, Jackson-damped. Degree heuristic: the
@@ -435,7 +450,9 @@ def filtered_eigsh(
 		r_in = resid[inside]
 		n_acc = int(np.count_nonzero(r_in <= tol * scale))
 		rem = r_in[r_in > tol * scale]
-		cur = float(np.exp(np.mean(np.log(np.maximum(rem, 1e-300))))) if rem.size else 0.0
+		# Empty slice (no Ritz value inside yet / a genuine spectral gap): treat
+		# as non-improving so the stall counter can stop an eigenvalue-free hunt.
+		cur = float(np.exp(np.mean(np.log(np.maximum(rem, 1e-300))))) if rem.size else np.inf
 		if n_acc > best_acc or cur < 0.9 * best_rem:
 			stall = 0
 		else:

@@ -86,7 +86,8 @@ def gershgorin_interval(A) -> Tuple[float, float]:
 	if sps.issparse(S):
 		S = S.tocsr()
 		diag = S.diagonal()
-		radius = np.abs(S).sum(axis=1).A1 - np.abs(diag)
+		# .sum returns np.matrix for spmatrix, plain ndarray for sparse arrays
+		radius = np.asarray(np.abs(S).sum(axis=1)).ravel() - np.abs(diag)
 	else:
 		diag = np.diag(S)
 		radius = np.abs(S).sum(axis=1) - np.abs(diag)

@@ -457,16 +457,21 @@ class DIAOperator(LinearOperator):
 		# Probe-major stencil: out[b, i] = Σ_k band_k[i] · Vt[b, i + off_k].
 		# Shifts run along the contiguous lane axis; bands broadcast over the
 		# probe axis — still zero gathers, and no lane padding for any k.
-		if self.use_pallas:
+		moff_k = max((abs(o) for o in self.offsets), default=0)
+		if self.use_pallas and moff_k <= 128:
 			# Manual double-buffered stencil kernel. Measured: the kernel body
 			# streams ~2.2× faster than XLA's shift-multiply-add schedule, but
 			# the per-call halo pad + unpad copies (unavoidable inside a scan
 			# carry) bring it back to parity (47.9 vs 47.0 ms per 20-step
 			# chain, 64×500k f32 on v5e) — kept opt-in as the explicitly
-			# scheduled alternative.
+			# scheduled alternative. Bands wider than the kernel's 128-lane
+			# halo route to the node-major kernel (halo ≤ TILE there).
 			from ..ops.dia_pallas import dia_matmat_t
 
 			return dia_matmat_t(self, Vt)
+		# use_pallas with a band wider than the kernel halo falls through to
+		# the XLA stencil below (probe-count-agnostic, unlike the node-major
+		# kernel's 128-lane requirement).
 		n = self.shape[0]
 		moff = max((abs(o) for o in self.offsets), default=0)
 		Vp = jnp.pad(Vt, ((0, 0), (moff, moff))) if moff else Vt

@@ -15,7 +15,7 @@ entry, so no masking is needed in-kernel.
 """
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -154,7 +154,7 @@ def dia_matmat_t_pallas(
 		grid=(n_tiles,),
 		in_specs=[
 			pl.BlockSpec((n_d, LANE_TILE), lambda j: (0, j), memory_space=pltpu.VMEM),
-			pl.BlockSpec(memory_space=pltpu.ANY),  # X stays in HBM; manual DMA
+			pl.BlockSpec(memory_space=pl.ANY),  # X stays in HBM; manual DMA
 		],
 		out_specs=pl.BlockSpec((nv, LANE_TILE), lambda j: (0, j), memory_space=pltpu.VMEM),
 		out_shape=jax.ShapeDtypeStruct((nv, n_pad), acc),
@@ -171,9 +171,15 @@ def dia_matmat_t_pallas(
 	)(bands.astype(acc), Xp.astype(acc))
 
 
-def dia_matmat_t(op, Xt: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def dia_matmat_t(op, Xt: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndarray:
 	"""Probe-major SpMM ``(op @ Xtᵀ)ᵀ`` for a :class:`DIAOperator` — fused
-	single-stream stencil kernel (|offsets| ≤ 128; wider bands use XLA)."""
+	single-stream stencil kernel (|offsets| ≤ 128; the `matmat_t` dispatch
+	routes wider bands to the node-major kernel instead).
+
+	``interpret=None`` auto-selects interpreter mode off-TPU so the
+	``use_pallas=True`` dispatch stays runnable (and testable) on CPU."""
+	if interpret is None:
+		interpret = jax.default_backend() != "tpu"
 	n = op.shape[0]
 	Xt = jnp.asarray(Xt)
 	nv = Xt.shape[0]

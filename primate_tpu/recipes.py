@@ -135,11 +135,18 @@ def slogdet(A, deg: int = 30, orth: int = 5, count_deg: int = 30, **kwargs):
 	Beyond-reference capability.
 	"""
 	from .kpm import _spectral_interval
+	from .lanczos import rayleigh_ritz
 
 	op = aslinop(A)
-	lo, _ = _spectral_interval(op, kwargs.get("seed"))
+	# Gate the negative-eigenvalue count on the UNPADDED Ritz minimum: Ritz
+	# values lie inside the spectrum, so rw_min < 0 certifies indefiniteness,
+	# while _spectral_interval's 3% inflation would dip below 0 for any SPD
+	# operator with a small λ_min — triggering a pointless stochastic count
+	# whose noise could flip the sign of a positive determinant.
+	rw_min = float(np.min(np.asarray(rayleigh_ritz(op, deg=int(min(32, op.shape[0])), orth=-1, seed=kwargs.get("seed")))))
 	n_neg = 0
-	if lo < 0:
+	if rw_min < 0:
+		lo, _ = _spectral_interval(op, kwargs.get("seed"))
 		n_neg = eigencount(op, (lo, 0.0), deg=count_deg, **{k: v for k, v in kwargs.items() if k != "full"})
 		n_neg = int(n_neg)
 	sign = -1.0 if (n_neg % 2) else 1.0

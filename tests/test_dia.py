@@ -95,11 +95,15 @@ def test_dia_pallas_probe_major_wide_band_rejected():
 
 
 def test_dia_use_pallas_routes_matmat_t():
-	op = DIAOperator.from_scipy(_banded(256, [-1, 0, 1], seed=10), )
-	op_k = DIAOperator(op.bands, op.offsets, op.shape, use_pallas=False)
+	"""use_pallas=True matmat_t goes through the probe-major kernel (interpret
+	mode auto-selected off-TPU) and agrees with the XLA path; bands wider than
+	the kernel halo fall back instead of raising."""
+	op = DIAOperator.from_scipy(_banded(256, [-1, 0, 1], seed=10))
+	op_k = DIAOperator(op.bands, op.offsets, op.shape, use_pallas=True)
 	Xt = jnp.asarray(np.random.default_rng(11).normal(size=(8, 256)))
-	# On CPU the kernel runs in interpret mode only; just check the XLA route
-	# and the kernel (interpret) agree through the public dispatch surface.
-	from primate_tpu.ops.dia_pallas import dia_matmat_t
-
-	assert np.allclose(np.asarray(dia_matmat_t(op_k, Xt, interpret=True)), np.asarray(op_k.matmat_t(Xt)), atol=1e-10)
+	assert np.allclose(np.asarray(op_k.matmat_t(Xt)), np.asarray(op.matmat_t(Xt)), atol=1e-10)
+	# wide band: |offset| > 128 routes to the node-major kernel, not an error
+	wide = DIAOperator.from_scipy(_banded(600, [-200, 0, 200], seed=9))
+	wide_k = DIAOperator(wide.bands, wide.offsets, wide.shape, use_pallas=True)
+	Xw = jnp.asarray(np.random.default_rng(12).normal(size=(4, 600)))
+	assert np.allclose(np.asarray(wide_k.matmat_t(Xw)), np.asarray(wide.matmat_t(Xw)), atol=1e-10)

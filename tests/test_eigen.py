@@ -281,3 +281,19 @@ def test_filtered_eigsh_sparse_operator():
 	w, V = pt.filtered_eigsh(L, (2.0, 2.4), seed=8)
 	assert len(w) == len(true)
 	assert np.abs(np.sort(w) - true).max() < 1e-6
+
+
+def test_filtered_eigsh_empty_slice_and_outside_range():
+	"""A spectral gap returns empty quickly (stall detector); an interval
+	outside the spectral range returns empty immediately with a warning."""
+	import warnings
+
+	ew = np.concatenate([np.linspace(0.5, 2.0, 100), np.linspace(6.0, 8.0, 100)])
+	A = pt.symmetric(200, ew=ew, seed=1)
+	w, V = pt.filtered_eigsh(A, (3.0, 5.0), k=4, maxiter=30, seed=2)  # gap: no eigenvalues
+	assert len(w) == 0 and V.shape == (200, 0)
+	with warnings.catch_warnings(record=True) as ws:
+		warnings.simplefilter("always")
+		w2, V2 = pt.filtered_eigsh(A, (20.0, 30.0), seed=3)  # outside the range
+	assert len(w2) == 0 and V2.shape == (200, 0)
+	assert any("outside" in str(x.message) for x in ws)

@@ -380,3 +380,13 @@ def test_slogdet_spd_skips_count_and_full_result():
 	assert s == 1.0
 	assert result.info["n_negative"] == 0
 	assert abs(ld - np.sum(np.log(ew))) / abs(np.sum(np.log(ew))) < 0.05
+
+
+def test_slogdet_spd_tiny_minimum_keeps_positive_sign():
+	"""SPD with λ_min tiny vs the range: the inflated interval dips below 0,
+	but the unpadded Ritz gate must NOT trigger a (noisy) negative count."""
+	ew = np.concatenate([[1e-4, 2e-4], np.random.default_rng(7).uniform(10, 100, 98)])
+	A = pt.symmetric(100, pd=True, ew=ew, seed=8)
+	(s, ld), res = pt.recipes.slogdet(A, deg=60, orth=-1, converge="count", count=256, seed=9, full=True)
+	assert s == 1.0
+	assert res.info["n_negative"] == 0
