@@ -153,10 +153,14 @@ def diag(
 	# Stacked operators (matvec → (nt..., N), e.g. MatrixFunction with a
 	# `special.stacked` family) estimate every member's diagonal from shared
 	# Lanczos sweeps; the estimate comes back with the stack axes leading.
-	u_aval = jax.eval_shape(
-		lambda a, v: a.matvec(v) if hasattr(a, "matvec") else a @ v, op, jax.ShapeDtypeStruct((N,), op.dtype)
-	)
-	stack_shape = u_aval.shape[:-1]
+	# Statically-known stack shapes skip the per-call eval_shape host retrace.
+	stack_shape = getattr(op, "stack_shape", None)
+	if stack_shape is None:
+		u_aval = jax.eval_shape(
+			lambda a, v: a.matvec(v) if hasattr(a, "matvec") else a @ v, op, jax.ShapeDtypeStruct((N,), op.dtype)
+		)
+		stack_shape = u_aval.shape[:-1]
+	stack_shape = tuple(stack_shape)
 	nout = int(np.prod(stack_shape)) if stack_shape else 1
 
 	from .estimators import is_jittable_criterion

@@ -334,6 +334,13 @@ class ChebyshevFunction:
 	def interval(self) -> Tuple[float, float]:
 		return self._interval
 
+	@property
+	def stack_shape(self) -> Tuple[int, ...]:
+		"""Leading stack axes of `matmat`/`quad` outputs — statically known here
+		(the coefficient table fixes the family size), so estimators skip their
+		`jax.eval_shape` probe."""
+		return (int(self._ga.shape[0]),) if self._ga.ndim > 1 else ()
+
 	def _apply_t(self, Xt: jnp.ndarray) -> jnp.ndarray:
 		"""Probe-major shifted apply ``Ã Xᵀ`` with Ã = (A − cI)/r."""
 		mm_t = getattr(self._op, "matmat_t", None)

@@ -11,7 +11,7 @@ compose with the stochastic estimators (``hutch(MatrixFunction(A, "log"))`` is
 stochastic Lanczos quadrature for logdet as a single device program).
 """
 
-from typing import Callable, Optional, Union
+from typing import Callable, Optional, Tuple, Union
 
 import numpy as np
 import jax
@@ -66,6 +66,8 @@ class MatrixFunction(LinearOperator):
 		self.dtype = jnp.dtype(dtype) if dtype is not None else self._A.dtype
 		self.fun = param_callable(fun, **kwargs) if (fun is None or isinstance(fun, str)) else fun
 		assert callable(self.fun), "Function must be callable."
+		# The setter saw the resolved callable; record scalar-ness from the RAW spec.
+		self._fun_scalar = fun is None or isinstance(fun, str)
 		self._deg = int(min(deg, self.shape[0]))
 		self._orth = self._deg if (orth < 0 or orth > self._deg) else int(orth)
 		self._rtol = kwargs.get("rtol", 1e-8)
@@ -102,10 +104,28 @@ class MatrixFunction(LinearOperator):
 
 	@fun.setter
 	def fun(self, value: Union[str, Callable, None]) -> None:
+		# Track whether the output shape is knowable without tracing: builtins
+		# are scalar; `special.stacked` families advertise `.nout`; arbitrary
+		# callables may be vector-valued (reference `operators.py:63-66`), so
+		# their stack shape stays unknown until probed.
+		self._fun_scalar = value is None or isinstance(value, str)
 		if value is None or isinstance(value, str):
 			value = param_callable(value)
 		assert callable(value), "Function must be callable."
 		self._fun = value
+
+	@property
+	def stack_shape(self) -> Optional[Tuple[int, ...]]:
+		"""Leading (stack) axes of `quad`/`matvec` outputs, if statically known.
+
+		``()`` for scalar spectral functions, ``(nt,)`` for `special.stacked`
+		families, ``None`` when the function's output shape can only be learned
+		by tracing (`jax.eval_shape`) — estimators use this to skip a full
+		host retrace per call (measured 34 ms/call at deg 20, n=500k)."""
+		nout = getattr(self._fun, "nout", None)
+		if nout is not None:
+			return (int(nout),)
+		return () if self._fun_scalar else None
 
 	@property
 	def degree(self) -> int:
@@ -264,17 +284,18 @@ class MatrixFunction(LinearOperator):
 	def tree_flatten(self):
 		return (self._A,), (
 			self.fun, self._deg, self._orth, self._rtol, self.dtype, self._two_pass,
-			self._reorth_passes, self._basis_dtype, self._quad_rule, self._interval,
+			self._reorth_passes, self._basis_dtype, self._quad_rule, self._interval, self._fun_scalar,
 		)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
-		fun, deg, orth, rtol, dtype, two_pass, reorth_passes, basis_dtype, quad_rule, interval = aux
+		fun, deg, orth, rtol, dtype, two_pass, reorth_passes, basis_dtype, quad_rule, interval, fun_scalar = aux
 		obj = object.__new__(cls)
 		obj._A = children[0]
 		obj.shape = obj._A.shape
 		obj.dtype = dtype
 		obj.fun = fun
+		obj._fun_scalar = fun_scalar
 		obj._deg, obj._orth, obj._rtol = deg, orth, rtol
 		obj._two_pass = two_pass
 		obj._reorth_passes = reorth_passes

@@ -186,8 +186,15 @@ def hutch(
 	# A STACKED spectral function (operator.quad returns (nt..., batch), see
 	# special.stacked) estimates the whole family from the shared sweeps: the
 	# Welford state becomes nt-dimensional and the estimate an (nt...,) array.
-	s_aval = jax.eval_shape(quad_form, op, jax.ShapeDtypeStruct((N, int(batch)), op.dtype))
-	stack_shape = s_aval.shape[:-1]
+	# Operators that know their stack shape statically (MatrixFunction,
+	# ChebyshevFunction, plain quadratic forms) skip the `eval_shape` probe —
+	# tracing the whole quad program costs ~34 ms of host time PER CALL at
+	# deg 20 / n = 500k, several times the device time of the estimate itself.
+	stack_shape = getattr(op, "stack_shape", None)
+	if stack_shape is None:
+		s_aval = jax.eval_shape(quad_form, op, jax.ShapeDtypeStruct((N, int(batch)), op.dtype))
+		stack_shape = s_aval.shape[:-1]
+	stack_shape = tuple(stack_shape)
 	dim = int(np.prod(stack_shape)) if stack_shape else 1
 	if dim > 1 and record:
 		raise NotImplementedError("record=True (and knee criteria) require a scalar-valued quad; got a stacked one.")
