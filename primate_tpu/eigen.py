@@ -464,14 +464,17 @@ def filtered_eigsh(
 
 	# Accept converged pairs only; an unconverged pair inside the slice is a
 	# transition-band ghost (or a genuinely missed direction — warn either way).
-	accept = inside & (resid <= 100.0 * tol * scale)
+	# 10× slack over the stop tolerance keeps slow boundary pairs (their
+	# residuals crawl at the filter-gain ratio) while rejecting O(1)-residual
+	# ghosts in any precision.
+	accept = inside & (resid <= 10.0 * tol * scale)
 	n_drop = int(np.count_nonzero(inside & ~accept))
 	if n_drop:
 		import warnings
 
 		warnings.warn(
 			f"filtered_eigsh: dropped {n_drop} unconverged Ritz pair(s) inside "
-			f"[{a:g}, {b:g}] (relative residual > {100.0 * tol:g}); if the count "
+			f"[{a:g}, {b:g}] (relative residual > {10.0 * tol:g}); if the count "
 			"looks short, raise deg/maxiter or widen the interval.",
 			stacklevel=2,
 		)

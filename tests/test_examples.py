@@ -19,6 +19,7 @@ def test_gp_example_one_step():
 	_run(
 		"""
 import numpy as np, jax, jax.numpy as jnp
+import primate_tpu as pt
 from examples.gp_log_likelihood import make_kernel, neg_log_likelihood
 n, d = 64, 2
 rng = np.random.default_rng(0)
@@ -88,3 +89,29 @@ assert np.all(np.isfinite(np.asarray(z)))
 print("ok", float(tr))
 """
 	)
+
+
+def test_spectrum_slicing_example_components():
+	"""The count-then-slice pipeline of examples/spectrum_slicing.py (small)."""
+	import numpy as np
+
+	import primate_tpu as pt
+	from examples.spectrum_slicing import grid_laplacian
+	from primate_tpu.operators.prepare import gershgorin_interval
+	from primate_tpu.operators.sparse import DIAOperator
+
+	nx, ny = 16, 10
+	A = grid_laplacian(nx, ny)
+	op = DIAOperator.from_scipy(A)
+	jx, jy = np.arange(1, nx + 1), np.arange(1, ny + 1)
+	lam = (4 * np.sin(jx * np.pi / (2 * (nx + 1))) ** 2)[:, None] + (
+		4 * np.sin(jy * np.pi / (2 * (ny + 1))) ** 2
+	)[None, :]
+	lam = np.sort(lam.ravel())
+	lo, hi = gershgorin_interval(op)
+	assert lo <= lam[0] and hi >= lam[-1]
+	window = (3.0, 3.5)
+	true_inside = lam[(lam >= window[0]) & (lam <= window[1])]
+	w, V = pt.filtered_eigsh(op, window, k=len(true_inside), spectral_interval=(lo, hi), seed=1)
+	assert len(w) == len(true_inside)
+	assert np.abs(np.sort(w) - true_inside).max() < 1e-6
