@@ -63,3 +63,50 @@ def test_lanczos_ritz_values_match_reference_windowed():
 	rw_ours = np.sort(np.asarray(pt.rayleigh_ritz(A, v0=v0, deg=n, orth=-1)))
 	assert np.allclose(rw_ours, rw_ref, atol=1e-8)
 	assert np.allclose(rw_ours, ew, atol=1e-8)
+
+
+def _load_reference_module(name: str):
+	"""Import a standalone reference source file (fttr/tqli are plain numpy)."""
+	import importlib.util
+
+	path = Path(f"/root/reference/src/primate/{name}.py")
+	spec = importlib.util.spec_from_file_location(f"_ref_{name}", path)
+	mod = importlib.util.module_from_spec(spec)
+	spec.loader.exec_module(mod)
+	return mod
+
+
+def test_fttr_weights_match_reference():
+	"""Our vmapped forward-recurrence weights ≡ the reference Pythran source."""
+	ref = _load_reference_module("fttr")
+	rng = np.random.default_rng(0)
+	n = 24
+	ew = np.sort(rng.uniform(0.2, 2.0, 64))
+	A = np.asarray(pt.symmetric(64, ew=ew, seed=3), dtype=np.float64)
+	a, b = pt.lanczos(A, deg=n, orth=-1, seed=4)
+	a = np.asarray(a, np.float64)
+	# reference convention: beta has an unused leading element
+	b_ref = np.concatenate([[0.0], np.asarray(b, np.float64)])
+	theta = np.sort(np.asarray(pt.eigvalsh_tridiag(a, b)))
+	w_ref = np.zeros(n)
+	ref.fttr(theta, a, b_ref, n, w_ref)
+	w_ours = np.asarray(pt.fttr.fttr_weights(theta, a, b_ref, k=n))
+	assert np.allclose(w_ours, w_ref, atol=1e-10)
+
+
+def test_tqli_eigenvalues_match_reference():
+	"""Batched Givens QL ≡ the reference Pythran tqli on the same tridiagonal."""
+	ref = _load_reference_module("tqli")
+	rng = np.random.default_rng(1)
+	n = 30
+	d = rng.uniform(1.0, 3.0, n)
+	e = rng.uniform(0.1, 0.5, n - 1)
+	d_ref = d.copy()
+	e_ref = np.concatenate([[0.0], e])  # reference wants a leading structural zero
+	ref.tqli(d_ref, e_ref, np.zeros((0, 0)), 30)
+	rw_ours = np.sort(np.asarray(pt.tridiag.tqli(d, e)))
+	assert np.allclose(rw_ours, np.sort(d_ref), atol=1e-12)
+	# and both agree with LAPACK
+	import scipy.linalg as sla
+
+	assert np.allclose(np.sort(d_ref), sla.eigvalsh_tridiagonal(d, e), atol=1e-10)
