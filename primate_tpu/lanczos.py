@@ -438,8 +438,13 @@ def lanczos(
 		op, v0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
 		return_basis=return_basis, basis_dtype=basis_dtype, selective=selective,
 	)
-	a = out.alphas.astype(f_dtype)  # (deg, nv)
-	b = out.betas[: deg - 1].astype(f_dtype)  # (deg-1, nv)
+	# Jacobi coefficients stay in the ACCUMULATION dtype: the core reduces in
+	# f32 precisely so bf16/f16 operators keep accurate α/β — casting them back
+	# down to the storage dtype here would throw that accuracy away (Ritz
+	# values / quadrature nodes would drop to ~3 decimal digits).
+	c_dtype = f_dtype if jnp.dtype(f_dtype).itemsize >= jnp.dtype(out.alphas.dtype).itemsize else out.alphas.dtype
+	a = out.alphas.astype(c_dtype)  # (deg, nv)
+	b = out.betas[: deg - 1].astype(c_dtype)  # (deg-1, nv)
 	Q = None
 	if return_basis:
 		# Rearrange ring-buffer slots into natural order: slot s holds q_t with

@@ -87,6 +87,6 @@ def qr_append(
 
 
 def colwise_dot(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
-	"""Columnwise dots ``diag(XᵀY)`` as an ``(k, 1)`` column (shared by the
-	XTrace/XDiag leave-one-out identity blocks)."""
-	return jnp.einsum("ij,ij->j", X, Y)[:, None]
+	"""Columnwise dots ``diag(X†Y)`` as an ``(k, 1)`` column (shared by the
+	XTrace/XDiag leave-one-out identity blocks; conj is a no-op for real X)."""
+	return jnp.einsum("ij,ij->j", jnp.conj(X), Y)[:, None]

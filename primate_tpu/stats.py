@@ -118,7 +118,11 @@ class Mean:
 		X = _as_batch(jnp.asarray(X))
 		assert X.shape[1] == self.dim, f"Expected shape (n, {self.dim}), got {X.shape}"
 		if X.dtype != self._state.mu.dtype:
-			self._state = MeanState(self._state.n, self._state.mu.astype(X.dtype))
+			# Only ever WIDEN the accumulated state: a lower-precision batch must
+			# not silently downcast an f64 Welford history to f32.
+			wide = jnp.promote_types(self._state.mu.dtype, X.dtype)
+			self._state = MeanState(self._state.n, self._state.mu.astype(wide))
+			X = X.astype(wide)
 		self._state = mean_update(self._state, X)
 
 	def mean(self) -> Union[float, jnp.ndarray]:
@@ -144,7 +148,9 @@ class Covariance(Mean):
 		X = _as_batch(jnp.asarray(X))
 		assert X.shape[1] == self.dim, f"Expected shape (n, {self.dim}), got {X.shape}"
 		if X.dtype != self._state.mu.dtype:
-			self._state = CovState(self._state.n, self._state.mu.astype(X.dtype), self._state.S.astype(X.dtype))
+			wide = jnp.promote_types(self._state.mu.dtype, X.dtype)  # widen-only, as in Mean
+			self._state = CovState(self._state.n, self._state.mu.astype(wide), self._state.S.astype(wide))
+			X = X.astype(wide)
 		self._state = cov_update(self._state, X)
 
 	def covariance(self, ddof: int = 1) -> Union[float, jnp.ndarray]:

@@ -39,7 +39,19 @@ from .estimators import (
 	default_trace_criterion,
 	is_jittable_criterion,
 )
-from .linalg import qr_append, update_trinv_block
+from .linalg import colwise_dot, qr_append, update_trinv_block
+
+
+def _reject_stacked(op, name: str) -> None:
+	"""Sketch estimators deflate through QR of ``A @ W`` — a stacked operator
+	(family-valued matmat) has no single range to sketch. Fail at entry with a
+	clear message instead of a shape error deep in the Lanczos core; `hutch` /
+	`diag` DO support stacked operators (shared-sweep families)."""
+	if getattr(op, "stack_shape", ()) or ():
+		raise NotImplementedError(
+			f"{name} does not support stacked (family-valued) operators; use hutch/diag "
+			"for shared-sweep families, or run one estimator per family member."
+		)
 from .operators import aslinop, is_valid_operator, quad_form
 from .random import as_key, classify_pdf, real_dtype, sample_isotropic
 from .stats import CovState, cov_matrix, cov_update, make_cov_state
@@ -272,6 +284,10 @@ def hutch(
 		it += 1
 	result.message = getattr(criterion, "message", lambda e: "")(estimator)
 	result.estimate = estimator.estimate
+	# nit counts SAMPLES HELD (matches the fused path), not loop turns — a
+	# resumed estimator that already satisfies the criterion reports its
+	# accumulated count instead of 0.
+	result.nit = estimator.n_samples
 	return (estimator.estimate, result) if full else estimator.estimate
 
 
@@ -336,6 +352,7 @@ def hutchpp(
 	N = op.shape[0]
 	if int(np.prod(op.shape)) == 0:
 		return 0.0 if not full else (0.0, EstimatorResult())
+	_reject_stacked(op, "hutchpp")
 	if classify_pdf(pdf) == "size":
 		raise NotImplementedError("hutchpp samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	nb = (N // 3) if m is None else int(m)
@@ -360,6 +377,7 @@ def hutchpp(
 		result.estimate = sketch_trace + rest_est
 		result.info["sketch_trace"] = sketch_trace
 		result.info["sketch_rank"] = nb
+		result.nit += 2 * nb  # honest total: the sketch/deflate applications count too
 		return result.estimate, result
 	est, rng_ests, defl_ests = _hutchpp_program(op, as_key(seed), n=N, nb=nb, pdf=pdf, mode=mode)
 	est = float(est)
@@ -442,8 +460,19 @@ def xnystrace(
 	N = op.shape[0]
 	if int(np.prod(op.shape)) == 0:
 		return 0.0 if not full else (0.0, EstimatorResult())
+	_reject_stacked(op, "xnystrace")
+	if N < 3:
+		# The leave-one-out sketch needs m ≥ 2 AND m ≤ N; below that the
+		# operator is tiny — N matvecs against the identity give the exact trace.
+		est = float(jnp.sum(quad_form(op, jnp.eye(N, dtype=op.dtype))).real)
+		if not full:
+			return est
+		result = EstimatorResult()
+		result.estimate = est
+		result.nit = N
+		return est, result
 	m_ = (N // 3) if m is None else int(m)
-	m_ = max(2, min(m_, N))  # ≥2 so every leave-one-out sketch is nonempty
+	m_ = min(max(2, m_), N)  # ≥2 so every leave-one-out sketch is nonempty, ≤N always
 	if classify_pdf(pdf) == "size":
 		raise NotImplementedError("xnystrace samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	t_samples = _xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf)
@@ -476,7 +505,7 @@ def _xtrace_estimates(W, Z, Q, R, R_inv, sphere: jnp.ndarray):
 	"""
 	n, m = W.shape
 	r_dtype = jnp.real(W).dtype
-	cdot = lambda X, Y: jnp.einsum("ij,ij->j", jnp.conj(X), Y)[:, None]  # diag(X†Y)  # noqa: E731
+	cdot = colwise_dot  # diag(X†Y), (m, 1)
 	W_proj = jnp.conj(Q).T @ W
 	S = jnp.conj(R_inv).T / jnp.linalg.norm(R_inv, axis=1)[None, :]  # cols ∝ R⁻ᴴeᵢ
 
@@ -595,6 +624,7 @@ def xtrace(
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
+	_reject_stacked(op, "xtrace")
 	n = op.shape[0]
 	assert batch >= 1, "Batch size must be positive."
 	record = kwargs.pop("record", False)

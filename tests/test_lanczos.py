@@ -208,3 +208,17 @@ def test_bf16_basis_auto_two_pass_matvec_accuracy():
 	V = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (n, 4), jnp.float32))
 	y32, ybf = np.asarray(M32 @ V), np.asarray(Mbf @ V)
 	assert np.abs(y32 - ybf).max() / np.abs(y32).max() < 5e-4
+
+
+def test_bf16_operator_keeps_f32_jacobi_coefficients():
+	"""The core accumulates α/β in f32 for low-precision operators; the public
+	driver must not cast them back down to bf16 (3-digit Ritz values)."""
+	import jax.numpy as jnp
+
+	ew = np.linspace(0.5, 2.0, 64)
+	A = np.asarray(pt.symmetric(64, ew=ew, seed=1))
+	a, b = pt.lanczos(jnp.asarray(A, jnp.bfloat16), deg=64, orth=-1, seed=2)
+	assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+	rw = np.sort(np.asarray(pt.eigvalsh_tridiag(a, b)))
+	# bf16 MATVECS limit accuracy (~1e-2); bf16 COEFFICIENTS would be ~1e-1.
+	assert np.abs(rw - ew).max() < 2e-2

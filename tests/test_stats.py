@@ -71,3 +71,19 @@ def test_confidence_interval_t_vs_normal():
 	assert lo_t < a.mean() < hi_t
 	# t and normal agree closely at n=200
 	assert np.isclose(lo_t, lo_n, atol=1e-3) and np.isclose(hi_t, hi_n, atol=1e-3)
+
+
+def test_streaming_state_only_widens_dtype():
+	"""A lower-precision batch must not downcast the accumulated Welford state."""
+	import jax.numpy as jnp
+
+	from primate_tpu.stats import Covariance, Mean
+
+	for cls in (Mean, Covariance):
+		s = cls(dim=1, dtype=jnp.float64)
+		s.update(np.ones((4, 1), np.float64))
+		s.update(np.ones((4, 1), np.float32))
+		assert s.mu.dtype == jnp.float64
+		s32 = cls(dim=1, dtype=jnp.float32)
+		s32.update(np.ones((4, 1), np.float64))  # widening is fine
+		assert s32.mu.dtype == jnp.float64

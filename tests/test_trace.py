@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 import primate_tpu as pt
 from primate_tpu.estimators import EstimatorResult
 
@@ -269,3 +270,38 @@ def test_callable_pdf_size_style_host():
 	for fn in (pt.hutchpp, pt.xtrace, pt.xnystrace):
 		with pytest.raises(NotImplementedError, match="jax-style"):
 			fn(A, pdf=sizepdf, seed=1)
+
+
+def test_xnystrace_tiny_operator_exact():
+	"""n < 3 short-circuits to the exact trace (the leave-one-out sketch needs
+	2 ≤ m ≤ N, impossible there); no NaN from a rank-deficient core."""
+	for n in (1, 2):
+		A = jnp.asarray(np.diag(np.arange(1.0, n + 1)))
+		est = pt.xnystrace(A, seed=0)
+		assert np.isclose(est, np.arange(1.0, n + 1).sum())
+
+
+def test_sketch_estimators_reject_stacked_operators():
+	"""hutchpp/xtrace/xnystrace fail fast on family-valued operators (their QR
+	sketch has no single range); hutch handles the same operator fine."""
+	A = pt.symmetric(32, pd=True, seed=0)
+	M = pt.MatrixFunction(jnp.asarray(A), fun=pt.stacked("exp", [0.5, 1.0]), deg=10)
+	for fn in (pt.hutchpp, pt.xtrace, pt.xnystrace):
+		with pytest.raises(NotImplementedError, match="stacked"):
+			fn(M, seed=0)
+
+
+def test_hutch_resume_host_path_reports_accumulated_nit():
+	"""A resumed run that is already converged reports the held sample count,
+	not 0 — on BOTH the fused and the callback-forced host-stepped paths."""
+	A = jnp.asarray(pt.symmetric(40, pd=True, seed=1))
+	_, res = pt.hutch(A, converge="count", count=64, seed=3, full=True)
+	_, res_fused = pt.hutch(A, converge="count", count=64, seed=3, full=True, resume=res)
+	_, res_host = pt.hutch(A, converge="count", count=64, seed=3, full=True, resume=res, callback=lambda r: None)
+	assert res_fused.nit == 64 and res_host.nit == 64
+
+
+def test_hutchpp_adaptive_nit_includes_sketch_matvecs():
+	A = jnp.asarray(pt.symmetric(64, pd=True, seed=2))
+	_, res = pt.hutchpp(A, m=18, converge="count", count=64, seed=4, full=True)
+	assert res.nit == 64 + 2 * 18  # residual samples + sketch/deflate applications
