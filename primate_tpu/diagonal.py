@@ -25,6 +25,7 @@ from .estimators import (
 	convergence_criterion,
 )
 from .operators import aslinop, is_valid_operator
+from .trace import _reject_stacked
 from .random import as_key, classify_pdf, real_dtype, sample_isotropic
 from .stats import MeanState, make_mean_state, mean_update
 
@@ -201,8 +202,8 @@ def diag(
 	# Host-stepped path for callbacks / sample recording.
 	if init_carry is not None:
 		# Copy the resumed mean (in-place updates must not corrupt the caller's
-		# snapshot); m2 is carried through untouched (the host path doesn't
-		# track it — only fused confidence checks read it).
+		# snapshot). m2 IS tracked below — a host-path snapshot resumed into the
+		# fused path with a confidence criterion must not report var=0.
 		estimator = MeanEstimator.from_state(MeanState(n=init_carry.mean.n, mu=init_carry.mean.mu))
 		numer, denom, m2_res = init_carry.numer, init_carry.denom, np.asarray(init_carry.m2)
 		it = int(init_carry.mean.n)
@@ -232,7 +233,18 @@ def diag(
 		else:
 			numer = numer + (u * v).reshape(-1)
 			denom = denom + v * v
-		estimator.update((numer.reshape(nout, N) / denom).reshape(1, -1))
+		# Guarded divide, mirroring the fused path: a probe coordinate that has
+		# only drawn zeros so far (possible with callable pdfs) must not inject
+		# NaN into the running mean.
+		safe = jnp.where(denom == 0, 1.0, denom)
+		est_vec = (numer.reshape(nout, N) / safe).reshape(1, -1)
+		# Elementwise Welford m2, matching the fused carry — kept current so a
+		# host-path snapshot resumes into fused confidence checks correctly.
+		old_mu = np.asarray(estimator._moments._state.mu)
+		estimator.update(est_vec)
+		new_mu = np.asarray(estimator._moments._state.mu)
+		e = np.asarray(est_vec).ravel()
+		m2_res = m2_res + (e - old_mu) * (e - new_mu)
 		result.estimate = np.asarray(estimator.estimate).reshape(stack_shape + (N,))
 		result.nit = estimator.n_samples
 		if callback is not None:
@@ -297,6 +309,7 @@ def diagpp(A, m: Optional[int] = None, pdf: str = "rademacher", seed=None) -> np
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
+	_reject_stacked(op, "diagpp")
 	if classify_pdf(pdf) == "size":
 		raise NotImplementedError("diagpp samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	n = op.shape[0]
@@ -350,6 +363,7 @@ def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndar
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
+	_reject_stacked(op, "xdiag")
 	if classify_pdf(pdf) == "size":
 		raise NotImplementedError("xdiag samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	n = op.shape[0]

@@ -49,6 +49,13 @@ class LinearOperator:
 	shape: Tuple[int, int]
 	dtype: Any
 
+	# Opt out of numpy's ufunc machinery: without this, `np.eye(n) + op`
+	# coerces the operator to a 0-d object array and broadcasts __radd__
+	# elementwise — an object-dtype ndarray of operators instead of one
+	# AffineOperator. None makes numpy defer to our reflected operators
+	# (scipy's LinearOperator does the same).
+	__array_ufunc__ = None
+
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		raise NotImplementedError
 
@@ -288,12 +295,16 @@ class AffineOperator(LinearOperator):
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		AV = self.A.matmat(V)
 		BV = V if self.B is None else self.B.matmat(V)
-		return AV + self.t.astype(AV.dtype) * BV
+		# Promote, never truncate: a complex shift of a real operator must not
+		# have t's imaginary part silently cast to zero.
+		out = jnp.result_type(AV.dtype, self.t.dtype)
+		return AV.astype(out) + self.t.astype(out) * BV.astype(out)
 
 	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
 		AV = self.A.matmat_t(Vt)
 		BV = Vt if self.B is None else self.B.matmat_t(Vt)
-		return AV + self.t.astype(AV.dtype) * BV
+		out = jnp.result_type(AV.dtype, self.t.dtype)
+		return AV.astype(out) + self.t.astype(out) * BV.astype(out)
 
 	def tree_flatten(self):
 		return (self.A, self.B, self.t), (self.shape, self.dtype)

@@ -271,6 +271,7 @@ class BSROperator(LinearOperator):
 				return op
 			if engine == "native":
 				raise RuntimeError("native sparse-prep library unavailable (no C++ toolchain?)")
+		nnz_logical = int(A.nnz)  # BEFORE tobsr: BSR .nnz counts stored block entries
 		if blocksize is not None:
 			# Zero-pad the matrix to whole tiles so TPU-native blocksizes
 			# ((8,128), ...) work for any n; the logical shape is kept.
@@ -282,7 +283,7 @@ class BSROperator(LinearOperator):
 		A = A.tobsr(blocksize=blocksize) if blocksize is not None else A.tobsr()
 		data, indices, indptr = _pad_empty_block_rows(np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr))
 		op = cls(jnp.asarray(data, dtype=dtype), indices, indptr, shape)
-		op._warn_fill_in(int(A.nnz) if hasattr(A, "nnz") else op.nnz)
+		op._warn_fill_in(nnz_logical)
 		return op
 
 	def _warn_fill_in(self, nnz_logical: int) -> None:

@@ -339,7 +339,13 @@ class Toeplitz(LinearOperator):
 		n = self.shape[0]
 		Z = jnp.zeros((2 * n,) + V.shape[1:], V.dtype).at[:n].set(V)
 		Y = jnp.fft.ifft(self._dfft[(...,) + (None,) * (V.ndim - 1)] * jnp.fft.fft(Z, axis=0), axis=0)
-		return jnp.real(Y[:n]).astype(self.dtype)
+		out = Y[:n]
+		# Real Toeplitz data: the product is real up to fft round-off. Complex
+		# (e.g. Hermitian) Toeplitz keeps its genuinely complex values — taking
+		# the real part would silently corrupt every downstream estimate.
+		if jnp.dtype(self.dtype).kind != "c":
+			out = jnp.real(out)
+		return out.astype(self.dtype)
 
 	def tree_flatten(self):
 		# _dfft is data, not derived state: recomputing it in unflatten would
@@ -368,13 +374,17 @@ class ScaledOperator(LinearOperator):
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		AV = self.A.matmat(V)
-		return (self.s * (AV + self.t * V)).astype(AV.dtype)
+		# Promote rather than truncate: a complex shift/scale of a real operator
+		# must not have its imaginary part silently cast away.
+		out_dtype = jnp.result_type(AV.dtype, self.t.dtype, self.s.dtype)
+		return (self.s * (AV + self.t * V)).astype(out_dtype)
 
 	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
 		# Probe-major shift-and-scale: delegate to A's native (k, n) apply so
 		# normalized operators keep the zero-transpose Lanczos/Clenshaw path.
 		AV = self.A.matmat_t(Vt)
-		return (self.s * (AV + self.t * Vt)).astype(AV.dtype)
+		out_dtype = jnp.result_type(AV.dtype, self.t.dtype, self.s.dtype)
+		return (self.s * (AV + self.t * Vt)).astype(out_dtype)
 
 	def tree_flatten(self):
 		return (self.A, self.t, self.s), (self.shape, self.dtype)

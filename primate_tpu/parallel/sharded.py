@@ -69,7 +69,7 @@ class ShardedDenseOperator(LinearOperator):
 		return Vt @ self.A.T  # GSPMD partitions the same GEMM column-sharded
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
-		return self.A.T @ v
+		return jnp.conj(self.A).T @ v  # adjoint A† (conj is a no-op for real A)
 
 	def todense(self) -> jnp.ndarray:
 		return self.A

@@ -164,6 +164,14 @@ def _cg_loop(
 	return CGState(it=out.it, X=out.X.T, R=out.R.T, P=out.P.T, rs=out.rs, done=out.done)
 
 
+@partial(jax.jit, static_argnames=("maxiter",))
+def _cg_loop_op(op, B, X0, pre, rtol, *, maxiter: int) -> CGState:
+	"""`_cg_loop` with the operator as a PYTREE argument — the compiled loop is
+	keyed on the operator's structure (not the bound-method identity `_cg_loop`'s
+	static `matmat` would pin), so per-instance operators reuse the executable."""
+	return _cg_loop(op.matmat, B, X0, pre, rtol, maxiter, matmat_t=getattr(op, "matmat_t", None))
+
+
 def cg(
 	A,
 	B: jnp.ndarray,
@@ -220,7 +228,10 @@ def cg(
 		# (Hermitian) systems also solve here: `custom_linear_solve(symmetric=
 		# True)` transposes with A itself, which is Aᵀ = conj(A) ≠ A for complex
 		# Hermitian operators — its cotangent solve would be silently wrong.
-		state = _cg_loop(op.matmat, B, X0, M_inv_diag, float(rtol), maxiter, matmat_t=getattr(op, "matmat_t", None))
+		# Operator rides as a PYTREE argument: the compiled loop is keyed on
+		# its structure, so fresh same-shaped operators (GP hyperparameter
+		# loops) reuse the executable instead of retracing per instance.
+		state = _cg_loop_op(op, B, X0, M_inv_diag, float(rtol), maxiter=maxiter)
 		X = state.X.astype(B.dtype)
 		X = X[:, 0] if single else X
 		if not full:
@@ -236,15 +247,24 @@ def cg(
 	# argument, so repeated solves against the same operator type hit the
 	# compile cache instead of retracing per call.
 	if warm_start:
-		dX = _cg_program(op, B - op.matmat(X0), M_inv_diag, rtol=float(rtol), maxiter=maxiter)
+		# The shifted system A·ΔX = B − A·X0 converges when ‖R‖ ≤ rtol·‖B‖ —
+		# the USER's target — not rtol·‖B − A·X0‖ (much stricter for a good
+		# warm start): rescale the per-column rtol by the norm ratio so both
+		# cg paths stop at the same documented criterion.
+		Bs = B - op.matmat(X0)
+		acc = jnp.promote_types(B.dtype, jnp.float32)
+		nb = jnp.linalg.norm(B.astype(acc), axis=0)
+		ns = jnp.linalg.norm(Bs.astype(acc), axis=0)
+		rtol_eff = jnp.asarray(rtol, jnp.real(nb).dtype) * jnp.real(nb) / jnp.maximum(jnp.real(ns), jnp.finfo(jnp.zeros((), acc).real.dtype).tiny)
+		dX = _cg_program(op, Bs, M_inv_diag, rtol_eff, maxiter=maxiter)
 		X = (X0 + dX).astype(B.dtype)
 	else:
-		X = _cg_program(op, B, M_inv_diag, rtol=float(rtol), maxiter=maxiter)
+		X = _cg_program(op, B, M_inv_diag, float(rtol), maxiter=maxiter)
 	return X[:, 0] if single else X
 
 
-@partial(jax.jit, static_argnames=("rtol", "maxiter"))
-def _cg_program(op, B, M_inv_diag, *, rtol: float, maxiter: int):
+@partial(jax.jit, static_argnames=("maxiter",))
+def _cg_program(op, B, M_inv_diag, rtol, *, maxiter: int):
 	def solve_fn(mv, B_in):
 		# symmetric=True: every solve custom_linear_solve requests (forward,
 		# tangent, cotangent) is against the SAME operator, so the native

@@ -1,6 +1,8 @@
 """Diagonal estimator tests (mirrors reference `tests/test_diagonal.py`)."""
 
 import numpy as np
+import pytest
+import jax.numpy as jnp
 import primate_tpu as pt
 
 
@@ -137,3 +139,23 @@ def test_diag_resume_bit_exact():
 	assert np.abs(d_full - d_res2).max() < 1e-12
 	assert calls[0] == 193 and calls[-1] == 384
 	assert int(r_half.info["state"]["mean"].n) == 192
+
+
+def test_diag_host_path_tracks_m2_for_resume():
+	"""The callback (host-stepped) path keeps the Welford m2 current, so its
+	snapshot resumes into the fused path bit-faithfully — and never with a
+	vacuous var=0 confidence state."""
+	A = jnp.asarray(pt.symmetric(32, pd=True, seed=1))
+	d1, res1 = pt.diag(A, converge="count", count=40, seed=2, full=True, callback=lambda r: None)
+	assert np.asarray(res1.info["state"]["m2"]).max() > 0
+	d2 = pt.diag(A, converge="count", count=80, seed=2, resume=res1)
+	d_direct = pt.diag(A, converge="count", count=80, seed=2)
+	assert np.allclose(np.asarray(d2), np.asarray(d_direct), atol=1e-10)
+
+
+def test_diag_sketchers_reject_stacked():
+	A = pt.symmetric(24, pd=True, seed=3)
+	M = pt.MatrixFunction(jnp.asarray(A), fun=pt.stacked("exp", [0.5, 1.0]), deg=8)
+	for fn in (pt.diagpp, pt.xdiag):
+		with pytest.raises(NotImplementedError, match="stacked"):
+			fn(M, seed=0)

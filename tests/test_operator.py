@@ -431,3 +431,37 @@ def test_operator_adjoint_transpose():
 	Y = rng.normal(size=(16, 16))
 	opr = pt.operators.aslinop(jnp.asarray(Y))
 	assert np.allclose(np.asarray(opr.T @ np.ones(16)), Y.T @ np.ones(16), atol=1e-10)
+
+
+def test_toeplitz_complex_hermitian_matvec():
+	"""Complex Toeplitz keeps its imaginary parts (real cast is for real data)."""
+	c = jnp.array([1 + 0j, 2j, 0j])
+	T = pt.Toeplitz(c, r=jnp.conj(c))
+	col = np.asarray(T.matvec(jnp.array([1.0 + 0j, 0, 0])))
+	assert np.allclose(col, [1, 2j, 0])
+	dense = np.array([[1, -2j, 0], [2j, 1, -2j], [0, 2j, 1]])
+	V = np.random.default_rng(0).normal(size=(3, 4)) + 1j * np.random.default_rng(1).normal(size=(3, 4))
+	assert np.allclose(np.asarray(T.matmat(jnp.asarray(V))), dense @ V, atol=1e-12)
+
+
+def test_complex_scalar_algebra_promotes_real_operator():
+	"""(1j*A) and (A − 2j) must not have their imaginary parts cast away."""
+	from primate_tpu.operators import aslinop
+
+	A = jnp.asarray(pt.symmetric(8, pd=True, seed=0))
+	op = aslinop(A)
+	v = jnp.ones(8)
+	assert np.allclose(np.asarray((1j * op).matvec(v)), 1j * np.asarray(A @ v))
+	assert np.allclose(np.asarray((op - 2j).matvec(v)), np.asarray(A @ v) - 2j)
+
+
+def test_numpy_left_arithmetic_defers_to_operator():
+	"""np.eye(n) + op must yield ONE AffineOperator, not an object ndarray."""
+	from primate_tpu.operators import aslinop
+
+	A = jnp.asarray(pt.symmetric(6, pd=True, seed=1))
+	op = aslinop(A)
+	r = np.eye(6) + op
+	assert not isinstance(r, np.ndarray)
+	v = jnp.ones(6)
+	assert np.allclose(np.asarray(r.matvec(v)), np.asarray(A @ v) + 1.0)

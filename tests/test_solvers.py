@@ -119,3 +119,16 @@ def test_nystrom_precond_differentiable_path():
 	# d(bᵀK⁻¹b)/dK = −K⁻¹b bᵀK⁻¹ (symmetrized by the solve structure)
 	x = np.linalg.solve(np.asarray(K), np.asarray(b))
 	assert np.allclose(np.asarray(g), -np.outer(x, x), atol=1e-6)
+
+
+def test_cg_warm_start_stops_at_documented_tolerance():
+	"""rtol is relative to ‖b‖ on BOTH paths — a good warm start must not force
+	the shifted system to a much stricter absolute target."""
+	ew = np.linspace(0.5, 4.0, 64)
+	K = jnp.asarray(pt.symmetric(64, pd=True, ew=ew, seed=3))
+	b = jnp.asarray(np.random.default_rng(4).normal(size=64))
+	x_cold = pt.cg(K, b, rtol=1e-6)
+	x0 = x_cold + 1e-3 * jnp.asarray(np.random.default_rng(5).normal(size=64))
+	x_warm = pt.cg(K, b, X0=x0, rtol=1e-6)
+	rw = np.linalg.norm(np.asarray(K @ x_warm - b)) / np.linalg.norm(np.asarray(b))
+	assert rw <= 2e-6  # meets the documented target (with fp slack), not 1e-6·‖b−K·x0‖/‖b‖

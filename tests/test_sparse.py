@@ -138,3 +138,17 @@ def test_coo_rows_sorted_detection():
 	ref = np.zeros((6, 3))
 	ref[r, c] = d
 	assert np.allclose(np.asarray(op2.matmat(np.eye(3))), ref)
+
+
+def test_bsr_fill_in_warning_fires_on_scipy_fallback():
+	"""The scattered-pattern warning must use the LOGICAL nnz, not the already-
+	inflated BSR storage count (scipy fallback path)."""
+	import warnings
+
+	rng = np.random.default_rng(0)
+	A = sps.random(128, 128, density=0.01, random_state=rng, format="csr")
+	A = A + A.T
+	with warnings.catch_warnings(record=True) as ws:
+		warnings.simplefilter("always")
+		BSROperator.from_scipy(A, blocksize=(8, 8), engine="scipy")
+	assert any("not block-structured" in str(w.message) for w in ws)
