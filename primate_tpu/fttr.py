@@ -124,7 +124,10 @@ def fttr(theta: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, k: int, weig
 	Returns the weights (JAX arrays are immutable, so the ``weights`` output
 	argument of the Pythran original is returned instead of filled in-place).
 	"""
-	w = fttr_weights(theta[..., :k], alpha, beta, k=k)
+	# Truncate the Jacobi coefficients too: the reference's `ortho_poly` sums
+	# p_0..p_{k-1} only (its n parameter IS k, `fttr.py:27`); running the
+	# recurrence to the full stored degree would corrupt every weight.
+	w = fttr_weights(theta[..., :k], alpha[..., :k], beta[..., :k], k=k)
 	if weights is not None:
 		w = jnp.asarray(weights).at[..., :k].set(w)
 	return w

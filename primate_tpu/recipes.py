@@ -40,6 +40,12 @@ __all__ = [
 ]
 
 
+@lru_cache(maxsize=64)
+def _shift_family(f, shifts: tuple):
+	"""``stacked(x ↦ f(x + t), shifts)`` memoized on (f, shifts) — see shifted_trace."""
+	return stacked(lambda x, t: f(x + t), np.asarray(shifts))
+
+
 def _slq(A, fun, deg: int, orth: int, fun_kwargs: Optional[dict] = None, **est_kwargs):
 	M = MatrixFunction(A, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
 	return hutch(M, **est_kwargs)
@@ -103,8 +109,12 @@ def deflated_trace(
 		correction = -float(k) * float(fill)
 		rest = hutch(defl, **est_kwargs)
 	else:
-		exact = float(np.sum(f(w)))
-		correction = -float(k) * float(f(jnp.asarray(fill, defl.dtype)))
+		exact = float(np.sum(f(w)).real)
+		# fill is always REAL (a spectral value): evaluate f at the real dtype —
+		# a complex-dtype scalar would make float() raise for Hermitian operators.
+		from .random import real_dtype as _real_dtype
+
+		correction = -float(k) * float(f(jnp.asarray(fill, _real_dtype(defl.dtype))))
 		rest = _slq(defl, fun, deg, orth, fun_kwargs=fun_kwargs, **est_kwargs)
 	if isinstance(rest, tuple):
 		est, result = rest
@@ -134,20 +144,21 @@ def slogdet(A, deg: int = 30, orth: int = 5, count_deg: int = 30, **kwargs):
 	tolerance; raise probes (``converge``/``count``) near-singular spectra.
 	Beyond-reference capability.
 	"""
-	from .kpm import _spectral_interval
 	from .lanczos import rayleigh_ritz
 
 	op = aslinop(A)
 	# Gate the negative-eigenvalue count on the UNPADDED Ritz minimum: Ritz
 	# values lie inside the spectrum, so rw_min < 0 certifies indefiniteness,
-	# while _spectral_interval's 3% inflation would dip below 0 for any SPD
+	# while the padded interval estimate would dip below 0 for any SPD
 	# operator with a small λ_min — triggering a pointless stochastic count
-	# whose noise could flip the sign of a positive determinant.
-	rw_min = float(np.min(np.asarray(rayleigh_ritz(op, deg=int(min(32, op.shape[0])), orth=-1, seed=kwargs.get("seed")))))
+	# whose noise could flip the sign of a positive determinant. The SAME
+	# sweep supplies the count interval's lower endpoint (no second sweep).
+	rw = np.asarray(rayleigh_ritz(op, deg=int(min(32, op.shape[0])), orth=-1, seed=kwargs.get("seed")))
+	rw_min = float(rw.min())
 	n_neg = 0
 	if rw_min < 0:
-		lo, _ = _spectral_interval(op, kwargs.get("seed"))
-		n_neg = eigencount(op, (lo, 0.0), deg=count_deg, **{k: v for k, v in kwargs.items() if k != "full"})
+		pad = 0.03 * max(float(rw.max()) - rw_min, 1e-12) + 1e-12
+		n_neg = eigencount(op, (rw_min - pad, 0.0), deg=count_deg, **{k: v for k, v in kwargs.items() if k != "full"})
 		n_neg = int(n_neg)
 	sign = -1.0 if (n_neg % 2) else 1.0
 	est = _slq(op, lambda x: jnp.log(jnp.maximum(jnp.abs(x), 1e-30)), deg, orth, **kwargs)
@@ -247,10 +258,20 @@ def trace_bounds(
 	deg = int(min(deg, n))
 	orth = deg if (orth < 0 or orth > deg) else int(orth)
 	if interval is None:
-		from .kpm import _spectral_interval
+		from .lanczos import rayleigh_ritz
 
-		interval = _spectral_interval(op, seed)
-	a, b = float(interval[0]), float(interval[1])
+		rw = np.asarray(rayleigh_ritz(op, deg=int(min(32, op.shape[0])), orth=-1, seed=seed))
+		lo, hi = float(rw.min()), float(rw.max())
+		pad = 0.03 * max(hi - lo, 1e-12) + 1e-12
+		a, b = lo - pad, hi + pad
+		if kind == "bernstein" and lo > 0 and a <= 0:
+			# log/sqrt-class brackets need a POSITIVE lower endpoint: the Radau/
+			# Lobatto rules pin a node at `a`, and additive padding can push it
+			# ≤ 0 (log blows up, the bound collapses to log(eps)-scale garbage).
+			# Pad multiplicatively instead — still ≤ the Ritz minimum, still > 0.
+			a = 0.5 * lo
+	else:
+		a, b = float(interval[0]), float(interval[1])
 
 	key = as_key(seed)
 	from .random import real_dtype
@@ -280,9 +301,7 @@ def trace_bounds(
 		e = out.betas[: deg - 1].T  # (nv, deg-1)
 		beta_end = out.betas[deg - 1]  # (nv,) — the final residual, couples the Radau extension
 
-	from .random import real_dtype as _rd
-
-	acc = _rd(jnp.promote_types(op.dtype, jnp.float32))
+	acc = real_dtype(jnp.promote_types(op.dtype, jnp.float32))
 	norm2 = jnp.sum(jnp.asarray(Vr, acc) ** 2, axis=0)  # (nv,)
 
 	def rule_estimates(nodes, weights):
@@ -457,7 +476,11 @@ def heat_kernel_signature(A, timepoints, deg: int = 20, orth: int = 5, **kwargs)
 
 	ts = np.atleast_1d(np.asarray(timepoints, dtype=float))
 	M = MatrixFunction(aslinop(A), fun=stacked("exp", -ts), deg=deg, orth=orth)
-	return np.asarray(diag(M, **kwargs)).reshape(len(ts), -1)
+	out = diag(M, **kwargs)
+	if isinstance(out, tuple):  # full=True: reshape the estimate, keep the result
+		est, result = out
+		return np.asarray(est).reshape(len(ts), -1), result
+	return np.asarray(out).reshape(len(ts), -1)
 
 
 def numrank(A, threshold: float = 1e-6, deg: int = 20, orth: int = 5, **kwargs):
@@ -567,11 +590,22 @@ def bilinear_form(
 	else:
 		V = jnp.asarray(V, dtype=M.dtype)
 		V = V[:, None] if V.ndim == 1 else V
-		# One batched sweep over the 2k polarization vectors.
-		P = jnp.concatenate([U + V, U - V], axis=1)
-		q = M.quad(P)
 		k = U.shape[1]
-		out = (q[..., :k] - q[..., k:]) / 4.0
+		if jnp.dtype(M.dtype).kind == "c":
+			# Complex Hermitian: the 2-term identity only recovers Re(u†f(A)v)
+			# (each quad is real); the imaginary part needs the u ± i·v pair —
+			# 4-term polarization, one batched sweep over 4k vectors.
+			P = jnp.concatenate([U + V, U - V, U + 1j * V, U - 1j * V], axis=1)
+			q = M.quad(P)
+			re = (q[..., :k] - q[..., k : 2 * k]) / 4.0
+			# q(u+iv) − q(u−iv) = −4·Im(u†Fv) for Hermitian F — note the order.
+			im = (q[..., 3 * k :] - q[..., 2 * k : 3 * k]) / 4.0
+			out = re + 1j * im
+		else:
+			# One batched sweep over the 2k polarization vectors.
+			P = jnp.concatenate([U + V, U - V], axis=1)
+			q = M.quad(P)
+			out = (q[..., :k] - q[..., k:]) / 4.0
 	out = np.asarray(out)
 	return out[..., 0] if single else out
 
@@ -596,7 +630,11 @@ class _PairedQuadOperator:
 		V = V[:, None] if V.ndim == 1 else V
 		FV = self.M.matmat(V)  # f(A) V — (n, k) or (nt, n, k) stacked
 		BV = self.B.matmat(V)
-		return jnp.einsum("ij,...ij->...j", BV, FV)
+		# Bra side conjugated (package convention, see operators.quad_form):
+		# (Bv)† f(A) v = v† B f(A) v for Hermitian B. Without the conj the
+		# complex case estimates tr(Bᵀ f(A)) — and with pdf="phase" probes
+		# E[v vᵀ] = 0, so the estimator would converge to 0 regardless of B.
+		return jnp.real(jnp.einsum("ij,...ij->...j", jnp.conj(BV), FV))
 
 	def matmat(self, V):
 		V = jnp.asarray(V, dtype=self.dtype)
@@ -700,6 +738,10 @@ def suggest_degree(
 			A, fun, deg=deg, orth=orth, nv=nv, pdf=pdf, interval=interval,
 			kind=kind, seed=seed, full=True, fun_kwargs=fun_kwargs,
 		)
+		# Reuse the first round's resolved spectral interval: re-estimating it
+		# every doubling round repeats an identical 32-step Rayleigh-Ritz sweep
+		# (same seed → same interval) — pure wasted operator applications.
+		interval = res["interval"]
 		lo, hi = float(res["lower"]), float(res["upper"])
 		gap = hi - lo
 		history.append({"deg": deg, "lower": lo, "upper": hi, "gap": gap})
@@ -817,6 +859,10 @@ def shifted_trace(
 
 	assert shifts is not None, "Provide shifts= (an array of t values for tr(f(A + t·I)))"
 	f = param_callable(fun, **(fun_kwargs or {})) if isinstance(fun, str) else fun
-	fam = stacked(lambda x, t: f(x + t), shifts)
+	# Memoized family: a fresh closure per call would be new static jit data
+	# for MatrixFunction, recompiling the fused hutch program on every
+	# invocation with identical arguments (param_callable results are cached,
+	# so `f` has a stable identity for builtin names).
+	fam = _shift_family(f, tuple(float(t) for t in np.atleast_1d(np.asarray(shifts)).ravel()))
 	M = MatrixFunction(aslinop(A), fun=fam, deg=deg, orth=orth)
 	return hutch(M, **est_kwargs)

@@ -171,7 +171,12 @@ def _tqli_single(d: jnp.ndarray, e: jnp.ndarray, eigenvectors: bool, maxiter: in
 		return (d, e, Z)
 
 	d, e, Z = lax.fori_loop(0, n - 1, outer, (d, e, Z))
-	return (d, Z) if eigenvectors else d
+	# Convergence certificate: every interior off-diagonal negligible relative
+	# to its neighbors (the split criterion). False = some block exhausted
+	# maxiter sweeps — the reference RAISES "Too many iterations" there.
+	dd = jnp.abs(d) + jnp.abs(jnp.roll(d, -1))
+	ok = jnp.all(((jnp.abs(e) + dd) == dd)[: n - 1])
+	return ((d, Z) if eigenvectors else d), ok
 
 
 def tqli(
@@ -212,7 +217,19 @@ def tqli(
 	fn = partial(_tqli_single, eigenvectors=want_vecs, maxiter=maxiter)
 	for _ in range(d.ndim - 1):
 		fn = jax.vmap(fn)
-	out = fn(d, e)
+	out, ok = fn(d, e)
+	if not bool(jnp.all(ok)):
+		# The reference raises "Too many iterations"; here tqli is also the
+		# LAPACK-failure FALLBACK (`eigh_tridiag`), so a hard raise would break
+		# the robustness ladder — warn loudly instead of silently returning
+		# partially-converged eigenvalues.
+		import warnings
+
+		warnings.warn(
+			f"tqli: not all off-diagonals became negligible within maxiter={maxiter} "
+			"QL sweeps; returned eigenvalues may be partially converged (raise maxiter).",
+			stacklevel=2,
+		)
 	if Z_out is not None or (not isinstance(eigenvectors, (bool, np.bool_)) and eigenvectors is not None):
 		rw = out[0] if want_vecs else out
 		if isinstance(d_in, np.ndarray) and d_in.shape == rw.shape:

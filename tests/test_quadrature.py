@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import primate_tpu as pt
 from primate_tpu.lanczos import lanczos_block
 
@@ -180,3 +181,19 @@ def test_lobatto_rule_places_both_nodes():
 	assert float(np.abs(np.asarray(nodes) - b0).min(axis=1).max()) < 1e-9
 	assert np.allclose(np.asarray(weights).sum(axis=1), 1.0, atol=1e-10)
 	assert np.all(np.asarray(weights) >= -1e-12)
+
+
+def test_fttr_truncates_jacobi_to_k():
+	"""fttr(theta, a, b, k) with k < len(a): weights must come from the LEADING
+	k×k Jacobi matrix (the reference's ortho_poly runs k polynomial terms)."""
+	rng = np.random.default_rng(0)
+	ew = np.sort(rng.uniform(0.2, 2.0, 64))
+	A = np.asarray(pt.symmetric(64, ew=ew, seed=3))
+	a, b = pt.lanczos(A, deg=8, orth=-1, seed=4)
+	a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+	b_pad = np.concatenate([[0.0], b])
+	T4 = np.diag(a[:4]) + np.diag(b_pad[1:4], 1) + np.diag(b_pad[1:4], -1)
+	th4, Y4 = np.linalg.eigh(T4)
+	w = np.asarray(pt.fttr.fttr(jnp.asarray(th4), jnp.asarray(a), jnp.asarray(b_pad), 4))
+	assert np.allclose(np.sort(w[:4]), np.sort(Y4[0] ** 2), atol=1e-8)
+	assert abs(w[:4].sum() - 1.0) < 1e-10

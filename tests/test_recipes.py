@@ -390,3 +390,51 @@ def test_slogdet_spd_tiny_minimum_keeps_positive_sign():
 	(s, ld), res = pt.recipes.slogdet(A, deg=60, orth=-1, converge="count", count=256, seed=9, full=True)
 	assert s == 1.0
 	assert res.info["n_negative"] == 0
+
+
+def test_weighted_trace_complex_hermitian():
+	"""tr(B·f(A)) for complex Hermitian A, B — the bra side must be conjugated."""
+	rng = np.random.default_rng(0)
+	n = 40
+	H = pt.random.hermitian(n, ew=np.linspace(0.5, 2.0, n), seed=1)
+	B = pt.random.hermitian(n, ew=rng.uniform(-1, 1, n), seed=2)
+	true = float(np.real(np.trace(np.asarray(B) @ np.asarray(H))))
+	est = pt.recipes.weighted_trace(H, jnp.asarray(B), fun=None, converge="count", count=4000, seed=3)
+	assert abs(float(est) - true) / abs(true) < 0.2
+
+
+def test_bilinear_form_complex_entry():
+	"""f(A)[i,j] of a Hermitian operator is genuinely complex — 4-term polarization."""
+	H = pt.random.hermitian(30, ew=np.linspace(0.1, 3.0, 30), seed=5)
+	Hd = np.asarray(H)
+	w, V = np.linalg.eigh(Hd)
+	F = (V * np.exp(w)) @ V.conj().T
+	u = np.zeros(30, complex); u[2] = 1
+	v = np.zeros(30, complex); v[7] = 1
+	got = pt.recipes.bilinear_form(H, jnp.asarray(u), jnp.asarray(v), fun="exp", deg=30, orth=-1)
+	assert abs(got - F[2, 7]) / abs(F[2, 7]) < 1e-6
+
+
+def test_deflated_trace_complex_hermitian():
+	H = pt.random.hermitian(30, ew=np.linspace(0.1, 3.0, 30), seed=5)
+	est = pt.recipes.deflated_trace(H, "log", k=4, converge="count", count=512, seed=6)
+	true = np.sum(np.log(np.linspace(0.1, 3.0, 30)))
+	assert abs(est - true) / abs(true) < 0.15
+
+
+def test_heat_kernel_signature_full_result():
+	A = jnp.asarray(pt.symmetric(20, pd=True, seed=7))
+	hks, result = pt.recipes.heat_kernel_signature(A, [0.5, 1.0], converge="count", count=64, seed=8, full=True)
+	assert hks.shape == (2, 20)
+	assert result.nit > 0
+
+
+def test_trace_bounds_log_tiny_lambda_min_not_garbage():
+	"""Additive interval padding used to push the Radau node ≤ 0 for log —
+	collapsing the lower bound to log(eps)-scale. The multiplicative clamp
+	keeps the bracket tight (bias-only; MC spread is separate)."""
+	ew = np.concatenate([[0.01], np.linspace(1.0, 10.0, 79)])
+	A = pt.symmetric(80, pd=True, ew=ew, seed=9)
+	true = np.sum(np.log(ew))
+	lo, hi = pt.recipes.trace_bounds(A, "log", deg=40, nv=256, seed=10)
+	assert hi >= lo and hi - lo < 5 and abs(0.5 * (lo + hi) - true) < 10
