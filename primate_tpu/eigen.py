@@ -462,6 +462,11 @@ def filtered_eigsh(
 		if stall >= 4:
 			break
 
+	# If the growth branch fired on the FINAL iteration, X carries fresh random
+	# columns the last Rayleigh-Ritz never saw — `accept` indexes the pre-growth
+	# Ritz columns only.
+	if inside is not None and X.shape[1] != inside.shape[0]:
+		X = X[:, : inside.shape[0]]
 	# Accept converged pairs only; an unconverged pair inside the slice is a
 	# transition-band ghost (or a genuinely missed direction — warn either way).
 	# 10× slack over the stop tolerance keeps slow boundary pairs (their

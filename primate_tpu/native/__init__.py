@@ -75,7 +75,7 @@ def available() -> bool:
 	return _lib() is not None
 
 
-def _as_csr_parts(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
+def _as_csr_parts(A) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]]:
 	import scipy.sparse as sps
 
 	A = sps.csr_matrix(A)
@@ -85,6 +85,10 @@ def _as_csr_parts(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray, Tuple[int, int
 	if A.shape[1] >= 2**31:
 		raise OverflowError("native sparse-prep supports < 2^31 columns; use the scipy engine for wider matrices")
 	data = np.ascontiguousarray(A.data)
+	if data.dtype.kind == "c":
+		# The C ABI is real-only; casting would DISCARD the imaginary part.
+		# Returning None routes callers to the (complex-correct) scipy path.
+		return None
 	if data.dtype not in (np.float32, np.float64):
 		data = data.astype(np.float64)
 	return (
@@ -127,7 +131,10 @@ def csr_to_bsr_arrays(A, bm: int, bn: int):
 	lib = _lib()
 	if lib is None or A.shape[1] >= 2**31:
 		return None
-	data, indices, indptr, (n, m) = _as_csr_parts(A)
+	parts = _as_csr_parts(A)
+	if parts is None:  # complex data: the real-only ABI would drop imag(A)
+		return None
+	data, indices, indptr, (n, m) = parts
 	n_brow = -(-n // bm)
 	counts = np.zeros(n_brow, np.int64)
 	nnzb = lib.bsr_count(n, m, bm, bn, indptr, indices, counts)
@@ -144,7 +151,10 @@ def csr_to_dia_arrays(A):
 	lib = _lib()
 	if lib is None or A.shape[1] >= 2**31:
 		return None
-	data, indices, indptr, (n, m) = _as_csr_parts(A)
+	parts = _as_csr_parts(A)
+	if parts is None:  # complex data: the real-only ABI would drop imag(A)
+		return None
+	data, indices, indptr, (n, m) = parts
 	offsets_buf = np.zeros(n + m - 1, np.int64)
 	n_d = lib.dia_count(n, m, indptr, indices, offsets_buf)
 	offsets = np.ascontiguousarray(offsets_buf[:n_d])

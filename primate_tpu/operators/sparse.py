@@ -435,7 +435,10 @@ class DIAOperator(LinearOperator):
 		if self.use_pallas:
 			from ..ops.dia_pallas import dia_matmat
 
-			return dia_matmat(self, V)
+			try:
+				return dia_matmat(self, V)
+			except NotImplementedError:
+				pass  # lane-partial probe blocks / wide bands: XLA path below
 		return self._matmat_jnp(V)
 
 	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:

@@ -116,6 +116,14 @@ def bsr_matmat(op, V: jnp.ndarray, interpret: Optional[bool] = None) -> jnp.ndar
 	if interpret is None:
 		interpret = jax.default_backend() != "tpu"
 	blocks, rowids, colids = op.blocks, op.rowids, op.indices
+	if blocks.shape[0] > MAX_PREFETCH_BLOCKS:
+		# The row/col ids scalar-prefetch into SMEM; beyond the cap the Mosaic
+		# allocation fails opaquely. Raise the documented signal instead — the
+		# BSROperator dispatch catches it and takes the XLA path.
+		raise NotImplementedError(
+			f"BSR Pallas kernel scalar-prefetches block ids into SMEM; {blocks.shape[0]} stored blocks "
+			f"exceeds the ~{MAX_PREFETCH_BLOCKS} cap — the XLA gather+segment_sum path handles larger operators."
+		)
 	n, m = op.shape
 	np_r, np_c = op.pshape  # block grid padded to whole tiles
 	V = jnp.asarray(V)
