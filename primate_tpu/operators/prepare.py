@@ -57,6 +57,7 @@ def gershgorin_interval(A) -> Tuple[float, float]:
 		offsets = list(A.offsets)
 		n = A.shape[0]
 		diag = bands[offsets.index(0)] if 0 in offsets else np.zeros(n, bands.dtype)
+		diag = np.real(np.asarray(diag))  # Hermitian ⇒ real diagonal (match the dense/sparse paths below)
 		radius = sum(np.abs(bands[k]) for k, off in enumerate(offsets) if off != 0)
 		radius = np.zeros(n) if isinstance(radius, int) else radius
 		return float(np.min(diag - radius)), float(np.max(diag + radius))

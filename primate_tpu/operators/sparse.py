@@ -469,7 +469,7 @@ class DIAOperator(LinearOperator):
 			# carry) bring it back to parity (47.9 vs 47.0 ms per 20-step
 			# chain, 64×500k f32 on v5e) — kept opt-in as the explicitly
 			# scheduled alternative. Bands wider than the kernel's 128-lane
-			# halo route to the node-major kernel (halo ≤ TILE there).
+			# halo fall through to the XLA stencil below.
 			from ..ops.dia_pallas import dia_matmat_t
 
 			return dia_matmat_t(self, Vt)

@@ -31,7 +31,9 @@ __all__ = [
 	"heat_kernel_signature",
 	"numrank",
 	"eigencount",
+	"pagerank",
 	"schatten",
+	"topk",
 	"slogdet",
 	"suggest_degree",
 	"shifted_trace",
@@ -41,9 +43,20 @@ __all__ = [
 
 
 @lru_cache(maxsize=64)
-def _shift_family(f, shifts: tuple):
-	"""``stacked(x ↦ f(x + t), shifts)`` memoized on (f, shifts) — see shifted_trace."""
+def _shift_family_cached(f, shifts: tuple):
 	return stacked(lambda x, t: f(x + t), np.asarray(shifts))
+
+
+def _shift_family(f, shifts: tuple):
+	"""``stacked(x ↦ f(x + t), shifts)`` memoized on (f, shifts) — see shifted_trace.
+
+	Unhashable callables (objects defining ``__eq__`` without ``__hash__``) skip
+	the cache rather than raising; memoization is an optimization, not a contract.
+	"""
+	try:
+		return _shift_family_cached(f, shifts)
+	except TypeError:
+		return stacked(lambda x, t: f(x + t), np.asarray(shifts))
 
 
 def _slq(A, fun, deg: int, orth: int, fun_kwargs: Optional[dict] = None, **est_kwargs):
@@ -667,8 +680,13 @@ def weighted_trace(
 ):
 	"""Weighted trace ``tr(f(A) · B)`` by paired Girard-Hutchinson sampling.
 
-	Samples ``(Bv)ᵀ f(A) v`` with isotropic probes: unbiased for ANY ``B``
-	since ``E[vvᵀ] = I``. Covers Fisher/Gauss-Newton traces, weighted
+	Samples ``(Bv)† f(A) v`` with isotropic probes: unbiased for any REAL ``B``
+	since ``E[vvᵀ] = I``. For complex probes the bra is conjugated and the real
+	part taken (the package's quad-form convention), so the estimator targets
+	``Re tr(B† f(A))`` — identical to ``tr(f(A)B)`` when ``B`` is Hermitian, but
+	NOT for a complex non-Hermitian ``B`` (its imaginary part is silently
+	dropped). Pass Hermitian ``B`` in the complex case. Covers
+	Fisher/Gauss-Newton traces, weighted
 	diagonal sums (``B`` a vector → ``tr(f(A) diag(w)) = Σ wᵢ f(A)ᵢᵢ``), and
 	restricted traces (``B`` a projector). ``f(A)v`` is evaluated by the
 	Lanczos two-term approximation (`MatrixFunction.matvec`), so one sample
@@ -765,6 +783,7 @@ def suggest_probes(
 	seed=None,
 	fun_kwargs: Optional[dict] = None,
 	full: bool = False,
+	conservative: bool = True,
 	**kwargs,
 ):
 	"""How many probe vectors for a ``(1 ± eps)``-accurate trace, w.p. ``1 − eta``?
@@ -778,9 +797,14 @@ def suggest_probes(
 	  ``f(A)``. No matrix needed; wildly conservative in practice.
 	* ``method="clt"`` — a *measured* answer: run a ``pilot``-probe estimate,
 	  read the sample variance s² and running mean m̂ off its Welford state,
-	  and size ``nv = (z_{1−eta/2} · s / (eps·|m̂|))²`` so the CLT margin of
+	  and size ``nv = (z_{1−eta/2} · σ̄ / (eps·|m̂|))²`` so the CLT margin of
 	  error lands inside ``eps·|m̂|``. Typically orders of magnitude below the
 	  bound (the bound must cover the worst operator; the pilot sees *yours*).
+	  Because s² from a small pilot is itself noisy, σ̄² defaults to the χ²
+	  upper-confidence bound ``s²·(m−1)/χ²_{eta, m−1}`` (the largest true
+	  variance consistent with the pilot at level ``1 − eta``) rather than the
+	  point estimate — ``nv`` errs conservative instead of optimistic. Pass
+	  ``conservative=False`` for the raw point-estimate sizing.
 
 	``method="auto"`` measures when an operator is given, else falls back to
 	the bound. ``fun`` wraps ``A`` in a :class:`MatrixFunction` (``deg``,
@@ -814,14 +838,22 @@ def suggest_probes(
 	_, res = hutch(op, converge="count", count=pilot, batch=pilot, pdf=pdf, seed=seed, full=True, **kwargs)
 	est = float(np.asarray(res.estimator.estimate))
 	var = float(np.mean(np.diagonal(np.atleast_2d(np.asarray(res.estimator.converged_variance)))))
+	var_used = var
+	if conservative and var > 0.0 and np.isfinite(var):
+		# χ² upper-confidence bound: (m−1)s²/σ² ~ χ²_{m−1}, so with prob 1−eta
+		# the true σ² is at most s²·(m−1)/χ²_{eta, m−1}. Sizing from this bound
+		# keeps nv valid even when the pilot variance itself is an unlucky draw.
+		from scipy.stats import chi2
+
+		var_used = var * (pilot - 1) / float(chi2.ppf(eta, pilot - 1))
 	z, _ = clt_quantiles(1.0 - eta)
 	target = eps * abs(est)
 	if target == 0.0 or not np.isfinite(target):
 		nv = pilot  # degenerate pilot (zero/NaN mean): no relative target exists
 	else:
-		nv = int(np.ceil(z * z * var / (target * target)))
+		nv = int(np.ceil(z * z * var_used / (target * target)))
 	nv = max(nv, pilot)
-	info = {"method": "clt", "pilot": pilot, "estimate": est, "variance": var, "z": z}
+	info = {"method": "clt", "pilot": pilot, "estimate": est, "variance": var, "variance_bound": var_used, "z": z}
 	return (nv, info) if full else nv
 
 
@@ -866,3 +898,61 @@ def shifted_trace(
 	fam = _shift_family(f, tuple(float(t) for t in np.atleast_1d(np.asarray(shifts)).ravel()))
 	M = MatrixFunction(aslinop(A), fun=fam, deg=deg, orth=orth)
 	return hutch(M, **est_kwargs)
+
+
+def topk(A, k: int = 6, which: str = "LM", return_eigenvectors: bool = False, **eigsh_kwargs):
+	"""Rank-``k`` eigenspace projector ``P_A = V V†`` as a matrix-free operator.
+
+	The "topk" entry of the reference's matrix-function table
+	(``docs/src/table.qmd:18`` — "custom projection matrix" for dimensionality
+	reduction / feature extraction), shipped as a named recipe: the ``k``
+	extremal eigenvectors come from :func:`~primate_tpu.eigsh` and the
+	projector applies as two skinny GEMMs (never materialized).
+
+	``tr(P_A) = k`` exactly; ``P_A @ x`` is the best rank-``k`` spectral
+	approximation of ``x`` in the chosen eigenspace. ``which`` follows eigsh
+	("LM"/"LA"/"SA"/"BE"). With ``return_eigenvectors=True`` returns
+	``(P, eigenvalues, V)``.
+	"""
+	from .eigen import eigsh
+	from .operators import FunctionOperator
+
+	op = aslinop(A)
+	ew, V = eigsh(op, k=k, which=which, **eigsh_kwargs)
+	Vj = jnp.asarray(V)
+	proj = FunctionOperator(lambda X: Vj @ (jnp.conj(Vj).T @ X), op.shape, dtype=Vj.dtype, batched=True)
+	return (proj, ew, Vj) if return_eigenvectors else proj
+
+
+def pagerank(
+	A,
+	alpha: float = 0.85,
+	v: Optional[jnp.ndarray] = None,
+	rtol: float = 1e-8,
+	maxiter: Optional[int] = None,
+	**cg_kwargs,
+):
+	"""Resolvent apply ``x = (1−α)·(I − α·A)⁻¹ v`` — PageRank-style centrality.
+
+	The "pagerank" entry of the reference's table (``docs/src/table.qmd:21``,
+	"iterative solver"): for a SYMMETRIC normalized adjacency
+	``A = D^{-1/2} W D^{-1/2}`` (spectral radius ≤ 1), ``I − αA`` is positive
+	definite for ``α < 1`` and one :func:`~primate_tpu.cg` solve on the
+	operator pencil replaces the power iteration. ``v`` is the personalization
+	vector (uniform ``1/n`` by default); a ``(n, m)`` block of ``v``'s solves
+	all ``m`` centralities in one fused CG loop. Extra kwargs (``precond``,
+	``full``, ...) reach :func:`~primate_tpu.cg`.
+	"""
+	from .solvers import cg
+
+	op = aslinop(A)
+	n = op.shape[0]
+	assert 0.0 < alpha < 1.0, f"alpha must lie in (0, 1); got {alpha}"
+	if v is None:
+		v = jnp.full((n,), 1.0 / n, dtype=jnp.promote_types(op.dtype, jnp.float32))
+	# I − α·A as an operator pencil via the algebra (ScaledOperator + shift).
+	M = (op * (-float(alpha))) + 1.0
+	x = cg(M, jnp.asarray(v), rtol=rtol, maxiter=maxiter, **cg_kwargs)
+	if isinstance(x, tuple):  # full=True passes through (X, iterations, residuals)
+		return ((1.0 - alpha) * x[0],) + x[1:]
+	return (1.0 - alpha) * x

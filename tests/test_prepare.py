@@ -215,6 +215,22 @@ def test_gershgorin_interval_hermitian_and_rejects_implicit():
 		gershgorin_interval(fop)
 
 
+def test_gershgorin_interval_complex_hermitian_dia():
+	# Complex Hermitian banded operator: the DIA branch must take the real part
+	# of the diagonal band (it is real up to roundoff, but complex-typed).
+	from primate_tpu.operators.prepare import gershgorin_interval
+	from primate_tpu.operators.sparse import DIAOperator
+
+	n = 64
+	off = (0.3 + 0.4j) * np.ones(n - 1)
+	H = sps.diags([np.conj(off), 2.0 * np.ones(n).astype(complex), off], [-1, 0, 1]).tocsr()
+	op = DIAOperator.from_scipy(H)
+	lo, hi = gershgorin_interval(op)  # raised TypeError before the fix
+	ew = np.linalg.eigvalsh(H.toarray())
+	assert lo <= ew.min() and hi >= ew.max()
+	assert np.isclose(hi - 2.0, 2.0 - lo)  # symmetric enclosure around the diagonal
+
+
 def test_kpm_accepts_gershgorin_interval():
 	from primate_tpu.operators.sparse import DIAOperator
 

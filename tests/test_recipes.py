@@ -293,6 +293,22 @@ def test_suggest_probes_clt_sizes_to_target():
 	assert abs(float(np.asarray(res.estimator.estimate)) - ew.sum()) <= 3 * eps * ew.sum()
 
 
+def test_suggest_probes_chi2_bound_is_conservative():
+	"""The default χ² upper-confidence sizing always suggests at least as many
+	probes as the point-estimate sizing, converging as the pilot grows."""
+	rng = np.random.default_rng(29)
+	ew = rng.uniform(0.5, 2.0, 64)
+	A = pt.symmetric(64, pd=True, ew=ew, seed=31)
+	nv_c, info_c = pt.recipes.suggest_probes(A, eps=0.02, pilot=16, seed=37, full=True)
+	nv_p, info_p = pt.recipes.suggest_probes(A, eps=0.02, pilot=16, seed=37, full=True, conservative=False)
+	assert info_c["variance_bound"] > info_c["variance"]  # strict at m=16
+	assert info_p["variance_bound"] == info_p["variance"]
+	assert nv_c >= nv_p
+	# the inflation factor (m−1)/χ²_{eta,m−1} shrinks toward 1 with pilot size
+	_, info_big = pt.recipes.suggest_probes(A, eps=0.02, pilot=256, seed=37, full=True)
+	assert info_big["variance_bound"] / info_big["variance"] < info_c["variance_bound"] / info_c["variance"]
+
+
 def test_suggest_probes_matrix_function():
 	"""fun= wraps in MatrixFunction exactly as the trace recipes do."""
 	rng = np.random.default_rng(17)
@@ -323,6 +339,68 @@ def test_shifted_trace_shares_probes():
 	a = pt.recipes.shifted_trace(A, "log", shifts=[1.0, 2.0], deg=16, converge="count", count=64, seed=47)
 	b = pt.recipes.shifted_trace(A, "log", shifts=[1.0, 3.0], deg=16, converge="count", count=64, seed=47)
 	assert float(a[0]) == float(b[0])
+
+
+def test_shifted_trace_unhashable_callable():
+	"""An unhashable f (defines __eq__, no __hash__) skips the memo cache
+	instead of raising TypeError inside lru_cache."""
+
+	class SqrtLike:
+		def __eq__(self, other):
+			return self is other
+
+		__hash__ = None
+
+		def __call__(self, x):
+			return jnp.log(x)
+
+	ew = np.random.default_rng(5).uniform(0.5, 2.0, 48)
+	A = pt.symmetric(48, pd=True, ew=ew, seed=53)
+	curve = pt.recipes.shifted_trace(A, SqrtLike(), shifts=[0.0, 1.0], deg=20, orth=-1, converge="count", count=256, seed=5)
+	true = np.asarray([np.log(ew).sum(), np.log(ew + 1.0).sum()])
+	assert np.max(np.abs(np.asarray(curve) - true)) <= 0.05 * np.abs(true).max()
+
+
+def test_topk_projector():
+	"""topk: P is the top-k eigenspace projector — idempotent, trace k, and
+	P @ x matches the dense eigh-built projector (docs/src/table.qmd:18)."""
+	rng = np.random.default_rng(11)
+	ew = np.sort(rng.uniform(0.1, 1.0, 80))
+	ew[-3:] = [5.0, 6.0, 7.0]  # well-separated top eigenspace
+	A = np.asarray(pt.symmetric(80, ew=ew, seed=13))
+	P, vals, V = pt.recipes.topk(A, k=3, which="LM", return_eigenvectors=True, seed=17)
+	assert np.allclose(np.sort(vals), [5.0, 6.0, 7.0], atol=1e-4)
+	w, U = np.linalg.eigh(A)
+	Pd = U[:, -3:] @ U[:, -3:].T
+	x = rng.standard_normal(80)
+	assert np.allclose(np.asarray(P @ x), Pd @ x, atol=1e-4)
+	assert np.allclose(np.asarray(P @ (P @ x)), np.asarray(P @ x), atol=1e-5)  # idempotent
+	tr = float(np.trace(np.asarray(P @ np.eye(80))))
+	assert abs(tr - 3.0) < 1e-4
+
+
+def test_pagerank_resolvent():
+	"""pagerank: (1−α)(I − αA)⁻¹v on a symmetric normalized adjacency matches
+	the dense solve; block personalization solves all columns in one CG loop."""
+	rng = np.random.default_rng(19)
+	n = 60
+	W = sps.random(n, n, density=0.1, random_state=7, data_rvs=lambda s: rng.uniform(0.5, 1.0, s))
+	W = W + W.T
+	W.setdiag(0)
+	W.eliminate_zeros()
+	d = np.asarray(W.sum(axis=1)).ravel()
+	d[d == 0] = 1.0
+	Dinv = sps.diags(1.0 / np.sqrt(d))
+	A = (Dinv @ W @ Dinv).tocsr()
+	alpha = 0.85
+	x = np.asarray(pt.recipes.pagerank(A, alpha=alpha))
+	dense = np.linalg.solve(np.eye(n) - alpha * A.toarray(), np.full(n, 1.0 / n)) * (1 - alpha)
+	assert np.allclose(x, dense, atol=1e-6)
+	# block of personalization vectors
+	Vs = np.eye(n, 3)
+	Xb = np.asarray(pt.recipes.pagerank(A, alpha=alpha, v=jnp.asarray(Vs, jnp.float32)))
+	dense_b = np.linalg.solve(np.eye(n) - alpha * A.toarray(), Vs) * (1 - alpha)
+	assert np.allclose(Xb, dense_b, atol=1e-5)
 
 
 def test_effective_dim_curve_shares_sweeps():

@@ -12,6 +12,7 @@ out: β-coupled three-term recurrence, windowed re-orth, √n·rtol early exit.
 import ast
 from pathlib import Path
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -92,6 +93,31 @@ def test_fttr_weights_match_reference():
 	ref.fttr(theta, a, b_ref, n, w_ref)
 	w_ours = np.asarray(pt.fttr.fttr_weights(theta, a, b_ref, k=n))
 	assert np.allclose(w_ours, w_ref, atol=1e-10)
+
+
+def test_fttr_truncated_diverges_from_reference_consistently():
+	"""Documented divergence at k < len(alpha): the reference normalizes the k
+	retained nodes by polynomial mass at the FULL stored degree n = len(alpha)
+	(`fttr.py:22,27`), which is inconsistent with the degree-k rule the nodes
+	define. Ours truncates the Jacobi coefficients to k — matching the GW
+	weights of the leading k×k Jacobi matrix, while the reference does not."""
+	ref = _load_reference_module("fttr")
+	rng = np.random.default_rng(5)
+	ew = np.sort(rng.uniform(0.2, 2.0, 64))
+	A = np.asarray(pt.symmetric(64, ew=ew, seed=7), dtype=np.float64)
+	a, b = pt.lanczos(A, deg=12, orth=-1, seed=8)
+	a = np.asarray(a, np.float64)
+	b_ref = np.concatenate([[0.0], np.asarray(b, np.float64)])
+	k = 5
+	# nodes of the degree-k rule = eigenvalues of the leading k×k Jacobi matrix
+	Tk = np.diag(a[:k]) + np.diag(b_ref[1:k], 1) + np.diag(b_ref[1:k], -1)
+	theta_k, Yk = np.linalg.eigh(Tk)
+	w_ref = np.zeros(k)
+	ref.fttr(theta_k, a, b_ref, k, w_ref)
+	w_ours = np.asarray(pt.fttr.fttr(jnp.asarray(theta_k), jnp.asarray(a), jnp.asarray(b_ref), k))
+	w_gw = Yk[0] ** 2  # ground truth for the degree-k Gauss rule
+	assert np.allclose(np.sort(w_ours), np.sort(w_gw), atol=1e-10)  # ours = consistent rule
+	assert not np.allclose(np.sort(w_ref), np.sort(w_gw), atol=1e-6)  # reference diverges
 
 
 def test_tqli_eigenvalues_match_reference():
