@@ -50,11 +50,17 @@ def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
 	return EstSnapshot(n=c.mean.n, estimate=c.mean.mu, delta=c.delta, var=var, values=None)
 
 
-@partial(jax.jit, static_argnames=("n", "pdf", "maxiter", "nout"))
-def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter: int, nout: int = 1):
+@partial(jax.jit, static_argnames=("n", "pdf", "maxiter", "nout", "batch"))
+def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter: int, nout: int = 1, batch: int = 1):
 	"""Fused ratio-normalized diagonal loop; ``nout > 1`` when the operator's
 	matvec is STACKED (e.g. a MatrixFunction with a `special.stacked` family —
 	diag(f_t(A)) for every t from ONE Lanczos sweep per probe).
+
+	``batch > 1`` merges that many probes per loop iteration: one ``(n, batch)``
+	SpMM instead of ``batch`` bandwidth-starved single-column matvecs — the same
+	probe-blocking `hutch(batch=...)` does (the reference's serial loop,
+	`diagonal.py:71-78`, is the 1-probe special case). The ratio accumulators
+	sum over the probe block before one mean update per iteration.
 
 	``init_carry`` resumes from a prior run's final state: probes are keyed by
 	iteration index, so a resumed run continues the same sample stream
@@ -81,21 +87,36 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 
 	def body(c):
 		k = jax.random.fold_in(key, c.it)
-		v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=sample_dtype)[:, 0]
-		va = v.astype(dtype)
-		u = A.matvec(va) if hasattr(A, "matvec") else (A @ va)  # (n,) or (nout, n)
-		if is_cplx:
-			# Per-entry Re(conj(v) ∘ Av): the ratio estimator of the (real)
-			# Hermitian diagonal for real OR phase probes alike.
-			u = jnp.real(jnp.conj(va) * u).astype(acc)
-			numer = c.numer + u.reshape(-1)
-			v = jnp.real(jnp.conj(va) * va).astype(acc)  # |v|² (≡ v∘v for real probes)
-			denom = c.denom + v
+		if batch == 1:
+			# Single-probe path: operators with a true 1-D apply (DIA stencils)
+			# avoid padding the lone column to 128 lanes.
+			v = sample_isotropic(k, (n, 1), pdf=pdf, dtype=sample_dtype)[:, 0]
+			va = v.astype(dtype)
+			u = A.matvec(va) if hasattr(A, "matvec") else (A @ va)  # (n,) or (nout, n)
+			if is_cplx:
+				# Per-entry Re(conj(v) ∘ Av): the ratio estimator of the (real)
+				# Hermitian diagonal for real OR phase probes alike.
+				u = jnp.real(jnp.conj(va) * u).astype(acc)
+				numer = c.numer + u.reshape(-1)
+				v = jnp.real(jnp.conj(va) * va).astype(acc)  # |v|² (≡ v∘v for real probes)
+				denom = c.denom + v
+			else:
+				u = u.astype(acc)
+				v = v.astype(acc)
+				numer = c.numer + (u * v).reshape(-1)
+				denom = c.denom + v * v
 		else:
-			u = u.astype(acc)
-			v = v.astype(acc)
-			numer = c.numer + (u * v).reshape(-1)
-			denom = c.denom + v * v
+			V = sample_isotropic(k, (n, batch), pdf=pdf, dtype=sample_dtype)
+			Va = V.astype(dtype)
+			U = A.matmat(Va) if hasattr(A, "matmat") else (A @ Va)  # (..., n, batch)
+			if is_cplx:
+				numer = c.numer + jnp.real(jnp.conj(Va) * U).astype(acc).sum(-1).reshape(-1)
+				denom = c.denom + jnp.real(jnp.conj(Va) * Va).astype(acc).sum(-1)
+			else:
+				U = U.astype(acc)
+				V = V.astype(acc)
+				numer = c.numer + (U * V).sum(-1).reshape(-1)
+				denom = c.denom + (V * V).sum(-1)
 		safe = jnp.where(denom == 0, 1.0, denom)
 		est = (numer.reshape(nout, n) / safe).reshape(-1)
 		new_mean = mean_update(c.mean, est[None, :])
@@ -117,6 +138,7 @@ def diag(
 	record: bool = False,
 	maxiter: int = 4096,
 	resume=None,
+	batch: int = 1,
 	**kwargs,
 ) -> Union[np.ndarray, tuple]:
 	r"""Estimate ``diag(A)`` via the ratio-normalized Girard-Hutchinson estimator.
@@ -126,11 +148,18 @@ def diag(
 	variance. Default stop: the dim-N tolerance criterion on the mean update.
 	Parity: reference `diagonal.py:11-92`.
 
+	``batch`` merges that many probes into ONE ``(n, batch)`` operator block per
+	loop iteration (one SpMM feeding the MXU/bandwidth instead of ``batch``
+	single-column matvecs — at 1M+ rows a lone column is bandwidth-starved).
+	The default 1 keeps reference parity (the reference draws one probe per
+	iteration, `diagonal.py:71-78`); ``maxiter`` and the criterion both count
+	*iterations*, so the probe budget is ``batch × iterations``.
+
 	``resume`` continues a previous run exactly (SURVEY §5.4): pass the
 	``result.info["state"]`` dict of an earlier ``full=True`` call made with the
-	SAME ``A``/``seed``/``pdf`` — probes are keyed by iteration index, so
-	resuming to a larger budget is bit-identical to one uninterrupted run. The
-	state is a small pytree of arrays; persist it with
+	SAME ``A``/``seed``/``pdf``/``batch`` — probes are keyed by iteration index,
+	so resuming to a larger budget is bit-identical to one uninterrupted run.
+	The state is a small pytree of arrays; persist it with
 	:func:`primate_tpu.utils.checkpoint.save_pytree`.
 	"""
 	is_valid_operator(A)
@@ -181,8 +210,9 @@ def diag(
 			m2=jnp.asarray(st["m2"], acc),
 		)
 
+	batch = max(1, int(batch))
 	if callback is None and not record and is_jittable_criterion(criterion) and pdf_kind != "size":
-		carry = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout)
+		carry = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout, batch=batch)
 		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
 		estimate = np.asarray(carry.mean.mu).reshape(stack_shape + (N,))
@@ -222,17 +252,24 @@ def diag(
 		if pdf_kind == "size":
 			# Reference semantics (`diagonal.py:71-78`): stateful closure draws
 			# on host; the matvec runs on device.
-			v = jnp.asarray(np.asarray(pdf(size=(N,))).reshape(N), dtype=sample_dtype)
+			draw = np.asarray(pdf(size=(N, batch) if batch > 1 else (N,)))
+			V = jnp.asarray(draw.reshape(N, batch), dtype=sample_dtype)
 		else:
-			v = sample_isotropic(jax.random.fold_in(key, it), (N, 1), pdf=pdf, dtype=sample_dtype)[:, 0]
-		va = v.astype(op.dtype)
-		u = op.matvec(va) if hasattr(op, "matvec") else op @ va
+			V = sample_isotropic(jax.random.fold_in(key, it), (N, batch), pdf=pdf, dtype=sample_dtype)
+		if batch == 1:
+			v, va = V[:, 0], V[:, 0].astype(op.dtype)
+			u = op.matvec(va) if hasattr(op, "matvec") else op @ va
+		else:
+			v, va = V, V.astype(op.dtype)
+			u = op.matmat(va) if hasattr(op, "matmat") else op @ va  # (..., N, batch)
 		if is_cplx:
-			numer = numer + jnp.real(jnp.conj(va) * u).reshape(-1)
-			denom = denom + jnp.real(jnp.conj(va) * va)
+			nu, de = jnp.real(jnp.conj(va) * u), jnp.real(jnp.conj(va) * va)
 		else:
-			numer = numer + (u * v).reshape(-1)
-			denom = denom + v * v
+			nu, de = u * v, v * v
+		if batch > 1:
+			nu, de = nu.sum(-1), de.sum(-1)
+		numer = numer + nu.reshape(-1)
+		denom = denom + de
 		# Guarded divide, mirroring the fused path: a probe coordinate that has
 		# only drawn zeros so far (possible with callable pdfs) must not inject
 		# NaN into the running mean.

@@ -37,6 +37,58 @@ def test_diag_callback_path_matches_fused():
 	assert np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-10)
 
 
+def test_diag_batch_matches_truth_and_budget():
+	"""batch>1 merges probes per iteration: same accuracy per PROBE budget,
+	criterion/maxiter count iterations (VERDICT r2 item 4)."""
+	rng = np.random.default_rng(21)
+	n = 64
+	A = pt.symmetric(n, pd=True, seed=rng)
+	d_true = np.diag(np.asarray(A))
+	d, info = pt.diag(A, seed=5, converge="count", count=16, batch=32, full=True)
+	assert info.nit == 16  # iterations, not probes
+	# 16 iterations × 32 probes = 512 probes worth of accuracy
+	err_b = np.abs(np.asarray(d) - d_true).max()
+	d1, info1 = pt.diag(A, seed=5, converge="count", count=16, batch=1, full=True)
+	err_1 = np.abs(np.asarray(d1) - d_true).max()
+	assert err_b < err_1  # 32× probes at the same iteration count
+	assert err_b < 0.35
+
+
+def test_diag_batch_host_path_matches_fused():
+	"""The callback (host-stepped) path reproduces the fused batch path exactly."""
+	A = pt.symmetric(24, pd=True, seed=3)
+	d1 = pt.diag(A, seed=9, converge="count", count=8, batch=4)
+	calls = []
+	d2 = pt.diag(A, seed=9, converge="count", count=8, batch=4, callback=lambda r: calls.append(r.nit))
+	assert calls and np.allclose(np.asarray(d1), np.asarray(d2), atol=1e-10)
+
+
+def test_diag_batch_resume_bit_exact():
+	"""Resume with the same batch continues the identical probe stream."""
+	A = pt.symmetric(32, pd=True, seed=11)
+	d_full, r_full = pt.diag(A, seed=13, converge="count", count=12, batch=8, full=True)
+	d_half, r_half = pt.diag(A, seed=13, converge="count", count=6, batch=8, full=True)
+	d_res, r_res = pt.diag(A, seed=13, converge="count", count=12, batch=8, full=True, resume=r_half)
+	assert r_res.nit == r_full.nit
+	assert np.array_equal(np.asarray(d_res), np.asarray(d_full))
+
+
+def test_diag_batch_stacked_family():
+	"""Stacked MatrixFunction + batch: every family member's diagonal from the
+	shared sweeps, probes blocked per iteration."""
+	rng = np.random.default_rng(31)
+	ew = rng.uniform(0.5, 2.0, 48)
+	A = pt.symmetric(48, pd=True, ew=ew, seed=33)
+	fam = pt.special.stacked(lambda x, t: jnp.exp(t * x), np.asarray([-1.0, -2.0]))
+	M = pt.MatrixFunction(A, fun=fam, deg=24, orth=-1)
+	d = pt.diag(M, seed=35, converge="count", count=24, batch=16)
+	assert np.asarray(d).shape == (2, 48)
+	w, U = np.linalg.eigh(np.asarray(A))
+	for i, t in enumerate([-1.0, -2.0]):
+		d_true = np.einsum("ij,j,ij->i", U, np.exp(t * w), U)
+		assert np.abs(np.asarray(d)[i] - d_true).max() < 0.2, f"t={t}"
+
+
 def test_xdiag_error_decreases_with_budget():
 	"""Convergence-rate regression: OLS slope of log-error vs log-budget < -0.10
 	(reference `tests/test_diagonal.py:15-34`)."""
