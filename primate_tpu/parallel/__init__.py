@@ -15,6 +15,7 @@ parallelism axes instead:
 
 from .mesh import make_mesh, mesh_devices, initialize_distributed
 from .sharded import (
+	ShardedCSROperator,
 	ShardedDenseOperator,
 	ShardedBSROperator,
 	ShardedDIAOperator,
@@ -26,6 +27,7 @@ __all__ = [
 	"make_mesh",
 	"mesh_devices",
 	"initialize_distributed",
+	"ShardedCSROperator",
 	"ShardedDenseOperator",
 	"ShardedBSROperator",
 	"ShardedDIAOperator",
