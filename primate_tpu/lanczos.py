@@ -71,7 +71,7 @@ def _validate_params(n: int, deg: int, orth: int, ncv: Optional[int], return_bas
 	return deg, orth, ncv
 
 
-@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype", "selective"))
+@partial(jax.jit, static_argnames=("deg", "ncv", "orth", "reorth_passes", "return_basis", "basis_dtype", "selective", "phys"))
 def lanczos_block_op(
 	op,
 	V0: jnp.ndarray,
@@ -84,6 +84,7 @@ def lanczos_block_op(
 	coeffs: Optional[jnp.ndarray] = None,
 	basis_dtype=None,
 	selective: bool = False,
+	phys: Optional[bool] = None,
 ) -> LanczosOutput:
 	"""`lanczos_block` with the operator as a PYTREE argument.
 
@@ -92,7 +93,41 @@ def lanczos_block_op(
 	same shape re-uses it. The callable-based `lanczos_block` keys on the
 	callable's identity — a bound method pins the cache to one instance and
 	bakes its arrays into the executable as constants.
+
+	``phys`` controls the halo-padded probe-major carry for operators that
+	advertise one (`DIAOperator.phys_spec`): the whole sweep state lives in the
+	Pallas stencil kernel's native layout, so consecutive applications chain
+	with ZERO per-step repacking. The kernel beats XLA's stencil in an isolated
+	dependent chain (1.47×/1.83×/2.36× at 3/5/9 diagonals, 64×500k f32 on v5e)
+	— but INSIDE the sweep XLA fuses the stencil with the β-axpy and the α
+	reduction, which a pallas_call cannot join, so end-to-end the two paths
+	measure within ±2% (see benchmarks/RESULTS.md). Default is therefore the
+	fused XLA path; ``phys`` engages on an explicit ``use_pallas=True``
+	operator or ``phys=True`` (interpreter off-TPU — for tests). Zeros in the
+	padding lanes are invariant under the recurrence, so (α, β) match the flat
+	layout to roundoff (reductions see extra zero lanes).
 	"""
+	n, nv = V0.shape
+	spec = None
+	engage = (phys is True) or (phys is None and getattr(op, "use_pallas", None) is True)
+	if engage and hasattr(op, "phys_spec"):
+		interpret = bool(phys) and jax.default_backend() != "tpu"
+		spec = op.phys_spec(nv, interpret=interpret)
+	if spec is not None:
+		from functools import partial as _partial
+
+		n_phys, lo = spec
+		V0p = jnp.zeros((n_phys, nv), V0.dtype).at[lo : lo + n].set(V0)
+		out = _lanczos_core(
+			op.matmat, V0p, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
+			return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
+			matmat_t=_partial(op.matmat_t_phys, interpret=interpret), selective=selective,
+			residual_n=n,
+		)
+		return out._replace(
+			Q=out.Q[:, lo : lo + n, :] if out.Q is not None else None,
+			y=out.y[..., lo : lo + n, :] if out.y is not None else None,
+		)
 	return _lanczos_core(
 		op.matmat, V0, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
 		return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
@@ -173,6 +208,7 @@ def _lanczos_core(
 	basis_dtype=None,
 	matmat_t: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 	selective: bool = False,
+	residual_n: Optional[int] = None,
 ) -> LanczosOutput:
 	n, nv = V0.shape
 	dtype = V0.dtype
@@ -206,7 +242,9 @@ def _lanczos_core(
 	else:
 		norm0 = jnp.sqrt(jnp.sum(V0t.astype(acc_dtype) ** 2, axis=1))
 	q0 = (V0t / jnp.where(norm0 > 0, norm0, 1)[:, None].astype(dtype)).astype(dtype)
-	residual_tol = jnp.sqrt(jnp.asarray(n, r_dtype)) * jnp.asarray(rtol, r_dtype)
+	# √n early-exit scale uses the LOGICAL dimension when the carry is padded
+	# (zeros in the padding lanes contribute nothing to any norm).
+	residual_tol = jnp.sqrt(jnp.asarray(residual_n if residual_n is not None else n, r_dtype)) * jnp.asarray(rtol, r_dtype)
 
 	Q_win = jnp.zeros((ncv, nv, n), b_dtype).at[0].set(q0.astype(b_dtype)) if keep_window else jnp.zeros((0,), b_dtype)
 	# coeffs (deg, nv) — or (deg, ..., nv) for a STACKED family of expansions
@@ -218,7 +256,7 @@ def _lanczos_core(
 	# where max|ω| crosses √eps — long stretches of a well-behaved sweep skip
 	# the window traffic entirely. (The reference has no analog: its C++ loop
 	# re-orthogonalizes unconditionally, `lanczos.h:132-136`.)
-	eps_noise = jnp.asarray(float(jnp.finfo(r_dtype).eps) * np.sqrt(n), r_dtype)
+	eps_noise = jnp.asarray(float(jnp.finfo(r_dtype).eps) * np.sqrt(residual_n if residual_n is not None else n), r_dtype)
 	sel_tol = jnp.sqrt(jnp.asarray(float(jnp.finfo(r_dtype).eps), r_dtype))
 	om0 = jnp.zeros((nv, ncv), r_dtype).at[:, 0].set(1.0) if selective else jnp.zeros((0,), r_dtype)
 	sel0 = (
@@ -228,6 +266,11 @@ def _lanczos_core(
 		jnp.zeros((nv, ncv), r_dtype),  # β_t per slot (coupling q_{t-1}→q_t)
 		jnp.asarray(False),  # force: a breach last step → clean this step too
 	) if selective else ()
+	# (A deferred-normalization carry — (v, β) with q = v/β recomputed in
+	# consumer fusions — was prototyped and measured NEUTRAL on v5e: XLA
+	# materializes the shared q subexpression anyway since three fusions
+	# consume it, so the explicit divide pass below costs the same and keeps
+	# the code simpler and bit-stable.)
 	carry0 = (
 		jnp.zeros((nv, n), dtype),  # q_prev
 		q0,  # q_cur

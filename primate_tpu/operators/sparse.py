@@ -485,6 +485,56 @@ class DIAOperator(LinearOperator):
 			out = out + self.bands[k, None, :].astype(acc) * Vp[:, moff + off : moff + off + n]
 		return out.astype(self.dtype)
 
+	# -- physical (halo-padded) probe-major layout --------------------------
+	# Krylov sweeps apply the stencil to the SAME block shape deg times; the
+	# Pallas kernel's per-call halo pad/unpad used to erase its measured win
+	# (round-2). `phys_spec`/`matmat_t_phys` let the Lanczos carry hold the
+	# kernel's native layout — (nv, HALO + round_up(n, TILE) + HALO) with zeros
+	# outside the logical lanes — so consecutive applications chain with no
+	# repack. Measured on v5e (64×500k f32, 100-step dependent chain): the
+	# kernel beats the isolated XLA stencil 1.47×/1.83×/2.36× at 3/5/9
+	# diagonals (it streams V once; XLA's shift DAG pays per-diagonal copies).
+	# Inside the full Lanczos sweep, however, XLA fuses its stencil with the
+	# β-axpy and α-reduction of the recurrence — a fusion a pallas_call cannot
+	# join — and the two paths land within ±2% end-to-end, so the sweep
+	# engages this path only on an explicit `use_pallas=True` opt-in
+	# (see benchmarks/RESULTS.md round-3 notes).
+
+	def phys_spec(self, nv: int, interpret: bool = False) -> Optional[Tuple[int, int]]:
+		"""``(n_phys, lo)`` when the padded-layout stencil path applies, else None.
+
+		Eligible: real dtype, |offset| ≤ the kernel's 128-lane halo, probe
+		count sublane-aligned, TPU backend (or ``interpret=True`` for tests),
+		and ``use_pallas`` not explicitly False.
+		"""
+		from ..ops.dia_pallas import HALO, LANE_TILE
+
+		moff = max((abs(o) for o in self.offsets), default=0)
+		eligible = (
+			self.use_pallas is not False
+			and (jax.default_backend() == "tpu" or interpret)
+			and moff <= HALO
+			and nv % 8 == 0
+			and jnp.dtype(self.dtype).kind != "c"
+		)
+		if not eligible:
+			return None
+		n_dom = -(-self.shape[0] // LANE_TILE) * LANE_TILE
+		return (n_dom + 2 * HALO, HALO)
+
+	def matmat_t_phys(self, Xphys: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+		"""Stencil apply in the physical layout (see `phys_spec`) — same padded
+		shape in and out, zero margins preserved."""
+		from ..ops.dia_pallas import HALO, LANE_TILE, dia_matmat_t_phys
+
+		n = self.shape[0]
+		n_dom = -(-n // LANE_TILE) * LANE_TILE
+		bands = self.bands
+		if n_dom != n:
+			# Loop-invariant under scan: XLA hoists this pad out of the sweep.
+			bands = jnp.pad(bands, ((0, 0), (0, n_dom - n)))
+		return dia_matmat_t_phys(bands, Xphys, self.offsets, interpret=interpret)
+
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		# Aᵀ has band'_{-d}[i] = band_d[i - d]; estimation targets are
 		# symmetric so the default is rarely exercised — keep it exact anyway.
