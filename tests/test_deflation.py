@@ -1,6 +1,7 @@
 """DeflatedOperator + deflated_trace: eigenvector deflation for variance reduction."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import primate_tpu as pt
@@ -39,6 +40,7 @@ def test_deflated_trace_identity_exact_split():
 	assert abs(est - ew.sum()) < 10 / np.sqrt(n)
 
 
+@pytest.mark.slow
 def test_deflated_trace_variance_reduction():
 	"""Deflating the spikes must shrink the seed-to-seed spread vs plain hutch."""
 	A, ew = _spiky()

@@ -5,6 +5,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration sweeps; CI runs these in the dedicated slow job
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -18,7 +22,8 @@ def _run(code: str) -> None:
 def test_gp_example_one_step():
 	_run(
 		"""
-import numpy as np, jax, jax.numpy as jnp
+import numpy as np
+import pytest, jax, jax.numpy as jnp
 import primate_tpu as pt
 from examples.gp_log_likelihood import make_kernel, neg_log_likelihood
 n, d = 64, 2
@@ -78,6 +83,7 @@ import numpy as np
 from examples.tight_binding import hofstadter_hamiltonian
 import primate_tpu as pt
 from primate_tpu.operators.sparse import CSROperator
+
 H = hofstadter_hamiltonian(12, 12, alpha=0.2)
 op = CSROperator.from_scipy(H)
 assert np.dtype(op.dtype).kind == "c"  # complex64 under default-x32, complex128 under x64

@@ -14,6 +14,8 @@ from primate_tpu.operators import AffineOperator, DenseOperator, FunctionOperato
 from primate_tpu.operators.sparse import BSROperator, COOOperator, CSROperator, DIAOperator, GramOperator
 from primate_tpu.solvers import solve
 
+pytestmark = pytest.mark.slow  # integration sweeps; CI runs these in the dedicated slow job
+
 N = 48
 
 

@@ -177,6 +177,7 @@ def test_matrix_function_on_sharded(mesh8):
 	assert abs(est - true_logdet) / abs(true_logdet) < 0.05
 
 
+@pytest.mark.slow
 def test_all_estimators_on_sharded(mesh8):
 	"""hutchpp / xtrace / diag / xdiag / cg all run on a sharded operator."""
 	from primate_tpu.operators.sparse import DIAOperator

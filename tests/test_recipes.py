@@ -240,6 +240,7 @@ def test_weighted_trace_diagonal_weights():
 	assert abs(est - true) / abs(true) < 0.1
 
 
+@pytest.mark.slow
 def test_suggest_degree_converges_and_is_monotone():
 	rng = np.random.default_rng(21)
 	n = 300

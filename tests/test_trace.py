@@ -88,6 +88,7 @@ def test_xtrace_exact_at_full_rank(pdf):
 
 
 @pytest.mark.parametrize("batch", [1, 7, 25, 50])
+@pytest.mark.slow
 def test_xtrace_batch_sizes(batch):
 	A, tr, rng = _fixture(n=40)
 	est = pt.xtrace(A, batch=batch, seed=rng)  # default pdf is sphere → exact
