@@ -22,7 +22,6 @@ reference code is copied into the repo) and is reused across runs.
 over Eigen sparse matvecs — for bench.py's honest ``vs_baseline`` denominator.
 """
 
-import ctypes  # noqa: F401  (documents the binding class; import kept for parity with ref_baseline)
 import glob
 import os
 import shutil

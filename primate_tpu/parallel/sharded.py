@@ -535,11 +535,15 @@ def _partition_csr_host(
 		ell_data = np.zeros((ndev, rpd, L), data.dtype)
 		ell_idx = np.zeros((ndev, rpd, L), np.int32)
 		for d, (rb, cb, vb) in enumerate(dev):
-			slot = np.zeros(rpd, np.int64)
-			for r, c, v in zip(rb, cb, vb):  # rows arrive sorted; O(nnz_local)
-				ell_data[d, r, slot[r]] = v
-				ell_idx[d, r, slot[r]] = c
-				slot[r] += 1
+			if not rb.size:
+				continue
+			# Vectorized slot assignment: rows arrive sorted (CSR order), so
+			# the within-row slot is the global index minus the row's first
+			# occurrence — no Python per-nonzero loop.
+			first = np.searchsorted(rb, np.arange(rpd))
+			slots = np.arange(rb.size) - first[rb]
+			ell_data[d, rb, slots] = vb
+			ell_idx[d, rb, slots] = cb
 	return st_data, st_cols, st_rows, ell_data, ell_idx, rpd, halo_ok
 
 

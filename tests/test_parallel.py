@@ -412,3 +412,28 @@ def test_eigensolvers_on_sharded_operator(mesh8):
 	wf, Vf = pt.filtered_eigsh(op, (2.5, 2.7), seed=2)
 	assert len(wf) == int(np.count_nonzero(sl))
 	assert np.abs(np.sort(wf) - lam[sl]).max() < 1e-8
+
+
+@pytest.mark.slow
+def test_scaling_harness_smoke():
+	"""benchmarks/scaling.py's child program runs at a tiny shape (2 devices)
+	and reports a sane wall + estimate — keeps the harness from rotting."""
+	import json
+	import subprocess
+	import sys
+	from pathlib import Path
+
+	from benchmarks.scaling import _CHILD
+
+	repo = str(Path(__file__).resolve().parent.parent)
+	r = subprocess.run(
+		[sys.executable, "-c", _CHILD, "2", "4096"],
+		capture_output=True,
+		text=True,
+		timeout=300,
+		cwd=repo,
+	)
+	assert r.returncode == 0, r.stderr[-1500:]
+	rec = json.loads(r.stdout.strip().splitlines()[-1])
+	assert rec["ndev"] == 2 and rec["rows"] == 4096
+	assert rec["wall_s"] > 0 and rec["rel_err"] < 1e-2
