@@ -198,6 +198,11 @@ def diag(
 	init_carry = None
 	if resume is not None:
 		st = resume.info["state"] if isinstance(resume, EstimatorResult) else resume
+		if "batch" in st and int(st["batch"]) != max(1, int(batch)):
+			raise ValueError(
+				f"resume state was built with batch={st['batch']} but this call uses batch={batch}; "
+				"probes are keyed by iteration index, so bit-identical resumption requires the same batch."
+			)
 		acc = real_dtype(jnp.promote_types(op.dtype, jnp.float32))  # estimator state is real even for Hermitian ops
 		mean = MeanState(n=jnp.asarray(st["mean"].n, jnp.int32), mu=jnp.asarray(st["mean"].mu, acc))
 		assert mean.mu.shape[0] == nout * N, f"resume state dim {mean.mu.shape[0]} != {nout * N}"
@@ -216,7 +221,7 @@ def diag(
 		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
 		estimate = np.asarray(carry.mean.mu).reshape(stack_shape + (N,))
-		state = {"numer": np.asarray(carry.numer), "denom": np.asarray(carry.denom), "mean": carry.mean, "m2": np.asarray(carry.m2)}
+		state = {"numer": np.asarray(carry.numer), "denom": np.asarray(carry.denom), "mean": carry.mean, "m2": np.asarray(carry.m2), "batch": batch}
 		if not full:
 			return estimate
 		result = EstimatorResult(
@@ -292,6 +297,7 @@ def diag(
 	result.nit = estimator.n_samples
 	result.message = getattr(criterion, "message", lambda e: "")(estimator)
 	result.info["state"] = {
+		"batch": batch,
 		"numer": np.asarray(numer),
 		"denom": np.asarray(denom),
 		"mean": estimator._moments._state,

@@ -113,6 +113,15 @@ def lanczos_block_op(
 	if engage and hasattr(op, "phys_spec"):
 		interpret = bool(phys) and jax.default_backend() != "tpu"
 		spec = op.phys_spec(nv, interpret=interpret)
+	if phys is True and spec is None:
+		import warnings
+
+		warnings.warn(
+			"phys=True requested but the operator is ineligible for the padded-"
+			"carry kernel path (needs phys_spec: real dtype, |offset| <= 128, "
+			"nv % 8 == 0) — running the flat XLA sweep instead.",
+			stacklevel=2,
+		)
 	if spec is not None:
 		from functools import partial as _partial
 

@@ -503,16 +503,20 @@ def _partition_csr_host(
 	"""
 	n = len(indptr) - 1
 	counts = np.diff(indptr)
-	rowids = np.repeat(np.arange(n), counts)
 	rpd = -(-n // ndev)
 	nnz = int(data.shape[0])
+	if nnz and int(indices.max()) >= n_cols:
+		raise ValueError(f"CSR column index {int(indices.max())} out of range for {n_cols} columns")
 
 	halo_ok = True
 	dev = []
 	for d in range(ndev):
-		lo, hi = d * rpd, (d + 1) * rpd
-		sel = (rowids >= lo) & (rowids < hi)
-		rb, cb, vb = rowids[sel] - lo, indices[sel], data[sel]
+		lo, hi = d * rpd, min((d + 1) * rpd, n)
+		# Rows are split into CONTIGUOUS chunks, so each device's nonzeros are
+		# one indptr slice — no O(nnz) masks or a global rowids array.
+		a, b = (int(indptr[lo]), int(indptr[hi])) if lo < n else (nnz, nnz)
+		rb = np.repeat(np.arange(lo, hi) - lo, counts[lo:hi]) if lo < n else np.zeros(0, np.int64)
+		cb, vb = indices[a:b], data[a:b]
 		if halo_col and cb.size:
 			halo_ok &= bool(np.all((cb >= (d - 1) * rpd) & (cb < (d + 2) * rpd)))
 		dev.append((rb, cb, vb))
@@ -610,8 +614,16 @@ class ShardedCSROperator(LinearOperator):
 		probe_axis: Optional[str] = None,
 		comm: str = "auto",
 		dtype=None,
+		use_pallas: Optional[bool] = None,
 	) -> "ShardedCSROperator":
-		"""Partition a CSR operator / scipy sparse matrix across ``mesh[op_axis]``."""
+		"""Partition a CSR operator / scipy sparse matrix across ``mesh[op_axis]``.
+
+		``use_pallas`` is accepted for signature compatibility with the BSR/DIA
+		sharding paths (so ``shard_operator(..., use_pallas=...)`` keeps working
+		when the input routes here) and is ignored: the CSR local kernels
+		(ELL gather / sorted segment_sum) have no Pallas variant.
+		"""
+		del use_pallas
 		if isinstance(A, CSROperator):
 			data, indices, indptr, shape = np.asarray(A.data), np.asarray(A.indices), np.asarray(A.indptr), A.shape
 		else:
@@ -623,6 +635,10 @@ class ShardedCSROperator(LinearOperator):
 			data = np.asarray(data, dtype)
 		ndev = mesh.shape[op_axis]
 
+		if comm == "halo" and shape[0] != shape[1]:
+			# Match ShardedBSROperator: an explicit halo request on an
+			# ineligible operator is an error, never a silent downgrade.
+			raise ValueError("comm='halo' requires a square operator; use comm='allgather'.")
 		want_halo = comm in ("auto", "halo") and shape[0] == shape[1]
 		st_data, st_cols, st_rows, ell_d, ell_i, rpd, halo_ok = _partition_csr_host(
 			data, indices, indptr, shape[1], ndev, halo_col=want_halo

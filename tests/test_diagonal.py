@@ -211,3 +211,14 @@ def test_diag_sketchers_reject_stacked():
 	for fn in (pt.diagpp, pt.xdiag):
 		with pytest.raises(NotImplementedError, match="stacked"):
 			fn(M, seed=0)
+
+
+def test_diag_resume_rejects_batch_mismatch():
+	"""Review r3: resuming with a different batch breaks the bit-identical
+	probe-stream guarantee — rejected with a clear error."""
+	import pytest
+
+	A = pt.symmetric(32, pd=True, seed=11)
+	_, r_half = pt.diag(A, seed=13, converge="count", count=6, batch=8, full=True)
+	with pytest.raises(ValueError, match="batch"):
+		pt.diag(A, seed=13, converge="count", count=12, batch=4, full=True, resume=r_half)

@@ -139,3 +139,24 @@ def test_lanczos_phys_opt_in_via_use_pallas():
 
 	out = lanczos_block_op(op, jnp.asarray(np.random.default_rng(1).normal(size=(n, 8)).astype(np.float32)), deg=8, ncv=8, orth=2)
 	assert out.alphas.shape == (8, 8)
+
+
+def test_lanczos_phys_true_warns_when_ineligible():
+	"""Review r3: explicit phys=True on an ineligible sweep (nv % 8 != 0) warns
+	instead of silently running the flat path."""
+	import warnings
+
+	import scipy.sparse as sps
+
+	from primate_tpu.lanczos import lanczos_block_op
+	from primate_tpu.operators.sparse import DIAOperator
+
+	n = 256
+	L = sps.diags([-np.ones(n - 1), 3.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	op = DIAOperator.from_scipy(L, dtype=jnp.float32)
+	V0 = jnp.asarray(np.random.default_rng(0).normal(size=(n, 5)).astype(np.float32))  # 5 % 8 != 0
+	with warnings.catch_warnings(record=True) as w:
+		warnings.simplefilter("always")
+		out = lanczos_block_op(op, V0, deg=8, ncv=8, orth=2, phys=True)
+	assert out.alphas.shape == (8, 5)
+	assert any("phys=True" in str(x.message) for x in w)

@@ -437,3 +437,20 @@ def test_scaling_harness_smoke():
 	rec = json.loads(r.stdout.strip().splitlines()[-1])
 	assert rec["ndev"] == 2 and rec["rows"] == 4096
 	assert rec["wall_s"] > 0 and rec["rel_err"] < 1e-2
+
+
+def test_sharded_csr_kwarg_compat_and_rect_halo(mesh8):
+	"""Review r3: shard_operator(CSR, use_pallas=...) keeps working (routed
+	kwarg accepted, ignored), and an explicit halo request on a rectangular
+	matrix raises instead of silently downgrading."""
+	from primate_tpu.operators.sparse import CSROperator
+	from primate_tpu.parallel import ShardedCSROperator
+
+	A = _random_sym_sparse(128, seed=31)
+	op = shard_operator(CSROperator.from_scipy(A), mesh8, use_pallas=True)
+	assert isinstance(op, ShardedCSROperator)
+	V = np.random.default_rng(32).normal(size=(128, 3))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-9)
+	rect = sps.random(64, 48, density=0.05, random_state=33, format="csr")
+	with pytest.raises(ValueError, match="square"):
+		ShardedCSROperator.from_csr(rect, mesh8, comm="halo")
