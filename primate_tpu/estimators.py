@@ -500,7 +500,9 @@ class MeanEstimator:
 	def from_state(cls, state: Union[MeanState, CovState], delta=None, values=None, n_values: Optional[int] = None):
 		dim = state.mu.shape[0]
 		obj = cls(dim=dim, covariance=isinstance(state, CovState), record=values is not None)
-		obj._moments._state = state
+		# One transfer up front: device states would otherwise sync on every
+		# later attribute read (and pin eager host math to the remote device).
+		obj._moments._state = jax.device_get(state)
 		obj.delta = np.full(dim, np.inf) if delta is None else np.asarray(delta)
 		if values is not None:
 			n_keep = int(state.n) if n_values is None else int(n_values)
@@ -532,7 +534,9 @@ class MeanEstimator:
 		return None
 
 	def update(self, x) -> None:
-		x = jnp.atleast_1d(jnp.asarray(x))
+		# ONE device->host transfer when handed device samples; all estimator
+		# math then stays on the host (see stats.Mean.update).
+		x = np.atleast_1d(np.asarray(x))
 		x = x[:, None] if x.ndim == 1 else x
 		old_mu = np.asarray(self._moments.mu).copy()
 		self._moments.update(x)

@@ -475,7 +475,7 @@ def xnystrace(
 	m_ = min(max(2, m_), N)  # ≥2 so every leave-one-out sketch is nonempty, ≤N always
 	if classify_pdf(pdf) == "size":
 		raise NotImplementedError("xnystrace samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
-	t_samples = _xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf)
+	t_samples = jax.device_get(_xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf))
 	estimator = MeanEstimator(covariance=True)
 	estimator.update(t_samples)
 	est = float(estimator.estimate)
@@ -707,7 +707,11 @@ def xtrace(
 				state, _ = step(state, it0 + i, ns, False)
 			t_samples = _xtrace_estimates(*state[:5], sphere_flag)
 		it0 += len(schedule)
-		estimator.update(t_samples)
+		# ONE device→host transfer for the samples; the host estimator then
+		# works on numpy (feeding it the device array instead made estimate/
+		# n_samples/update each pull separately — 3 round trips on a
+		# tunnel-attached chip, ~90 ms of the measured 122 ms wall).
+		estimator.update(jax.device_get(t_samples))
 		result.estimate = estimator.estimate
 		result.nit = estimator.n_samples
 	else:
@@ -719,7 +723,7 @@ def xtrace(
 				break
 			state, t_samples = step(state, it, ns, True)
 			estimator = MeanEstimator(covariance=True, record=record)
-			estimator.update(t_samples)
+			estimator.update(jax.device_get(t_samples))
 			result.estimate = estimator.estimate
 			result.nit = estimator.n_samples
 			if user_callback is not None:
@@ -730,7 +734,7 @@ def xtrace(
 			# Resumed at (or past) the stop: recompute the leave-one-out
 			# estimates from the grown subspace once (they are wholesale
 			# functions of the state, never incremental).
-			estimator.update(_xtrace_estimates(*state[:5], sphere_flag))
+			estimator.update(jax.device_get(_xtrace_estimates(*state[:5], sphere_flag)))
 			result.estimate = estimator.estimate
 			result.nit = estimator.n_samples
 
