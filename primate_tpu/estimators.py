@@ -146,7 +146,15 @@ class ConvergenceCriterion:
 		return self._operation(snap)
 
 	def __call__(self, est) -> jnp.ndarray:
-		return self.check(_as_snapshot(est))
+		# Host-facing entry (the fused loops call `check` inside their traced
+		# condition instead): run the predicate's eager ops on the LOCAL CPU
+		# backend. With a tunnel-attached accelerator as the default device,
+		# every eager op in a composed criterion would round-trip (~29 ms each)
+		# once per host-stepped batch.
+		from .stats import _host_cpu
+
+		with jax.default_device(_host_cpu()):
+			return self.check(_as_snapshot(est))
 
 	def __or__(self, other: "ConvergenceCriterion"):
 		return OrCriterion(self, other)
