@@ -428,6 +428,22 @@ def filtered_eigsh(
 	window = lambda x: rise(x) - fall(x)  # noqa: E731
 	if deg is None:
 		deg = int(np.clip(8.0 * (lmax - lmin) / max(b - a, 1e-12), 32, 600))
+	# Fail fast on an unresolvable ask: a degree-`deg` Chebyshev filter cannot
+	# separate a slice much narrower than ~(spectral range)/deg — the transition
+	# band swamps the slice, every Ritz pair inside is a ghost, and the
+	# iteration burns its whole budget before reporting 0 accepted pairs.
+	resolution = (lmax - lmin) / max(int(deg), 1)
+	if (b - a) < 0.5 * resolution:
+		import warnings
+
+		warnings.warn(
+			f"filtered_eigsh: slice width {b - a:.3g} is below the degree-{deg} filter's "
+			f"resolution ~{resolution:.3g} (spectral range {lmax - lmin:.3g}); pass a larger "
+			"deg= (cost grows linearly) or widen the interval — returning no eigenpairs.",
+			stacklevel=2,
+		)
+		rd = np.dtype(jnp.finfo(jnp.promote_types(op.dtype, jnp.float32)).dtype)
+		return np.zeros(0, rd), np.zeros((n, 0), np.dtype(op.dtype))
 	rho = ChebyshevFunction(op, fun=window, deg=int(deg), interval=(lmin, lmax), damping="jackson", dtype=dtype)
 
 	s = min(k + (int(oversample) if oversample is not None else max(6, k // 4)), n)

@@ -297,3 +297,26 @@ def test_filtered_eigsh_empty_slice_and_outside_range():
 		w2, V2 = pt.filtered_eigsh(A, (20.0, 30.0), seed=3)  # outside the range
 	assert len(w2) == 0 and V2.shape == (200, 0)
 	assert any("outside" in str(x.message) for x in ws)
+
+
+def test_filtered_eigsh_unresolvable_slice_fails_fast():
+	"""A slice far below the filter's Chebyshev resolution returns empty with a
+	warning immediately instead of burning the whole iteration budget on
+	ghosts (round-3 usability guard)."""
+	import time
+	import warnings
+
+	import scipy.sparse as sps
+
+	n = 2000
+	L = sps.diags([-np.ones(n - 1), 2.1 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	kk = np.arange(1, n + 1)
+	lam = np.sort(2.1 - 2 * np.cos(kk * np.pi / (n + 1)))
+	mid = n // 2
+	t0 = time.time()
+	with warnings.catch_warnings(record=True) as w:
+		warnings.simplefilter("always")
+		ww, V = pt.filtered_eigsh(L, (float(lam[mid]), float(lam[mid + 1])), k=2, seed=1)
+	assert len(ww) == 0 and V.shape == (n, 0)
+	assert any("resolution" in str(x.message) for x in w)
+	assert time.time() - t0 < 30  # no filter sweeps were run
