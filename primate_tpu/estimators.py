@@ -553,16 +553,20 @@ class MeanEstimator:
 			self.values.extend(np.asarray(x).ravel().tolist())
 
 	def snapshot(self) -> EstSnapshot:
+		from .stats import _host_cpu
+
 		state = self._moments._state
-		var = None
-		if isinstance(state, CovState):
-			# Scalar proxy for any dim: mean of the per-output sample variances
-			# (== the sample variance at dim 1) — matches the fused-loop
-			# snapshots, so confidence criteria work on stacked estimators.
-			var = jnp.mean(jnp.diagonal(cov_matrix(state, ddof=1)))
-		values = jnp.asarray(self.values) if self.values else None
-		est = state.mu if self.n_samples > 0 else jnp.full(self.dim, jnp.nan, state.mu.dtype)
-		return EstSnapshot(n=state.n, estimate=est, delta=jnp.asarray(self.delta), var=var, values=values)
+		with jax.default_device(_host_cpu()):  # host math; see stats.Mean.update
+			var = None
+			if isinstance(state, CovState):
+				# Scalar proxy for any dim: mean of the per-output sample
+				# variances (== the sample variance at dim 1) — matches the
+				# fused-loop snapshots, so confidence criteria work on stacked
+				# estimators.
+				var = jnp.mean(jnp.diagonal(cov_matrix(state, ddof=1)))
+			values = jnp.asarray(self.values) if self.values else None
+			est = state.mu if self.n_samples > 0 else jnp.full(self.dim, jnp.nan, state.mu.dtype)
+			return EstSnapshot(n=state.n, estimate=est, delta=jnp.asarray(self.delta), var=var, values=values)
 
 
 class ControlVariableEstimator(MeanEstimator):
@@ -589,7 +593,7 @@ class ControlVariableEstimator(MeanEstimator):
 		return self.cov.n
 
 	def update(self, samples) -> None:
-		samples = jnp.atleast_1d(jnp.asarray(samples))
+		samples = np.atleast_1d(np.asarray(samples))  # one pull; host math below
 		samples = samples[None, :] if samples.ndim == 1 else samples
 		old = self.estimate
 		self.cov.update(samples)
@@ -614,7 +618,23 @@ class ControlVariableEstimator(MeanEstimator):
 		return float(mu[0] - np.dot(np.ravel(self.alpha), mu[1:] - self.ecv))
 
 	def snapshot(self) -> EstSnapshot:
-		var = cov_matrix(self.cov._state, ddof=1)[0, 0] if self.cov.n > 1 else None
+		var = None
+		if self.cov.n > 1:
+			# Variance of the CORRECTED estimator, not the raw samples: the
+			# Schur complement C00 − C01 C11⁻¹ C10 (what the optimal α leaves
+			# behind). Reporting raw C00 made ConfidenceCriterion compute a
+			# margin of error as if the control variates did nothing —
+			# oversampling by the full variance-reduction factor.
+			C = np.atleast_2d(np.asarray(self.cov(ddof=1)))
+			if np.all(np.isfinite(C)):
+				c01 = C[0, 1:]
+				try:
+					var = float(C[0, 0] - c01 @ np.linalg.solve(C[1:, 1:], c01))
+				except np.linalg.LinAlgError:
+					var = float(C[0, 0])
+				var = max(var, 0.0)
+			else:
+				var = C[0, 0]
 		return EstSnapshot(
 			n=jnp.asarray(self.cov.n, jnp.int32),
 			estimate=jnp.atleast_1d(jnp.asarray(self.estimate, jnp.float32)),

@@ -148,8 +148,11 @@ def sample_isotropic(
 	W = jax.random.normal(key, shape, dtype=dtype)
 	if pdf == "sphere":
 		# Uniform on the sphere of radius sqrt(n); columns are the vectors.
-		c = jnp.sqrt(jnp.sum(W * W, axis=0, keepdims=True))
-		W = W * (jnp.sqrt(W.shape[0]).astype(dtype) / c)
+		# |W|² (not W·W) so complex draws normalize by the true norm — W·W is a
+		# complex number whose sqrt would rescale AND phase-rotate the column,
+		# breaking E[vv†] = I. Identical on the real path.
+		c = jnp.sqrt(jnp.sum(jnp.abs(W) ** 2, axis=0, keepdims=True))
+		W = W * (jnp.sqrt(W.shape[0]) / c).astype(dtype)
 	return W
 
 

@@ -87,9 +87,11 @@ def cov_update(state: CovState, X: jnp.ndarray) -> CovState:
 	w = b / new_n.astype(X.dtype)
 	mu = state.mu + w * delta
 	Xc = X - batch_mean[None, :]
-	# Cross-term shift merges the old moments with the batch moments.
-	shift = jnp.outer(delta, delta) * (state.n.astype(X.dtype) * b / new_n.astype(X.dtype))
-	S = state.S + Xc.T @ Xc + shift
+	# Cross-term shift merges the old moments with the batch moments. Bra sides
+	# conjugate so complex samples produce the Hermitian covariance
+	# E[(x−μ)(x−μ)†] (a real PSD diagonal); conj is a no-op on the real path.
+	shift = jnp.outer(jnp.conj(delta), delta) * (state.n.astype(X.dtype) * b / new_n.astype(X.dtype))
+	S = state.S + jnp.conj(Xc).T @ Xc + shift
 	return CovState(n=new_n, mu=mu, S=S)
 
 
@@ -176,7 +178,8 @@ class Covariance(Mean):
 			self._state = jax.device_get(cov_update(self._state, X))
 
 	def covariance(self, ddof: int = 1) -> Union[float, jnp.ndarray]:
-		cov = cov_matrix(self._state, ddof=ddof)
+		with jax.default_device(_host_cpu()):  # host math; see Mean.update
+			cov = jax.device_get(cov_matrix(self._state, ddof=ddof))
 		return cov.item() if self.dim == 1 else cov
 
 	def __call__(self, ddof: int = 1) -> Union[float, jnp.ndarray]:

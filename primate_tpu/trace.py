@@ -171,6 +171,7 @@ def hutch(
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
 	record = kwargs.pop("record", False)
+	assert batch >= 1, "Batch size must be positive."
 
 	if converge == "default":
 		criterion = default_trace_criterion()
@@ -301,7 +302,8 @@ def _hutchpp_program(A, key, *, n: int, nb: int, pdf: str, mode: str):
 	dtype = A.dtype
 	is_cplx = jnp.dtype(dtype).kind == "c"
 	k1, k2 = jax.random.split(key)
-	W = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
+	s_dtype = dtype if pdf == "phase" else real_dtype(dtype)  # phase probes ARE complex
+	W = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=s_dtype).astype(dtype)
 	Y = A.matmat(W) if hasattr(A, "matmat") else A @ W
 	Q, _ = jnp.linalg.qr(Y, mode="reduced")
 	if mode == "full":
@@ -309,7 +311,7 @@ def _hutchpp_program(A, key, *, n: int, nb: int, pdf: str, mode: str):
 		rng_ests = jnp.real(jnp.einsum("ij,ij->j", jnp.conj(AQ), Q)) if is_cplx else jnp.einsum("ij,ij->j", AQ, Q)
 	else:
 		rng_ests = quad_form(A, Q)
-	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
+	G = sample_isotropic(k2, (n, nb), pdf=pdf, dtype=s_dtype).astype(dtype)
 	G = G - Q @ ((jnp.conj(Q) if is_cplx else Q).T @ G)
 	AG = A.matmat(G) if hasattr(A, "matmat") else A @ G
 	defl_ests = jnp.real(jnp.einsum("ij,ij->j", jnp.conj(G), AG)) if is_cplx else jnp.einsum("ij,ij->j", AG, G)
@@ -347,6 +349,7 @@ def hutchpp(
 	returns the residual loop's EstimatorResult with the estimate shifted by the
 	exact sketch term (``result.info['sketch_trace']``).
 	"""
+	assert batch >= 1, "Batch size must be positive."
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
@@ -362,7 +365,7 @@ def hutchpp(
 
 		key = as_key(seed)
 		k1, k2 = jax.random.split(key)
-		W = sample_isotropic(k1, (N, nb), pdf=pdf, dtype=real_dtype(op.dtype)).astype(op.dtype)
+		W = sample_isotropic(k1, (N, nb), pdf=pdf, dtype=op.dtype if pdf == "phase" else real_dtype(op.dtype)).astype(op.dtype)
 		Y = op.matmat(W) if hasattr(op, "matmat") else op @ W
 		acc = jnp.promote_types(op.dtype, jnp.float32)
 		Q, _ = jnp.linalg.qr(Y.astype(acc), mode="reduced")
@@ -408,7 +411,7 @@ def _xnystrace_program(A, key, *, n: int, m: int, pdf: str):
 	dtype = A.dtype
 	acc = jnp.promote_types(dtype, jnp.float32)
 	r_acc = real_dtype(acc)
-	Om = sample_isotropic(key, (n, m), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
+	Om = sample_isotropic(key, (n, m), pdf=pdf, dtype=dtype if pdf == "phase" else real_dtype(dtype)).astype(dtype)
 	Y = (A.matmat(Om) if hasattr(A, "matmat") else A @ Om).astype(acc)
 	Om = Om.astype(acc)
 	# Shift: makes H=Ω†Y safely PD when A is merely PSD (Epperly's ν·eps trick);
@@ -507,14 +510,13 @@ def _xtrace_estimates(W, Z, Q, R, R_inv, sphere: jnp.ndarray):
 	r_dtype = jnp.real(W).dtype
 	cdot = colwise_dot  # diag(X†Y), (m, 1)
 	W_proj = jnp.conj(Q).T @ W
-	S = jnp.conj(R_inv).T / jnp.linalg.norm(R_inv, axis=1)[None, :]  # cols ∝ R⁻ᴴeᵢ
+	S = jnp.conj(R_inv).T / jnp.linalg.norm(R_inv, axis=1)[None, :]  # cols ∝ R⁻ᴴeᵢ (unit columns)
 
-	col_norm_S = jnp.linalg.norm(S, axis=0)
 	dSW = cdot(S, W_proj)
 	c = n - m + 1
-	sphere_scale = c / (
-		n - jnp.linalg.norm(W_proj, axis=0)[:, None] ** 2 + jnp.abs(dSW * col_norm_S[:, None]) ** 2
-	)
+	# (S's columns are unit-norm by construction — the reference's col_norm(S)
+	# factor is identically 1 and is dropped here.)
+	sphere_scale = c / (n - jnp.linalg.norm(W_proj, axis=0)[:, None] ** 2 + jnp.abs(dSW) ** 2)
 	scale = jnp.where(sphere, sphere_scale, jnp.ones((m, 1), r_dtype))
 
 	H = jnp.conj(Q).T @ Z
@@ -564,7 +566,9 @@ def _xtrace_round_impl(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, 
 	apply_op = op.matmat if hasattr(op, "matmat") else (lambda V: op @ V)
 	# Hermitian operators: probes are sampled REAL (carried at op.dtype so the
 	# grown state stays homogeneous); conj(W) = W in the leave-one-out identities.
-	Nnew = sample_isotropic(jax.random.fold_in(key, it), (n, ns), pdf=pdf, dtype=real_dtype(op.dtype)).astype(op.dtype)
+	Nnew = sample_isotropic(
+		jax.random.fold_in(key, it), (n, ns), pdf=pdf, dtype=op.dtype if pdf == "phase" else real_dtype(op.dtype)
+	).astype(op.dtype)
 	Ynew = apply_op(Nnew)
 	m_cur = W.shape[1]
 	if m_cur == 0:
@@ -716,6 +720,7 @@ def xtrace(
 		result.nit = estimator.n_samples
 	else:
 		it = it0
+		prev_mean = None
 		while not bool(criterion(estimator)):
 			m_cur = state[0].shape[1]
 			ns = min(n - m_cur, int(batch))
@@ -724,6 +729,14 @@ def xtrace(
 			state, t_samples = step(state, it, ns, True)
 			estimator = MeanEstimator(covariance=True, record=record)
 			estimator.update(jax.device_get(t_samples))
+			# The leave-one-out samples are recomputed WHOLESALE each round, so
+			# the estimator is rebuilt — but delta must still be the round-over-
+			# round movement of the estimate, not (estimate − 0). Without this,
+			# ToleranceCriterion's rtol test compares ‖mean‖ against
+			# rtol·‖mean‖ and can mathematically never fire.
+			cur_mean = np.atleast_1d(np.asarray(estimator._moments.mu))
+			estimator.delta = np.full_like(cur_mean, np.inf) if prev_mean is None else cur_mean - prev_mean
+			prev_mean = cur_mean
 			result.estimate = estimator.estimate
 			result.nit = estimator.n_samples
 			if user_callback is not None:

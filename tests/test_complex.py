@@ -385,3 +385,30 @@ def test_diag_complex_host_path_matches_fused():
 	est_size = pt.diag(H, pdf=lambda size: g.normal(size=size), converge="count", count=256, seed=13)
 	assert not np.iscomplexobj(est_size)
 	assert np.max(np.abs(np.asarray(est_size) - true)) < 0.6
+
+
+def test_sphere_probes_complex_unit_norm():
+	"""Review r3b: complex sphere probes normalize by |W| (W.W is complex and
+	would rescale AND phase-rotate) — norms are exactly sqrt(n)."""
+	from primate_tpu.random import sample_isotropic, as_key
+
+	W = sample_isotropic(as_key(0), (32, 5), pdf="sphere", dtype=jnp.complex64)
+	norms = np.linalg.norm(np.asarray(W), axis=0)
+	assert np.allclose(norms, np.sqrt(32), atol=1e-4)
+
+
+def test_sketch_estimators_phase_probes():
+	"""Review r3b: hutchpp/xtrace/xnystrace accept pdf='phase' on complex
+	Hermitian operators (previously crashed on a self-inflicted dtype demotion).
+	xtrace at m=n stays exact — the leave-one-out identity holds for any
+	isotropic complex probes with E[vv*] = I."""
+	n = 40
+	ew = np.linspace(0.5, 3.0, n)
+	H = pt.random.hermitian(n, ew=ew, seed=1)
+	tr = float(ew.sum())
+	e1 = float(pt.hutchpp(H, m=36, pdf="phase", seed=2))
+	assert abs(e1 - tr) / tr < 0.2
+	e2 = float(pt.xtrace(H, batch=8, pdf="phase", seed=3))
+	assert abs(e2 - tr) / tr < 1e-3  # m = n exactness
+	e3 = float(pt.xnystrace(H, m=36, pdf="phase", seed=4))
+	assert abs(e3 - tr) / tr < 0.2

@@ -260,3 +260,37 @@ def test_confidence_estimator_stats_import_location():
 
 	est = ConfidenceEstimator()
 	assert est.margin_of_error == np.inf  # undefined before 3 samples
+
+
+def test_covariance_complex_matches_numpy():
+	"""Review r3b: complex samples produce the Hermitian covariance E[(x-u)(x-u)^H]
+	(np.cov convention), not the unconjugated (complex-valued) scatter."""
+	from primate_tpu.stats import Covariance
+
+	rng = np.random.default_rng(0)
+	x = rng.normal(size=40) + 1j * rng.normal(size=40)
+	cov = Covariance(dim=1)
+	cov.update(x[:25])
+	cov.update(x[25:])
+	got = cov.covariance()
+	want = np.cov(x)
+	assert abs(np.imag(got)) < 1e-10
+	assert np.isclose(np.real(got), np.real(want), rtol=1e-10)
+
+
+def test_control_variable_snapshot_var_is_residual():
+	"""Review r3b: the snapshot's var must be the CORRECTED estimator's residual
+	variance (Schur complement), not the raw sample variance — otherwise
+	ConfidenceCriterion ignores the control variates' reduction entirely."""
+	from primate_tpu.estimators import ControlVariableEstimator
+
+	rng = np.random.default_rng(1)
+	cv = rng.normal(size=(400, 1))
+	s = 2.0 + cv[:, 0] + 0.1 * rng.normal(size=400)
+	est = ControlVariableEstimator(ecv=[0.0])
+	est.update(np.column_stack([s, cv[:, 0]]))
+	snap = est.snapshot()
+	raw_var = float(np.var(s, ddof=1))
+	assert float(snap.var) < 0.05 * raw_var  # CV explains ~99% of the variance
+	want = np.var(s - cv[:, 0], ddof=1)
+	assert abs(float(snap.var) - want) < 0.2 * want

@@ -306,3 +306,21 @@ def test_hutchpp_adaptive_nit_includes_sketch_matvecs():
 	A = jnp.asarray(pt.symmetric(64, pd=True, seed=2))
 	_, res = pt.hutchpp(A, m=18, converge="count", count=64, seed=4, full=True)
 	assert res.nit == 64 + 2 * 18  # residual samples + sketch/deflate applications
+
+
+def test_xtrace_tolerance_criterion_can_fire():
+	"""Review r3b: delta is the round-over-round estimate movement, so
+	tolerance criteria stop xtrace before the full m = n budget."""
+	A = pt.symmetric(60, pd=True, seed=3)
+	est, res = pt.xtrace(np.asarray(A), batch=4, converge="tolerance", rtol=0.5, seed=5, full=True)
+	assert res.nit < 60  # fired well before exactness (never fired pre-fix)
+	est_full = pt.xtrace(np.asarray(A), batch=4, seed=5)
+	assert abs(est - est_full) / abs(est_full) < 0.5
+
+
+def test_hutch_rejects_zero_batch():
+	A = pt.symmetric(16, pd=True, seed=0)
+	with pytest.raises(AssertionError, match="positive"):
+		pt.hutch(A, batch=0)
+	with pytest.raises(AssertionError, match="positive"):
+		pt.hutchpp(A, batch=0)
