@@ -97,7 +97,14 @@ def _solve_shifted(d: jnp.ndarray, e: jnp.ndarray, rhs_last: jnp.ndarray, shift)
 	k = d.shape[-1]
 	A = J - shift * jnp.eye(k, dtype=J.dtype)
 	rhs = jnp.zeros(d.shape[:-1] + (k, 1), J.dtype).at[..., -1, 0].set(rhs_last)
-	return jnp.linalg.solve(A, rhs)[..., -1, 0]
+	x_k = jnp.linalg.solve(A, rhs)[..., -1, 0]
+	# Deflated probes zero-pad their Jacobi coefficients, so J gains exact-zero
+	# eigenvalues and a shift at (or numerically on) one of them makes the
+	# solve singular — the NaN would otherwise poison EVERY node of the
+	# modified rule (NaN·0 = NaN survives a zero quadrature weight). δ = 0
+	# degrades gracefully: the modified corner becomes d̂ = x0, i.e. x0 is
+	# (approximately) a node of the plain extended rule.
+	return jnp.where(jnp.isfinite(x_k), x_k, 0.0)
 
 
 def radau_rule(
@@ -208,8 +215,12 @@ def quadrature(
 		raise ValueError(f"Invalid quadrature method '{quad}' supplied")
 
 	if nodes is not None and weights is not None:
-		nodes = jnp.asarray(nodes).at[...].set(theta)
-		weights = jnp.asarray(weights).at[...].set(tau)
+		# Partial fill into larger preallocated outputs (reference semantics:
+		# only the first deg entries are written) — a full-array .set would
+		# demand broadcast-equal shapes and crash.
+		k = theta.shape[-1]
+		nodes = jnp.asarray(nodes).at[..., :k].set(theta)
+		weights = jnp.asarray(weights).at[..., :k].set(tau)
 		return nodes, weights
 	return theta, tau
 

@@ -153,6 +153,7 @@ def suggest_chebyshev_degree(
 	interval: Tuple[float, float],
 	rtol: float = 1e-8,
 	max_deg: int = 2048,
+	damping: str = "none",
 	**fun_kwargs,
 ) -> int:
 	"""Smallest Chebyshev degree resolving ``fun`` on ``interval`` to ``rtol``.
@@ -183,6 +184,25 @@ def suggest_chebyshev_degree(
 	scale = float(mag.max())
 	if scale == 0.0 or not np.isfinite(scale):
 		return 2
+	if damping == "jackson":
+		# Jackson's positive kernel biases EVERY retained coefficient, so the
+		# truncation envelope alone badly under-sizes damped evaluations (a
+		# degree picked for 1e-8 truncation can carry ~1e-2 damping bias).
+		# Size against the damped error estimate Σ_{j<m}|a_j|(1−g_j) + Σ_{j≥m}|a_j|
+		# over a geometric ladder of candidate degrees; the kernel's O(1/m²)
+		# bias floor means very tight rtols may be unreachable — return the
+		# best (argmin) degree then.
+		tail = np.concatenate([np.cumsum(mag[::-1])[::-1], [0.0]])  # tail[m] = Σ_{j≥m}|a_j|
+		best_m, best_err = 2, np.inf
+		mcand = sorted({int(v) for v in np.geomspace(2, int(max_deg), 40).round()})
+		for m in mcand:
+			g = np.asarray(jackson_coefficients(m))
+			err = float(np.sum(mag[:m] * (1.0 - g)) + tail[m])
+			if err < best_err:
+				best_m, best_err = m, err
+			if err <= rtol * scale:
+				return int(max(2, m))
+		return int(max(2, best_m))
 	keep = np.nonzero(mag >= rtol * scale)[0]
 	return int(max(2, (keep[-1] + 1) if keep.size else 1))
 
@@ -217,7 +237,8 @@ def kpm_trace(
 	op = aslinop(A)
 	interval = _resolve_interval(op, interval, seed)
 	if m == "auto":
-		m = max(suggest_chebyshev_degree(f, interval) for f in fs)
+		rt = 1e-3 if damping == "jackson" else 1e-8
+		m = max(suggest_chebyshev_degree(f, interval, rtol=rt, damping=damping) for f in fs)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
 	a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])  # (nt, m)
@@ -319,7 +340,8 @@ class ChebyshevFunction:
 		else:
 			f = param_callable(fun, **fun_kwargs) if (fun is None or isinstance(fun, str)) else fun
 			if deg == "auto":
-				deg = suggest_chebyshev_degree(f, (lo, hi))
+				rt = 1e-3 if damping == "jackson" else 1e-8
+				deg = suggest_chebyshev_degree(f, (lo, hi), rtol=rt, damping=damping)
 			self._deg = int(deg)
 			a = _chebyshev_coefficients(f, self._deg, c, r)  # (m,) — or (nt, m) stacked
 		g = np.asarray(jackson_coefficients(self._deg)) if damping == "jackson" else np.ones(self._deg)

@@ -333,7 +333,10 @@ class Toeplitz(LinearOperator):
 		# (palindromic embedding). The general case needs the full spectrum.
 		self._dfft = jnp.fft.fft(d)
 		self.shape = (n, n)
-		self.dtype = self.c.dtype
+		# result_type(c, r): with a real first column and a complex first row
+		# (or vice versa), c.dtype alone would route _matmat through the
+		# real-output branch and silently discard the imaginary contribution.
+		self.dtype = jnp.result_type(self.c, self.r) if dtype is None else self.c.dtype
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		n = self.shape[0]

@@ -98,8 +98,23 @@ def nystrom_precond(A, rank: int = 64, mu: float = 0.0, seed=None) -> NystromPre
 	safe = jnp.maximum(d, jnp.finfo(acc).tiny)
 	U = B @ (W * jax.lax.rsqrt(safe)[None, :])
 	lam = jnp.maximum(d - nu, 0.0)
-	lam_s = lam[-1]
-	coef = (lam_s + mu) / (lam + mu + jnp.finfo(acc).tiny) - 1.0
+	# PD floor: when the sketch rank exceeds the numerical rank (fast-decaying
+	# GP-style spectra), lam_s -> 0 makes coef -> -1 and P^{-1} = I - UU† is
+	# SINGULAR — PCG then diverges. Floor lam_s relative to lam_max (so the top
+	# subspace is damped, never annihilated) and floor the denominators at
+	# lam_s (so rank-deficient tail directions are left at scale 1 rather than
+	# inflated by 1/lam_tiny).
+	lam_max = jnp.maximum(lam[0], jnp.finfo(r_acc).tiny)
+	# √eps·λmax (≈3.5e-4·λmax at f32): large enough that applying
+	# I + Σ coef·uu† keeps ≳3-digit relative accuracy in the damped subspace
+	# (1 + coef suffers cancellation ~eps/(1+coef)), small enough to still
+	# flatten the captured spectrum onto ~[λ_floor, λ_s].
+	lam_s = jnp.maximum(lam[-1], jnp.sqrt(jnp.finfo(r_acc).eps) * lam_max)
+	coef = (lam_s + mu) / (jnp.maximum(lam, lam_s) + mu) - 1.0
+	# A NaN Cholesky (rank-collapsed sketch at f32) must degrade to P = I, not
+	# poison every solve.
+	coef = jnp.where(jnp.isfinite(coef), coef, 0.0)
+	U = jnp.where(jnp.isfinite(U), U, 0.0)
 	return NystromPreconditioner(U=U, coef=coef)
 
 
@@ -220,7 +235,12 @@ def cg(
 				d = jnp.asarray(precond)
 			d = jnp.real(d)  # Hermitian diagonals are real (no-op for real d)
 			acc = jnp.promote_types(B.dtype, jnp.float32)
-			M_inv_diag = DiagPreconditioner(jnp.where(d != 0, 1.0 / d, 1.0).astype(real_dtype_of(acc)))
+			# A STOCHASTIC diagonal estimate can come out <= 0 on SPD operators
+			# that are not diagonally dominant — 1/d would then flip the sign of
+			# the preconditioned residual and break PCG. Clamp to a positive
+			# floor instead of only guarding exact zeros.
+			d_floor = 1e-3 * jnp.maximum(jnp.mean(jnp.abs(d)), jnp.finfo(acc).tiny)
+			M_inv_diag = DiagPreconditioner(jnp.where(d >= d_floor, 1.0 / jnp.maximum(d, d_floor), 1.0 / d_floor).astype(real_dtype_of(acc)))
 
 	is_cplx = jnp.dtype(op.dtype).kind == "c"
 	if full or is_cplx:

@@ -2,6 +2,7 @@
 
 import numpy as np
 import scipy.sparse as sps
+import jax.numpy as jnp
 
 import primate_tpu as pt
 from primate_tpu.kpm import chebyshev_moments, jackson_coefficients, kpm_density, kpm_trace
@@ -145,3 +146,19 @@ def test_kpm_auto_degree_end_to_end():
 	assert M._deg >= 5
 	est2 = pt.hutch(M, converge="count", count=256, seed=15)
 	assert abs(est2 - true) <= 0.05 * true
+
+
+def test_auto_degree_accounts_for_jackson_damping():
+	"""Review r3c: deg='auto' under the default Jackson damping sizes against
+	the DAMPED error (the kernel biases every retained coefficient), so the
+	evaluated operator meets a ~1e-3 bar instead of the ~1e-2 it used to."""
+	A = np.asarray(pt.symmetric(64, pd=True, ew=np.linspace(0.4, 2.1, 64), seed=0))
+	v = np.random.default_rng(1).normal(size=64)
+	w, U = np.linalg.eigh(A)
+	truth = U @ (np.exp(w) * (U.T @ v))
+	cf_j = pt.ChebyshevFunction(A, "exp", deg="auto", interval=(0.4, 2.1), damping="jackson")
+	err_j = np.linalg.norm(np.asarray(cf_j @ jnp.asarray(v)) - truth) / np.linalg.norm(truth)
+	assert err_j < 2e-3, (cf_j._deg, err_j)
+	cf_n = pt.ChebyshevFunction(A, "exp", deg="auto", interval=(0.4, 2.1), damping="none")
+	err_n = np.linalg.norm(np.asarray(cf_n @ jnp.asarray(v)) - truth) / np.linalg.norm(truth)
+	assert cf_n._deg < cf_j._deg and err_n < 1e-6

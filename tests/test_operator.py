@@ -465,3 +465,22 @@ def test_numpy_left_arithmetic_defers_to_operator():
 	assert not isinstance(r, np.ndarray)
 	v = jnp.ones(6)
 	assert np.allclose(np.asarray(r.matvec(v)), np.asarray(A @ v) + 1.0)
+
+
+def test_toeplitz_mixed_real_complex_dtype():
+	"""Review r3c: real first column + complex first row promotes the operator
+	dtype — the product's imaginary part must survive."""
+	rng = np.random.default_rng(0)
+	n = 16
+	c = rng.normal(size=n)
+	r = rng.normal(size=n) + 1j * rng.normal(size=n)
+	r[0] = c[0]
+	T = pt.Toeplitz(jnp.asarray(c), jnp.asarray(r))
+	dense = np.zeros((n, n), complex)
+	for i in range(n):
+		for j in range(n):
+			dense[i, j] = c[i - j] if i >= j else r[j - i]
+	v = rng.normal(size=n)
+	got = np.asarray(T @ jnp.asarray(v))
+	assert np.iscomplexobj(got)
+	assert np.allclose(got, dense @ v, atol=1e-8)

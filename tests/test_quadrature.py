@@ -197,3 +197,28 @@ def test_fttr_truncates_jacobi_to_k():
 	w = np.asarray(pt.fttr.fttr(jnp.asarray(th4), jnp.asarray(a), jnp.asarray(b_pad), 4))
 	assert np.allclose(np.sort(w[:4]), np.sort(Y4[0] ** 2), atol=1e-8)
 	assert abs(w[:4].sum() - 1.0) < 1e-10
+
+
+def test_radau_rule_deflated_probe_no_nan():
+	"""Review r3c: zero-padded (deflated) Jacobi coefficients with x0 on an
+	eigenvalue of the padded matrix must not NaN the modified rule."""
+	d = jnp.asarray([2.0, 1.0, 0.0, 0.0])
+	e = jnp.asarray([0.5, 0.0, 0.0])
+	for be in (0.0, 0.3):
+		nodes, weights = pt.integrate.radau_rule(d, e, jnp.asarray(be), 0.0)
+		assert np.all(np.isfinite(np.asarray(nodes))), be
+		s = float(jnp.sum(jnp.exp(nodes) * weights))
+		assert np.isfinite(s), be
+
+
+def test_quadrature_partial_output_fill():
+	"""Review r3c: preallocated nodes/weights larger than deg fill only the
+	leading entries (reference out-array semantics) instead of crashing."""
+	rng = np.random.default_rng(0)
+	d = jnp.asarray(rng.uniform(1, 3, 10))
+	e = jnp.asarray(rng.uniform(0.2, 0.8, 9))
+	nodes = np.full(20, -1.0)
+	weights = np.full(20, -1.0)
+	nd, wt = pt.quadrature(d, e, deg=10, nodes=nodes, weights=weights)
+	assert np.all(np.asarray(nd)[10:] == -1.0) and np.all(np.asarray(wt)[10:] == -1.0)
+	assert np.all(np.asarray(wt)[:10] >= 0)

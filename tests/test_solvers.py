@@ -132,3 +132,37 @@ def test_cg_warm_start_stops_at_documented_tolerance():
 	x_warm = pt.cg(K, b, X0=x0, rtol=1e-6)
 	rw = np.linalg.norm(np.asarray(K @ x_warm - b)) / np.linalg.norm(np.asarray(b))
 	assert rw <= 2e-6  # meets the documented target (with fp slack), not 1e-6·‖b−K·x0‖/‖b‖
+
+
+def test_nystrom_precond_rank_deficient_spectrum():
+	"""Review r3c: sketch rank past the numerical rank must yield a PD
+	preconditioner (lam_s floor), not the singular I - UU^T that diverged."""
+	from primate_tpu.solvers import cg, nystrom_precond
+
+	n = 200
+	lam = np.maximum(10 * np.exp(-0.8 * np.arange(n)), 1e-6)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=lam[::-1], seed=1))
+	b = np.random.default_rng(0).normal(size=n)
+	P = nystrom_precond(A, rank=64, seed=5)
+	assert np.all(np.isfinite(np.asarray(P.coef))) and float(np.asarray(P.coef).min()) > -1.0
+	x, it, _ = cg(A, b, precond=P, rtol=1e-8, maxiter=1000, full=True)
+	rel = float(np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b))
+	assert rel < 1e-6 and int(np.asarray(it)) < 100, (rel, int(np.asarray(it)))
+
+
+def test_jacobi_precond_clamps_stochastic_diag():
+	"""Review r3c: the stochastic diagonal estimate is clamped positive before
+	inversion — a noisy <=0 entry must not flip the preconditioned residual."""
+	from primate_tpu.solvers import _stochastic_diag, DiagPreconditioner, cg
+	from primate_tpu.operators import FunctionOperator
+
+	n = 120
+	rng = np.random.default_rng(3)
+	ew = rng.uniform(0.05, 2.0, n)
+	A = np.asarray(pt.symmetric(n, pd=True, ew=ew, seed=4))
+	Aj = jnp.asarray(A)
+	op = FunctionOperator(lambda X: Aj @ X, (n, n), dtype=Aj.dtype, batched=True)  # matrix-free: forces estimation
+	b = rng.normal(size=n)
+	x = cg(op, jnp.asarray(b), precond="jacobi", rtol=1e-8, maxiter=2000)
+	rel = float(np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b))
+	assert rel < 1e-5, rel
