@@ -222,6 +222,8 @@ def lanczos_bidiag(
 	return_basis: bool = False,
 	seed=None,
 	dtype=None,
+	adjoint: bool = False,
+	return_residual: bool = False,
 ) -> BidiagOutput:
 	"""Golub-Kahan-Lanczos bidiagonalization of a (rectangular) operator.
 
@@ -244,13 +246,15 @@ def lanczos_bidiag(
 	m, n = op.shape
 	deg = int(np.clip(deg, 1, min(m, n)))
 	orth = deg if (orth < 0 or orth > deg) else int(orth)
+	side = m if adjoint else n  # adjoint=True bidiagonalizes Aᵀ: probes on the m side
 	if V0 is None:
 		# Real starting probes even for complex operators (same Krylov space).
-		V0 = jax.random.normal(as_key(seed), (n, 1), real_dtype(op.dtype)).astype(op.dtype)
+		V0 = jax.random.normal(as_key(seed), (side, 1), real_dtype(op.dtype)).astype(op.dtype)
 	V0 = jnp.asarray(V0, op.dtype)
 	V0 = V0[:, None] if V0.ndim == 1 else V0
-	assert V0.shape[0] == n, f"V0 must have {n} rows; got {V0.shape}"
+	assert V0.shape[0] == side, f"V0 must have {side} rows; got {V0.shape}"
 	return lanczos_bidiag_op(
 		op, V0, deg=deg, orth=orth, rtol=rtol,
 		reorth_passes=reorth_passes, return_basis=return_basis,
+		adjoint=adjoint, return_residual=return_residual,
 	)

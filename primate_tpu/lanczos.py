@@ -123,14 +123,12 @@ def lanczos_block_op(
 			stacklevel=2,
 		)
 	if spec is not None:
-		from functools import partial as _partial
-
 		n_phys, lo = spec
 		V0p = jnp.zeros((n_phys, nv), V0.dtype).at[lo : lo + n].set(V0)
 		out = _lanczos_core(
 			op.matmat, V0p, deg=deg, ncv=ncv, orth=orth, rtol=rtol, reorth_passes=reorth_passes,
 			return_basis=return_basis, coeffs=coeffs, basis_dtype=basis_dtype,
-			matmat_t=_partial(op.matmat_t_phys, interpret=interpret), selective=selective,
+			matmat_t=partial(op.matmat_t_phys, interpret=interpret), selective=selective,
 			residual_n=n,
 		)
 		return out._replace(
@@ -493,8 +491,12 @@ def lanczos(
 	# Jacobi coefficients stay in the ACCUMULATION dtype: the core reduces in
 	# f32 precisely so bf16/f16 operators keep accurate α/β — casting them back
 	# down to the storage dtype here would throw that accuracy away (Ritz
-	# values / quadrature nodes would drop to ~3 decimal digits).
-	c_dtype = f_dtype if jnp.dtype(f_dtype).itemsize >= jnp.dtype(out.alphas.dtype).itemsize else out.alphas.dtype
+	# values / quadrature nodes would drop to ~3 decimal digits). For complex
+	# Hermitian operators α/β are REAL (documented contract; tqli/hypot and
+	# the quadrature paths require it) — compare/return via the real component
+	# dtype, never the complex one.
+	r_of = lambda dt: jnp.dtype(jnp.finfo(dt).dtype) if jnp.dtype(dt).kind == "c" else jnp.dtype(dt)  # noqa: E731
+	c_dtype = r_of(f_dtype) if r_of(f_dtype).itemsize >= jnp.dtype(out.alphas.dtype).itemsize else out.alphas.dtype
 	a = out.alphas.astype(c_dtype)  # (deg, nv)
 	b = out.betas[: deg - 1].astype(c_dtype)  # (deg-1, nv)
 	Q = None

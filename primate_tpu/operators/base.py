@@ -474,7 +474,7 @@ class DeflatedOperator(LinearOperator):
 
 def is_linear_op(A: Any) -> bool:
 	"""Structural check: square, 2-d, with some way to apply it to a vector."""
-	has_apply = any(hasattr(A, a) for a in ("__matmul__", "matmul", "dot", "matvec"))
+	has_apply = any(hasattr(A, a) for a in ("__matmul__", "matmul", "dot", "matvec", "matmat"))
 	ok = has_apply and hasattr(A, "shape") and len(A.shape) >= 2
 	return bool(ok and A.shape[0] == A.shape[1])
 
@@ -485,7 +485,7 @@ def is_valid_operator(A: Any) -> jnp.dtype:
 	Parity: reference `operators.py:15-23` (the reference restricts to
 	f32/f64; here bf16 is additionally allowed — it is the native MXU dtype).
 	"""
-	assert any(hasattr(A, a) for a in ("__matmul__", "matmul", "dot", "matvec")), (
+	assert any(hasattr(A, a) for a in ("__matmul__", "matmul", "dot", "matvec", "matmat")), (
 		"Invalid operator; must have an overloaded 'matvec' or 'matmul' method"
 	)
 	assert hasattr(A, "shape") and len(A.shape) >= 2, "Operator must be at least two dimensional."

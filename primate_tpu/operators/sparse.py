@@ -61,7 +61,9 @@ class COOOperator(LinearOperator):
 		return jax.ops.segment_sum(prod, self.row, num_segments=self.shape[0], indices_are_sorted=self.rows_sorted)
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
-		prod = self.data * v[self.row]
+		# ADJOINT A†v (= Aᵀv for real data): the base-class contract — conj is
+		# an identity on the real path, so the lowering is unchanged.
+		prod = jnp.conj(self.data) * v[self.row]
 		return jax.ops.segment_sum(prod, self.col, num_segments=self.shape[1])
 
 	def todense(self) -> jnp.ndarray:
@@ -113,11 +115,19 @@ class CSROperator(LinearOperator):
 		self.indptr = jnp.asarray(indptr, jnp.int32)
 		self.shape = tuple(shape)
 		self.dtype = self.data.dtype
+		traced = any(isinstance(x, jax.core.Tracer) for x in (self.data, self.indices, self.indptr))
 		if rowids is None:
-			counts = np.diff(np.asarray(self.indptr))
-			rowids = np.repeat(np.arange(shape[0]), counts)
+			if traced:
+				# Construction inside jit: derive rowids with jnp (nnz is
+				# static) and skip the host-side ELL analysis, matching
+				# COOOperator's tracer guard.
+				counts = jnp.diff(self.indptr)
+				rowids = jnp.repeat(jnp.arange(self.shape[0]), counts, total_repeat_length=self.data.shape[0])
+			else:
+				counts = np.diff(np.asarray(self.indptr))
+				rowids = np.repeat(np.arange(shape[0]), counts)
 		self.rowids = jnp.asarray(rowids, jnp.int32)
-		if ell_data is None and ell_idx is None:
+		if ell_data is None and ell_idx is None and not traced:
 			ell_data, ell_idx = self._build_ell(
 				np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape[0]
 			)
@@ -169,9 +179,10 @@ class CSROperator(LinearOperator):
 		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0], indices_are_sorted=True)
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
-		# Column ids are NOT sorted within CSR, so the transpose product keeps
-		# the scatter path (symmetric operators should just call matvec).
-		prod = self.data * v[self.rowids]
+		# ADJOINT A†v (conj is a no-op for real data). Column ids are NOT sorted
+		# within CSR, so the product keeps the scatter path (symmetric operators
+		# should just call matvec).
+		prod = jnp.conj(self.data) * v[self.rowids]
 		return jax.ops.segment_sum(prod, self.indices, num_segments=self.shape[1])
 
 	def todense(self) -> jnp.ndarray:
@@ -320,6 +331,31 @@ class BSROperator(LinearOperator):
 		n_brow = self.indptr.shape[0] - 1
 		Y = jax.ops.segment_sum(prod, self.rowids, num_segments=n_brow)
 		return Y.reshape(np_r, k)[: self.shape[0]].astype(self.dtype)
+
+	def rmatmat(self, V: jnp.ndarray) -> jnp.ndarray:
+		"""Adjoint block apply ``A† V`` — every other sparse format overrides
+		this; the symmetric base fallback would silently return ``A V`` (and
+		shape-error on rectangular block grids)."""
+		bm, bn = self.blocksize
+		V = jnp.asarray(V)
+		single = V.ndim == 1
+		if single:
+			V = V[:, None]
+		k = V.shape[1]
+		np_r, np_c = self.pshape
+		if V.shape[0] != np_r:
+			V = jnp.pad(V, ((0, np_r - V.shape[0]), (0, 0)))
+		Vb = V.reshape(-1, bm, k)  # (n_brow, bm, k)
+		gathered = Vb[self.rowids]  # (nnzb, bm, k)
+		acc = jnp.promote_types(self.dtype, jnp.float32)
+		prod = jnp.einsum("zij,zik->zjk", jnp.conj(self.blocks), gathered, preferred_element_type=acc)
+		n_bcol = np_c // bn
+		Y = jax.ops.segment_sum(prod, self.indices, num_segments=n_bcol)
+		out = Y.reshape(np_c, k)[: self.shape[1]].astype(self.dtype)
+		return out[:, 0] if single else out
+
+	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
+		return self.rmatmat(v)
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		# Default to the XLA gather+blockeinsum+segment_sum path: measured
@@ -472,7 +508,10 @@ class DIAOperator(LinearOperator):
 			# halo fall through to the XLA stencil below.
 			from ..ops.dia_pallas import dia_matmat_t
 
-			return dia_matmat_t(self, Vt)
+			try:
+				return dia_matmat_t(self, Vt)
+			except NotImplementedError:
+				pass  # complex dtypes / other kernel limits: XLA stencil below
 		# use_pallas with a band wider than the kernel halo falls through to
 		# the XLA stencil below (probe-count-agnostic, unlike the node-major
 		# kernel's 128-lane requirement).
@@ -536,14 +575,15 @@ class DIAOperator(LinearOperator):
 		return dia_matmat_t_phys(bands, Xphys, self.offsets, interpret=interpret)
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
-		# Aᵀ has band'_{-d}[i] = band_d[i - d]; estimation targets are
-		# symmetric so the default is rarely exercised — keep it exact anyway.
+		# ADJOINT A†v: A† has band'_{-d}[i] = conj(band_d[i - d]) (conj a no-op
+		# for real data); estimation targets are symmetric so the default is
+		# rarely exercised — keep it exact anyway.
 		n = self.shape[0]
 		moff = max((abs(o) for o in self.offsets), default=0)
 		acc = jnp.promote_types(self.dtype, jnp.float32)
 		out = jnp.zeros(n + 2 * moff, acc)
 		for k, off in enumerate(self.offsets):
-			out = out.at[moff + off : moff + off + n].add(self.bands[k].astype(acc) * v.astype(acc))
+			out = out.at[moff + off : moff + off + n].add(jnp.conj(self.bands[k]).astype(acc) * v.astype(acc))
 		return out[moff : moff + n].astype(self.dtype)
 
 	def todense(self) -> jnp.ndarray:

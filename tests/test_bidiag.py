@@ -198,3 +198,13 @@ def test_bidiag_residual_matches_dense_recurrence():
 		for vv in Vb:
 			r -= (r @ vv) * vv
 		assert abs(float(out.residual[j]) - np.linalg.norm(r)) < 1e-8
+
+
+def test_lanczos_bidiag_public_residual_and_adjoint():
+	"""Review r3d: the public driver forwards return_residual/adjoint."""
+	rng = np.random.default_rng(0)
+	X = jnp.asarray(rng.normal(size=(30, 20)))
+	out = pt.bidiag.lanczos_bidiag(X, deg=8, orth=-1, seed=1, return_residual=True)
+	assert out.residual is not None and np.all(np.isfinite(np.asarray(out.residual)))
+	out2 = pt.bidiag.lanczos_bidiag(X, deg=8, orth=-1, seed=1, adjoint=True)
+	assert out2.alphas.shape[0] == 8

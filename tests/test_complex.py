@@ -412,3 +412,72 @@ def test_sketch_estimators_phase_probes():
 	assert abs(e2 - tr) / tr < 1e-3  # m = n exactness
 	e3 = float(pt.xnystrace(H, m=36, pdf="phase", seed=4))
 	assert abs(e3 - tr) / tr < 0.2
+
+
+def test_sparse_adjoints_are_conjugate_transpose():
+	"""Review r3d: COO/CSR/DIA/BSR rmatvec must be the ADJOINT A*v (the base
+	contract DenseOperator honors), not the plain transpose."""
+	from primate_tpu.operators.sparse import BSROperator, COOOperator, CSROperator, DIAOperator
+	import scipy.sparse as sps
+
+	rng = np.random.default_rng(0)
+	n = 24
+	off = rng.normal(size=n - 1) + 1j * rng.normal(size=n - 1)
+	H = sps.diags([np.conj(off) * 0 + (rng.normal(size=n - 1) + 1j * rng.normal(size=n - 1)), rng.normal(size=n).astype(complex), off], [-1, 0, 1]).tocsr()
+	Hd = H.toarray()
+	v = rng.normal(size=n) + 1j * rng.normal(size=n)
+	for op in (
+		CSROperator.from_scipy(H),
+		COOOperator.from_scipy(H.tocoo()),
+		DIAOperator.from_scipy(H.todia()),
+		BSROperator.from_scipy(H, blocksize=(2, 2)),
+	):
+		got = np.asarray(op.rmatvec(jnp.asarray(v)))
+		want = Hd.conj().T @ v
+		assert np.allclose(got, want, atol=1e-6), type(op).__name__
+		# .H operator agrees with the dense adjoint
+		got_H = np.asarray((op.H) @ jnp.asarray(v))
+		assert np.allclose(got_H, want, atol=1e-6), type(op).__name__
+
+
+def test_gram_operator_complex_is_hermitian_psd():
+	"""GramOperator over a complex CSR data matrix applies A^H A (PSD), not A^T A."""
+	from primate_tpu.operators.sparse import CSROperator, GramOperator
+	import scipy.sparse as sps
+
+	rng = np.random.default_rng(3)
+	X = sps.random(20, 14, density=0.3, random_state=5).toarray()
+	Xc = X + 1j * (X != 0) * rng.normal(size=X.shape)
+	op = GramOperator(CSROperator.from_scipy(sps.csr_matrix(Xc)))
+	V = rng.normal(size=(14, 3)) + 1j * rng.normal(size=(14, 3))
+	got = np.asarray(op.matmat(jnp.asarray(V)))
+	want = Xc.conj().T @ (Xc @ V)
+	assert np.allclose(got, want, atol=1e-6)
+
+
+def test_lanczos_complex_alpha_beta_real_dtype():
+	"""Review r3d: alpha/beta come back REAL for complex Hermitian operators
+	(the documented contract; tqli's hypot requires it)."""
+	n = 32
+	H = pt.random.hermitian(n, ew=np.linspace(0.5, 2.0, n), seed=1)
+	a, b = pt.lanczos(H, deg=10, orth=-1, seed=2)
+	assert np.asarray(a).dtype.kind == "f" and np.asarray(b).dtype.kind == "f"
+	rw = pt.rayleigh_ritz(H, deg=n, orth=-1, seed=3, method="tqli")
+	assert np.allclose(np.sort(np.asarray(rw)), np.linspace(0.5, 2.0, n), atol=1e-4)
+
+
+def test_dia_use_pallas_complex_falls_back():
+	"""Review r3d: matmat_t with use_pallas=True on a complex DIA operator
+	falls back to the XLA stencil instead of raising from the kernel."""
+	from primate_tpu.operators.sparse import DIAOperator
+	import scipy.sparse as sps
+
+	n = 64
+	off = (0.2 + 0.3j) * np.ones(n - 1)
+	H = sps.diags([np.conj(off), 2.0 * np.ones(n).astype(complex), off], [-1, 0, 1]).todia()
+	op = DIAOperator.from_scipy(H)
+	op.use_pallas = True
+	Vt = jnp.asarray(np.random.default_rng(0).normal(size=(4, n)) + 0j, jnp.complex64)
+	got = np.asarray(op.matmat_t(Vt))
+	want = (H.toarray() @ np.asarray(Vt).T).T
+	assert np.allclose(got, want, atol=1e-5)

@@ -152,3 +152,41 @@ def test_bsr_fill_in_warning_fires_on_scipy_fallback():
 		warnings.simplefilter("always")
 		BSROperator.from_scipy(A, blocksize=(8, 8), engine="scipy")
 	assert any("not block-structured" in str(w.message) for w in ws)
+
+
+def test_csr_construction_under_jit():
+	"""Review r3d: CSROperator builds inside jit (tracer-aware rowids, ELL
+	analysis skipped) like COOOperator."""
+	import scipy.sparse as sps
+
+	n = 32
+	A = sps.random(n, n, density=0.2, random_state=0, format="csr")
+	A = A + A.T
+
+	import jax
+
+	@jax.jit
+	def apply(data, v):
+		from primate_tpu.operators.sparse import CSROperator
+
+		op = CSROperator(data, jnp.asarray(A.indices), jnp.asarray(A.indptr), A.shape)
+		return op.matvec(v)
+
+	v = np.random.default_rng(1).normal(size=n)
+	got = np.asarray(apply(jnp.asarray(A.data), jnp.asarray(v)))
+	assert np.allclose(got, A @ v, atol=1e-8)
+
+
+def test_bsr_rectangular_adjoint():
+	"""BSR adjoint on a rectangular block grid (base fallback used to
+	shape-error or silently return A v)."""
+	import scipy.sparse as sps
+
+	rng = np.random.default_rng(5)
+	X = sps.random(24, 16, density=0.3, random_state=7, format="csr")
+	from primate_tpu.operators.sparse import BSROperator
+
+	op = BSROperator.from_scipy(X.tobsr(blocksize=(4, 4)))
+	u = rng.normal(size=24)
+	got = np.asarray(op.rmatvec(jnp.asarray(u)))
+	assert np.allclose(got, X.T @ u, atol=1e-8)
