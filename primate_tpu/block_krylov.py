@@ -29,7 +29,7 @@ preallocated ``(deg, n, b)`` buffer (zero slots project to zero, so the
 re-orthogonalization needs no masking).
 """
 
-from functools import lru_cache, partial
+from functools import partial
 from typing import Callable, NamedTuple, Optional, Union
 
 import numpy as np
@@ -248,24 +248,15 @@ def block_slq_trace(
 
 
 def _resolve_fun(fun, **kwargs):
+	# param_callable already memoizes builtins on (name, params) — a stable
+	# identity for the static `fun` jit argument — so no extra cache layer.
 	if isinstance(fun, str):
-		try:
-			return _param_callable_cached(fun, tuple(sorted(kwargs.items())))
-		except TypeError:  # unhashable kwargs — skip memoization
-			return param_callable(fun, **kwargs)
+		return param_callable(fun, **kwargs)
 	return fun or _identity_fun
 
 
 def _identity_fun(x):
 	return x
-
-
-@lru_cache(maxsize=64)
-def _param_callable_cached(fun: str, kw_items: tuple):
-	# Stable callable identity per (name, params): the jitted program below
-	# treats `fun` as a static argument, so a fresh closure per call would
-	# defeat the compilation cache.
-	return param_callable(fun, **dict(kw_items))
 
 
 @partial(jax.jit, static_argnames=("fun", "n", "b", "deg", "pdf", "reorth", "nblocks"))

@@ -179,9 +179,14 @@ class _Realified:
 def _collapse_realified(w2: np.ndarray, V2: np.ndarray, k: int, order: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 	"""Fold realified eigenpairs back to ≤k distinct complex eigenpairs.
 
-	Each real vector individually collapses to a valid complex eigenvector;
-	the doubled multiplicity shows up as a second (phase-rotated) copy, dropped
-	by the ``|⟨u, u_acc⟩|`` dedup."""
+	Each real vector individually collapses to a valid complex eigenvector; the
+	doubled multiplicity shows up as a phase-rotated copy of an already-kept
+	direction. Dedup by PROJECTION (orthogonalize against the kept set, keep
+	the residual direction when it is substantial): unlike a pairwise-overlap
+	test, this keeps the full d-dimensional complex eigenspace of a degenerate
+	eigenvalue — a second genuine basis vector can have |⟨u, u_kept⟩| anywhere
+	in [0, 1] depending on how the realified solver rotated the 2d-dimensional
+	real eigenspace."""
 	n = V2.shape[0] // 2
 	U = V2[:n] + 1j * V2[n:]
 	keep_w, keep_u = [], []
@@ -191,10 +196,13 @@ def _collapse_realified(w2: np.ndarray, V2: np.ndarray, k: int, order: np.ndarra
 		if nrm < 1e-10:
 			continue
 		u = u / nrm
-		if any(abs(np.vdot(u, uj)) > 0.7 for uj in keep_u):
+		for uj in keep_u:  # project out the kept directions (CGS)
+			u = u - np.vdot(uj, u) * uj
+		res = np.linalg.norm(u)
+		if res < 0.3:  # phase/rotation copy of the kept set
 			continue
 		keep_w.append(float(w2[i]))
-		keep_u.append(u)
+		keep_u.append(u / res)
 		if len(keep_w) == k:
 			break
 	return np.asarray(keep_w), (np.stack(keep_u, axis=1) if keep_u else np.zeros((n, 0), U.dtype))
@@ -320,7 +328,7 @@ def eigsh(
 		w, V = np.asarray(th[:k]), np.asarray(U[:, :k])
 	else:
 		k_top = (k + 1) // 2 if which == "BE" else k
-		k_bot = k - k // 2 if which == "BE" else k
+		k_bot = k // 2 if which == "BE" else k
 		th_t, U_t = top(k_top + pad, k_hi)
 		c = _upper_bound(op, seed)
 		th_b, U_b = bottom(k_bot + pad, k_lo, c)
@@ -695,6 +703,18 @@ def rand_nystrom(A, rank: int = 6, oversample: int = 8, seed=None, dtype=None):
 	Y = Y + nu * Om
 	core = 0.5 * ((jnp.conj(Om).T @ Y) + (jnp.conj(Y).T @ Om))  # ½(Ω†Y + Y†Ω), Hermitian
 	L = jnp.linalg.cholesky(core)
+	if not bool(np.all(np.isfinite(np.asarray(L)))):
+		# A numerically INDEFINITE input (PSD up to roundoff with a small
+		# negative eigenvalue the ε-scale ν-shift cannot cover) makes the
+		# Cholesky return NaN silently — which would propagate into (w, U) and
+		# poison every downstream deflation. Re-shift by the core's most
+		# negative eigenvalue and retry; the extra shift is subtracted back.
+		w_core = jnp.linalg.eigvalsh(core)
+		bump = jnp.maximum(-w_core[0], 0.0) * 2.0 + jnp.finfo(r_acc).eps * jnp.abs(w_core[-1])
+		Y = Y + bump * Om
+		nu = nu + bump
+		core = core + bump * jnp.eye(ell, dtype=acc)
+		L = jnp.linalg.cholesky(core)
 	L_inv = jax.scipy.linalg.solve_triangular(L, jnp.eye(ell, dtype=acc), lower=True)
 	B = Y @ jnp.conj(L_inv).T  # (n, ell), Â = BB†
 	U, s, _ = jnp.linalg.svd(B, full_matrices=False)  # accurate path: thin SVD, no Gram squaring

@@ -59,6 +59,43 @@ def _shift_family(f, shifts: tuple):
 		return stacked(lambda x, t: f(x + t), np.asarray(shifts))
 
 
+@lru_cache(maxsize=256)
+def _memo_fun(kind: str, *params: float):
+	"""Stable-identity spectral closures for the parameterized recipes.
+
+	MatrixFunction carries ``fun`` as STATIC jit data, so a fresh closure per
+	call would recompile the whole fused estimator every invocation (seconds
+	of XLA compile on TPU for identical parameters). Memoizing on the
+	(kind, params) tuple gives repeated calls the same callable identity —
+	the same fix `_shift_family` applies to shifted_trace.
+	"""
+	if kind == "window":  # eigencount's smoothstep difference
+		from .special import smoothstep
+
+		a, b, w = params
+		rise = smoothstep(a=a - w / 2, b=a + w / 2)
+		fall = smoothstep(a=b - w / 2, b=b + w / 2)
+		return lambda x: rise(x) - fall(x)
+	if kind == "logabs":  # slogdet's log|x| with a floor
+		return lambda x: jnp.log(jnp.maximum(jnp.abs(x), 1e-30))
+	if kind == "effdim":  # x/(x+λ)
+		(lam,) = params
+		return lambda x: x / (x + lam)
+	if kind == "effdim_fam":
+		return stacked(lambda x, v: x / (x + v), np.asarray(params))
+	if kind == "abspow":  # |x|^p (Schatten)
+		(q,) = params
+		return lambda x: jnp.abs(x) ** q
+	if kind == "abspow_fam":
+		return stacked(lambda x, q: jnp.abs(x) ** q, np.asarray(params))
+	if kind == "grampow":  # max(x,0)^(p/2) (Schatten via Gram)
+		(q,) = params
+		return lambda x: jnp.maximum(x, 0.0) ** (q / 2.0)
+	if kind == "grampow_fam":
+		return stacked(lambda x, q: jnp.maximum(x, 0.0) ** (q / 2.0), np.asarray(params))
+	raise KeyError(kind)
+
+
 def _slq(A, fun, deg: int, orth: int, fun_kwargs: Optional[dict] = None, **est_kwargs):
 	M = MatrixFunction(A, fun=fun, deg=deg, orth=orth, **(fun_kwargs or {}))
 	return hutch(M, **est_kwargs)
@@ -117,9 +154,13 @@ def deflated_trace(
 	f = param_callable(fun, **(fun_kwargs or {})) if isinstance(fun, str) else fun
 
 	defl = DeflatedOperator(op, jnp.asarray(V), fill=fill)
+	# Correct by the ACTUAL deflated count: eigsh's degenerate-eigenvalue dedup
+	# can return fewer than k pairs, and each filled direction contributes
+	# exactly f(fill) to tr(f(deflated)).
+	k_act = int(np.asarray(V).shape[1])
 	if fun is None:
 		exact = float(np.sum(w))
-		correction = -float(k) * float(fill)
+		correction = -float(k_act) * float(fill)
 		rest = hutch(defl, **est_kwargs)
 	else:
 		exact = float(np.sum(f(w)).real)
@@ -127,7 +168,7 @@ def deflated_trace(
 		# a complex-dtype scalar would make float() raise for Hermitian operators.
 		from .random import real_dtype as _real_dtype
 
-		correction = -float(k) * float(f(jnp.asarray(fill, _real_dtype(defl.dtype))))
+		correction = -float(k_act) * float(f(jnp.asarray(fill, _real_dtype(defl.dtype))))
 		rest = _slq(defl, fun, deg, orth, fun_kwargs=fun_kwargs, **est_kwargs)
 	if isinstance(rest, tuple):
 		est, result = rest
@@ -174,7 +215,7 @@ def slogdet(A, deg: int = 30, orth: int = 5, count_deg: int = 30, **kwargs):
 		n_neg = eigencount(op, (rw_min - pad, 0.0), deg=count_deg, **{k: v for k, v in kwargs.items() if k != "full"})
 		n_neg = int(n_neg)
 	sign = -1.0 if (n_neg % 2) else 1.0
-	est = _slq(op, lambda x: jnp.log(jnp.maximum(jnp.abs(x), 1e-30)), deg, orth, **kwargs)
+	est = _slq(op, _memo_fun("logabs"), deg, orth, **kwargs)
 	if isinstance(est, tuple):
 		val, result = est
 		result.info["sign"] = sign
@@ -277,11 +318,12 @@ def trace_bounds(
 		lo, hi = float(rw.min()), float(rw.max())
 		pad = 0.03 * max(hi - lo, 1e-12) + 1e-12
 		a, b = lo - pad, hi + pad
-		if kind == "bernstein" and lo > 0 and a <= 0:
-			# log/sqrt-class brackets need a POSITIVE lower endpoint: the Radau/
-			# Lobatto rules pin a node at `a`, and additive padding can push it
-			# ≤ 0 (log blows up, the bound collapses to log(eps)-scale garbage).
-			# Pad multiplicatively instead — still ≤ the Ritz minimum, still > 0.
+		if kind in ("bernstein", "completely_monotone") and lo > 0 and a <= 0:
+			# log/sqrt-class AND inv-class brackets need a POSITIVE lower
+			# endpoint: the Radau/Lobatto rules pin a node at `a`, and additive
+			# padding can push it ≤ 0 (log blows up; 1/a goes hugely NEGATIVE,
+			# silently inverting the completely-monotone upper bound). Pad
+			# multiplicatively instead — still ≤ the Ritz minimum, still > 0.
 			a = 0.5 * lo
 	else:
 		a, b = float(interval[0]), float(interval[1])
@@ -421,13 +463,9 @@ def effective_dim(A, lam: Union[float, np.ndarray] = 1.0, deg: int = 30, orth: i
 	``hutch(MatrixFunction(A, lambda x: x/(x+lam)))``, one full run per λ).
 	"""
 
-	def _f(x, v):
-		return x / (x + v)
-
 	if np.ndim(lam) > 0:
-		return _slq(A, stacked(_f, np.asarray(lam)), deg, orth, **kwargs)
-	lam = float(lam)
-	return _slq(A, lambda x: x / (x + lam), deg, orth, **kwargs)
+		return _slq(A, _memo_fun("effdim_fam", *(float(v) for v in np.asarray(lam).ravel())), deg, orth, **kwargs)
+	return _slq(A, _memo_fun("effdim", float(lam)), deg, orth, **kwargs)
 
 
 def condition_number(A, k: int = 1, maxiter: int = 200, seed=None, method: str = "lobpcg", **eigsh_kwargs):
@@ -514,16 +552,9 @@ def eigencount(A, interval: tuple, deg: int = 30, orth: int = 5, width: Optional
 	window restores spectral accuracy at a bias ≤ the eigenvalue mass inside
 	the two transition bands.
 	"""
-	from .special import smoothstep
-
 	a, b = interval
 	w = (0.02 * (b - a)) if width is None else float(width)
-	rise = smoothstep(a=a - w / 2, b=a + w / 2)
-	fall = smoothstep(a=b - w / 2, b=b + w / 2)
-
-	def window(x):
-		return rise(x) - fall(x)
-
+	window = _memo_fun("window", float(a), float(b), float(w))
 	est = _slq(A, window, deg, orth, **kwargs)
 	if isinstance(est, tuple):
 		return (round(float(est[0])), *est[1:])
@@ -546,12 +577,10 @@ def schatten(A, p: Union[float, np.ndarray] = 1.0, deg: int = 20, orth: int = 5,
 		from .operators import GramOperator
 
 		op = GramOperator(aslinop(A))
-		f = stacked(lambda x, q: jnp.maximum(x, 0.0) ** (q / 2.0), ps) if multi else (
-			lambda x: jnp.maximum(x, 0.0) ** (float(p) / 2.0)
-		)
+		f = _memo_fun("grampow_fam", *(float(q) for q in ps)) if multi else _memo_fun("grampow", float(p))
 		est = _slq(op, f, deg, orth, **kwargs)
 	else:
-		f = stacked(lambda x, q: jnp.abs(x) ** q, ps) if multi else (lambda x: jnp.abs(x) ** float(p))
+		f = _memo_fun("abspow_fam", *(float(q) for q in ps)) if multi else _memo_fun("abspow", float(p))
 		est = _slq(A, f, deg, orth, **kwargs)
 	root = (lambda v: np.asarray(v) ** (1.0 / ps)) if multi else (lambda v: float(v) ** (1.0 / float(p)))
 	if isinstance(est, tuple):
@@ -621,6 +650,35 @@ def bilinear_form(
 			out = (q[..., :k] - q[..., k:]) / 4.0
 	out = np.asarray(out)
 	return out[..., 0] if single else out
+
+
+@jax.tree_util.register_pytree_node_class
+class _DiagWeights:
+	"""diag(w) as a pytree operator (weights are a LEAF, so repeated
+	weighted_trace calls with different weights share one compiled program —
+	a FunctionOperator closure would be static jit data and retrace)."""
+
+	def __init__(self, w: jnp.ndarray):
+		self.w = w
+		self.shape = (w.shape[0], w.shape[0])
+		self.dtype = w.dtype
+
+	def matmat(self, V):
+		return self.w[:, None] * jnp.asarray(V, self.dtype)
+
+	def matvec(self, v):
+		return self.w * jnp.asarray(v, self.dtype)
+
+	def tree_flatten(self):
+		return (self.w,), None
+
+	@classmethod
+	def tree_unflatten(cls, aux, children):
+		obj = object.__new__(cls)
+		obj.w = children[0]
+		obj.shape = (children[0].shape[0],) * 2 if hasattr(children[0], "shape") and children[0].shape else None
+		obj.dtype = getattr(children[0], "dtype", None)
+		return obj
 
 
 @jax.tree_util.register_pytree_node_class
@@ -697,11 +755,7 @@ def weighted_trace(
 	"""
 	w = np.asarray(B) if not hasattr(B, "shape") else B
 	if isinstance(w, (np.ndarray, jnp.ndarray)) and np.ndim(w) == 1:
-		weights = jnp.asarray(w)
-		n = int(weights.shape[0])
-		from .operators import FunctionOperator
-
-		opB = FunctionOperator(lambda X: weights[:, None] * X, (n, n), dtype=weights.dtype, batched=True)
+		opB = _DiagWeights(jnp.asarray(w))  # pytree (weights are DATA): no per-call retrace
 	else:
 		opB = aslinop(B)
 	opA = aslinop(A)

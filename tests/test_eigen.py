@@ -320,3 +320,38 @@ def test_filtered_eigsh_unresolvable_slice_fails_fast():
 	assert len(ww) == 0 and V.shape == (n, 0)
 	assert any("resolution" in str(x.message) for x in w)
 	assert time.time() - t0 < 30  # no filter sweeps were run
+
+
+def test_eigsh_complex_degenerate_eigenvalue_returns_k():
+	"""Review r3e: a multiplicity-2 extremal eigenvalue of a complex Hermitian
+	operator must yield BOTH eigenspace directions (the old pairwise-overlap
+	dedup could drop the second genuine basis vector)."""
+	rng = np.random.default_rng(7)
+	n = 40
+	ew = np.concatenate([np.linspace(0.1, 1.0, n - 2), [3.0, 3.0]])
+	for seed in range(5):
+		H = pt.random.hermitian(n, ew=ew, seed=seed)
+		w, V = pt.eigsh(H, k=2, which="LA", seed=seed + 100)
+		assert len(w) == 2 and V.shape == (n, 2)
+		assert np.allclose(np.sort(w), [3.0, 3.0], atol=1e-3), (seed, w)
+		# the two returned vectors span a genuine 2-D eigenspace
+		G = V.conj().T @ V
+		assert np.allclose(G, np.eye(2), atol=1e-4), seed
+		R = np.asarray(H) @ V - V * w[None, :]
+		assert np.linalg.norm(R, axis=0).max() < 1e-3, seed
+
+
+def test_rand_nystrom_indefinite_roundoff_no_nan():
+	"""Review r3e: a PSD-up-to-roundoff operator (small negative eigenvalue)
+	must not silently return NaN factors from the core Cholesky."""
+	rng = np.random.default_rng(3)
+	n = 80
+	ew = np.concatenate([[-1e-5], np.geomspace(2.0, 1e-3, n - 1)])  # decaying: rank-10 captures the top
+	A = np.asarray(pt.symmetric(n, ew=ew, seed=5), np.float64)
+	w, U = pt.rand_nystrom(A, rank=10, seed=7)
+	assert np.all(np.isfinite(w)) and np.all(np.isfinite(U))
+	assert np.all(w >= 0)
+	# factors still approximate the dominant eigenspace (single-pass Nyström
+	# with modest oversampling on a slow-decay spectrum: ~10% top-eigenvalue
+	# underestimate is expected; the point here is finiteness)
+	assert 1.5 < w[0] <= 2.0 + 1e-6

@@ -517,3 +517,35 @@ def test_trace_bounds_log_tiny_lambda_min_not_garbage():
 	true = np.sum(np.log(ew))
 	lo, hi = pt.recipes.trace_bounds(A, "log", deg=40, nv=256, seed=10)
 	assert hi >= lo and hi - lo < 5 and abs(0.5 * (lo + hi) - true) < 10
+
+
+def test_trace_bounds_inv_wide_spectrum_not_inverted():
+	"""Review r3e: fun='inv' with an auto interval whose additive pad would dip
+	below zero — the completely-monotone bracket must stay ordered and finite
+	(1/a at a<0 used to invert the upper bound)."""
+	rng = np.random.default_rng(0)
+	ew = np.concatenate([[1e-3, 2e-3], rng.uniform(0.1, 1.0, 62)])
+	A = np.asarray(pt.symmetric(64, pd=True, ew=ew, seed=1), np.float64)
+	res = recipes.trace_bounds(A, "inv", deg=16, nv=32, seed=2, full=True)
+	assert np.isfinite(res["lower"]) and np.isfinite(res["upper"])
+	assert res["lower"] <= res["upper"] + 1e-9
+	# the bracket holds the exact probe-sample mean (the quadrature-bias contract)
+	lam, U = np.linalg.eigh(A)
+	fA = U @ np.diag(1.0 / lam) @ U.T
+	from primate_tpu.random import as_key, sample_isotropic
+
+	V = np.asarray(sample_isotropic(as_key(2), (64, 32), pdf="rademacher", dtype=np.float64))
+	sm = float(np.einsum("ij,ij->j", V, fA @ V).mean())
+	assert res["lower"] - 1e-6 <= sm <= res["upper"] + 1e-6
+
+
+def test_recipe_closures_have_stable_identity():
+	"""Review r3e: parameterized recipe closures are memoized so repeated calls
+	reuse the fused program's jit cache instead of recompiling."""
+	from primate_tpu.recipes import _memo_fun
+
+	assert _memo_fun("effdim", 0.5) is _memo_fun("effdim", 0.5)
+	assert _memo_fun("window", 0.0, 1.0, 0.02) is _memo_fun("window", 0.0, 1.0, 0.02)
+	assert _memo_fun("abspow", 2.0) is _memo_fun("abspow", 2.0)
+	assert _memo_fun("logabs") is _memo_fun("logabs")
+	assert _memo_fun("effdim", 0.5) is not _memo_fun("effdim", 0.6)
