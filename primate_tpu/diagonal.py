@@ -148,6 +148,14 @@ def diag(
 	variance. Default stop: the dim-N tolerance criterion on the mean update.
 	Parity: reference `diagonal.py:11-92`.
 
+	Estimator note (reference parity, `diagonal.py:71-92`): the returned value
+	is the MEAN of the running-ratio sequence, exactly as the reference's
+	MeanEstimator-of-ratios computes it. The final ratio ``Σv∘Av / Σv∘v`` —
+	available from a ``full=True`` result as
+	``state["numer"].reshape(nout, N) / state["denom"]`` — is the plain
+	ratio estimator and measures ~1.4× lower RMSE at equal probes; the mean-of-
+	ratios is kept as the default for drop-in reference compatibility.
+
 	``batch`` merges that many probes into ONE ``(n, batch)`` operator block per
 	loop iteration (one SpMM feeding the MXU/bandwidth instead of ``batch``
 	single-column matvecs — at 1M+ rows a lone column is bandwidth-starved).
@@ -240,6 +248,10 @@ def diag(
 		# snapshot). m2 IS tracked below — a host-path snapshot resumed into the
 		# fused path with a confidence criterion must not report var=0.
 		estimator = MeanEstimator.from_state(MeanState(n=init_carry.mean.n, mu=init_carry.mean.mu))
+		if record:
+			# Record FUTURE samples on a resumed run (the snapshot holds no
+			# per-iteration history; from_state would otherwise drop the flag).
+			estimator.values = []
 		numer, denom, m2_res = init_carry.numer, init_carry.denom, np.asarray(init_carry.m2)
 		it = int(init_carry.mean.n)
 	else:

@@ -53,26 +53,40 @@ class ShardedDenseOperator(LinearOperator):
 	without any host involvement.
 	"""
 
-	def __init__(self, A: jnp.ndarray, mesh: Mesh, op_axis: str = "op", _pre_sharded: bool = False):
+	def __init__(self, A: jnp.ndarray, mesh: Mesh, op_axis: str = "op", _pre_sharded: bool = False, dtype=None, _logical_shape=None):
 		self.mesh = mesh
 		self.op_axis = op_axis
 		if not _pre_sharded:
-			A = jax.device_put(jnp.asarray(A), NamedSharding(mesh, P(op_axis, None)))
+			A = jnp.asarray(A, dtype=dtype)
+			self._logical = tuple(A.shape)
+			ndev = mesh.shape[op_axis]
+			pad = (-A.shape[0]) % ndev
+			if pad:  # the GSPMD layout needs a device-divisible row count
+				A = jnp.pad(A, ((0, pad), (0, 0)))
+			A = jax.device_put(A, NamedSharding(mesh, P(op_axis, None)))
+		else:
+			self._logical = tuple(_logical_shape if _logical_shape is not None else A.shape)
 		self.A = A
-		self.shape = tuple(A.shape)
+		self.shape = self._logical
 		self.dtype = A.dtype
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
-		return self.A @ V
+		if self.A.shape[1] != V.shape[0]:  # padded rows: pad inputs, slice outputs
+			V = jnp.pad(V, ((0, self.A.shape[1] - V.shape[0]), (0, 0)))
+		return (self.A @ V)[: self.shape[0]]
 
 	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
-		return Vt @ self.A.T  # GSPMD partitions the same GEMM column-sharded
+		if self.A.shape[1] != Vt.shape[1]:
+			Vt = jnp.pad(Vt, ((0, 0), (0, self.A.shape[1] - Vt.shape[1])))
+		return (Vt @ self.A.T)[:, : self.shape[0]]  # GSPMD partitions the same GEMM
 
 	def rmatvec(self, v: jnp.ndarray) -> jnp.ndarray:
-		return jnp.conj(self.A).T @ v  # adjoint A† (conj is a no-op for real A)
+		if self.A.shape[0] != v.shape[0]:
+			v = jnp.pad(v, (0, self.A.shape[0] - v.shape[0]))
+		return (jnp.conj(self.A).T @ v)[: self.shape[1]]  # adjoint A† (conj no-op for real A)
 
 	def todense(self) -> jnp.ndarray:
-		return self.A
+		return self.A[: self.shape[0], : self.shape[1]]
 
 	def tree_flatten(self):
 		return (self.A,), (self.mesh, self.op_axis, self.shape, self.dtype)
@@ -82,6 +96,7 @@ class ShardedDenseOperator(LinearOperator):
 		obj = object.__new__(cls)
 		obj.A = children[0]
 		obj.mesh, obj.op_axis, obj.shape, obj.dtype = aux
+		obj._logical = obj.shape
 		return obj
 
 
@@ -112,8 +127,13 @@ def _partition_bsr_host(
 		lo, hi = d * bpd, (d + 1) * bpd
 		sel = (rowids >= lo) & (rowids < hi)
 		rb, cb, bl = rowids[sel] - lo, indices[sel], blocks[sel]
-		if halo_col:
-			halo_ok &= bool(np.all((cb >= (d - 1) * bpd) & (cb < (d + 2) * bpd))) if cb.size else True
+		if halo_col and cb.size:
+			# Only STRUCTURAL blocks count: BSR conversions insert explicit
+			# zero blocks (e.g. at block-col 0 for empty block-rows), which
+			# would otherwise falsely disqualify a banded matrix from halo.
+			nz = np.abs(bl).reshape(bl.shape[0], -1).max(axis=1) > 0
+			cnz = cb[nz]
+			halo_ok &= bool(np.all((cnz >= (d - 1) * bpd) & (cnz < (d + 2) * bpd))) if cnz.size else True
 		# Cover every local row (incl. rows past n_brow on the last device).
 		missing = np.setdiff1d(np.arange(bpd), rb)
 		if missing.size:
@@ -773,7 +793,7 @@ def shard_operator(
 	import scipy.sparse as sps
 
 	if isinstance(A, (jnp.ndarray, np.ndarray)) and getattr(A, "ndim", 0) == 2:
-		return ShardedDenseOperator(jnp.asarray(A), mesh, op_axis)
+		return ShardedDenseOperator(jnp.asarray(A), mesh, op_axis, dtype=kwargs.pop("dtype", None))
 	if isinstance(A, DIAOperator):
 		return ShardedDIAOperator.from_dia(A, mesh, op_axis, probe_axis, **kwargs)
 	if isinstance(A, BSROperator):
@@ -790,7 +810,7 @@ def shard_operator(
 		return ShardedCSROperator.from_csr(A, mesh, op_axis, probe_axis, comm, **kwargs)
 	op = aslinop(A)
 	if hasattr(op, "A") and isinstance(op.A, jnp.ndarray):
-		return ShardedDenseOperator(op.A, mesh, op_axis)
+		return ShardedDenseOperator(op.A, mesh, op_axis, dtype=kwargs.pop("dtype", None))
 	raise TypeError(f"Cannot shard operator of type {type(A)}")
 
 

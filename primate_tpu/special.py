@@ -56,13 +56,27 @@ def softsign(x: Optional[jnp.ndarray] = None, q: int = 1) -> Union[Callable, jnp
 def smoothstep(
 	x: Optional[jnp.ndarray] = None, a: float = 0.0, b: float = 1.0, deg: int = 3
 ) -> Union[Callable, jnp.ndarray]:
-	"""Cubic Hermite step: 0 below ``a``, 1 above ``b``, smooth in between."""
+	"""Polynomial Hermite step: 0 below ``a``, 1 above ``b``, smooth in between.
+
+	``deg = 2N+1`` selects the order-``N`` smoothstep ``S_N`` (N vanishing
+	derivatives at both edges): deg=3 is the classic cubic ``3y²−2y³``, deg=5
+	the quintic ``6y⁵−15y⁴+10y³``, etc. (The reference validates ``deg`` but
+	always evaluates the cubic, `special.py:43-49` — consciously fixed here;
+	higher degrees give flatter edges for eigencount windows.)
+	"""
 	assert (deg % 2) == 1, "Degree must be odd"
 	d = (b - a) if a != b else 1.0
+	N = (int(deg) - 1) // 2
+	from math import comb
+
+	coefs = [comb(N + k, k) * comb(2 * N + 1, N - k) * ((-1.0) ** k) for k in range(N + 1)]
 
 	def _smoothstep(x):
 		y = jnp.clip((jnp.asarray(x) - a) / d, 0.0, 1.0)
-		return 3 * y**2 - 2 * y**3
+		acc = jnp.zeros_like(y)
+		for c in reversed(coefs):  # Horner in y, then × y^{N+1}
+			acc = acc * y + c
+		return acc * y ** (N + 1)
 
 	return _smoothstep(x) if x is not None else _smoothstep
 
@@ -106,7 +120,7 @@ def _cached_builtin(fun: str, kwargs_items: tuple) -> Callable:
 	if fun == "exp":
 		return exp(t=kwargs.pop("t", 1.0))
 	if fun == "smoothstep":
-		return smoothstep(a=kwargs.pop("a", 0.0), b=kwargs.pop("b", 1.0))
+		return smoothstep(a=kwargs.pop("a", 0.0), b=kwargs.pop("b", 1.0), deg=kwargs.pop("deg", 3))
 	if fun == "softsign":
 		return softsign(q=kwargs.pop("q", 10))
 	if fun == "numrank":
@@ -173,6 +187,6 @@ def param_callable(fun: Union[str, Callable, None], **kwargs) -> Callable:
 	if callable(fun):
 		return fun
 	assert isinstance(fun, str), "Matrix function must be a string or callable."
-	known = {"t", "a", "b", "q", "threshold"}
+	known = {"t", "a", "b", "q", "threshold", "deg"}
 	items = tuple(sorted((k, v) for k, v in kwargs.items() if k in known))
 	return _cached_builtin(fun.lower(), items)

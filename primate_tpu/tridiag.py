@@ -159,7 +159,7 @@ def _tqli_single(d: jnp.ndarray, e: jnp.ndarray, eigenvectors: bool, maxiter: in
 
 		def inner_cond(st):
 			d, e, Z, it = st
-			return (find_split(l, d, e) != l) & (it <= maxiter) & (e[l] != 0.0)
+			return (find_split(l, d, e) != l) & (it < maxiter) & (e[l] != 0.0)
 
 		def inner_body(st):
 			d, e, Z, it = st

@@ -40,7 +40,14 @@ def save_pytree(path: Union[str, Path], tree: Any) -> None:
 
 
 def load_pytree(path: Union[str, Path]) -> Any:
-	"""Load a pytree saved by :func:`save_pytree` (leaves come back as numpy)."""
+	"""Load a pytree saved by :func:`save_pytree` (leaves come back as numpy).
+
+	SECURITY: the embedded treedef is reconstructed with ``pickle`` — loading
+	a checkpoint can execute arbitrary code, exactly like ``torch.load`` /
+	``numpy`` pickled archives. Only load checkpoints you wrote yourself or
+	obtained from a trusted source (``allow_pickle=False`` protects the array
+	leaves only).
+	"""
 	with np.load(_norm_path(path), allow_pickle=False) as data:
 		treedef = pickle.loads(data["__treedef__"].tobytes())
 		leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]

@@ -105,10 +105,11 @@ def benchmark_matvec(A, k: int = 32, iters: int = 20, seed: int = 0, warmup: int
 		out, _ = jax.lax.scan(step, V, None, length=iters)
 		return jnp.sum(out)
 
+	pull = lambda r: complex(jax.device_get(r))  # noqa: E731 — scalar pull forces completion (tunnel-safe); complex() accepts real AND complex scalars
 	for _ in range(warmup):
-		float(chain(V))  # scalar pull forces full completion (tunnel-safe)
+		pull(chain(V))
 	t0 = time.perf_counter()
-	float(chain(V))
+	pull(chain(V))
 	dt = (time.perf_counter() - t0) / iters
 
 	out: Dict[str, float] = {"sec_per_matmat": dt, "matvecs_per_s": k / dt}

@@ -454,3 +454,32 @@ def test_sharded_csr_kwarg_compat_and_rect_halo(mesh8):
 	rect = sps.random(64, 48, density=0.05, random_state=33, format="csr")
 	with pytest.raises(ValueError, match="square"):
 		ShardedCSROperator.from_csr(rect, mesh8, comm="halo")
+
+
+def test_sharded_dense_uneven_rows_and_dtype(mesh8):
+	"""Review r3f: ShardedDenseOperator pads row counts not divisible by the
+	mesh (37 rows / 8 devices used to raise) and shard_operator forwards
+	dtype= for dense inputs like the sparse branches."""
+	rng = np.random.default_rng(41)
+	A = rng.normal(size=(37, 37))
+	A = (A + A.T) / 2
+	op = shard_operator(jnp.asarray(A), mesh8, dtype=jnp.float32)
+	assert op.dtype == jnp.float32 and op.shape == (37, 37)
+	V = rng.normal(size=(37, 3))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-4)
+	assert np.allclose(np.asarray(op.matmat_t(jnp.asarray(V.T))), (A @ V).T, atol=1e-4)
+	assert np.allclose(np.asarray(op.rmatvec(jnp.asarray(V[:, 0]))), A.T @ V[:, 0], atol=1e-4)
+
+
+def test_sharded_bsr_halo_survives_empty_block_rows(mesh8):
+	"""Review r3f: BSR conversions insert explicit zero blocks for empty
+	block-rows; those must not disqualify a banded matrix from comm='halo'."""
+	n = 128
+	L = _laplacian(n).tolil()
+	L[40:48, :] = 0.0  # one empty 8-row block-row
+	L[:, 40:48] = 0.0
+	L = L.tocsr()
+	op = shard_operator(L, mesh8, comm="auto", blocksize=(8, 8))
+	assert op.comm == "halo", op.comm
+	V = np.random.default_rng(43).normal(size=(n, 3))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), L @ V, atol=1e-9)

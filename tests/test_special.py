@@ -58,3 +58,23 @@ def test_param_callable_rejects_unknown():
 def test_param_callable_passthrough():
 	g = lambda x: x + 1
 	assert param_callable(g) is g
+
+
+def test_smoothstep_higher_degree_real():
+	"""Review r3f: deg selects the actual order-N smoothstep (the reference
+	validates deg but always evaluates the cubic — consciously fixed)."""
+	from primate_tpu.special import param_callable, smoothstep
+
+	x = np.linspace(-0.5, 1.5, 201)
+	s3 = np.asarray(smoothstep(x, a=0.0, b=1.0, deg=3))
+	s5 = np.asarray(smoothstep(x, a=0.0, b=1.0, deg=5))
+	y = np.clip(x, 0, 1)
+	assert np.allclose(s3, 3 * y**2 - 2 * y**3, atol=1e-12)
+	assert np.allclose(s5, 6 * y**5 - 15 * y**4 + 10 * y**3, atol=1e-12)
+	assert not np.allclose(s3, s5)
+	# edges: 0 at a, 1 at b, flat derivatives
+	for s in (s3, s5):
+		assert s[0] == 0.0 and s[-1] == 1.0
+	# builtin path forwards deg
+	f5 = param_callable("smoothstep", a=0.0, b=1.0, deg=5)
+	assert np.allclose(np.asarray(f5(jnp.asarray(x))), s5, atol=1e-12)
