@@ -30,8 +30,28 @@ _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
+def _host_tag() -> str:
+	"""Short per-host CPU fingerprint for the compiled-cache filename: the
+	library is built with -march=native, so a .so cached on one host can
+	SIGILL another host sharing the filesystem (NFS homes, multi-host pods) —
+	an uncatchable failure the ctypes fallback net cannot intercept."""
+	import hashlib
+	import platform
+
+	tag = platform.machine()
+	try:
+		with open("/proc/cpuinfo") as fh:
+			for line in fh:
+				if line.startswith(("flags", "Features")):
+					tag += hashlib.sha1(line.encode()).hexdigest()[:8]
+					break
+	except OSError:
+		pass
+	return tag
+
+
 def _build() -> Optional[ctypes.CDLL]:
-	so = _HERE / "_sparse_prep.so"
+	so = _HERE / f"_sparse_prep.{_host_tag()}.so"
 	try:
 		if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
 			# Compile to a unique temp file and atomically rename: a killed or
@@ -39,8 +59,12 @@ def _build() -> Optional[ctypes.CDLL]:
 			# path (other processes would load garbage instead of falling back).
 			tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
 			cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)]
-			subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-			os.replace(tmp, so)
+			try:
+				subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+				os.replace(tmp, so)
+			except BaseException:
+				tmp.unlink(missing_ok=True)  # no stale .tmp.so per failed process
+				raise
 		lib = ctypes.CDLL(str(so))
 		lib.bsr_count.restype = ctypes.c_int64
 		lib.bsr_count.argtypes = [ctypes.c_int64] * 4 + [_i64p, _i32p, _i64p]

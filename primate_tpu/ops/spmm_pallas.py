@@ -76,7 +76,10 @@ def bsr_matmat_pallas(
 	nnzb, bm, bn = blocks.shape
 	m, k = V.shape
 	n_out = m if n_out is None else n_out
-	acc = jnp.promote_types(V.dtype, jnp.float32)
+	# Promote over BOTH operands: deriving from V alone silently accumulated a
+	# float64 operator applied to float32 probes at f32 (the XLA fallback path
+	# promotes over self.dtype, so use_pallas must not change numerics).
+	acc = jnp.promote_types(jnp.promote_types(blocks.dtype, V.dtype), jnp.float32)
 
 	grid_spec = pltpu.PrefetchScalarGridSpec(
 		num_scalar_prefetch=2,  # rowids, colids

@@ -24,7 +24,10 @@ __all__ = ["make_mesh", "mesh_devices", "initialize_distributed"]
 def mesh_devices(n: Optional[int] = None) -> list:
 	"""First ``n`` global devices (all by default), in stable order."""
 	devs = jax.devices()
-	return devs if n is None else devs[:n]
+	if n is not None:
+		assert n <= len(devs), f"Requested {n} devices but only {len(devs)} are available."
+		return devs[:n]
+	return devs
 
 
 def make_mesh(

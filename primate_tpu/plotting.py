@@ -135,6 +135,24 @@ def figure_fun(fun, bounds: tuple = (-1.0, 1.0), ax=None, **kwargs):
 	return ax
 
 
+def _running_mean_stderr(x: np.ndarray):
+	"""Cumulative mean and ddof-1 standard error of the mean, numerically
+	stable: samples are CENTERED by the overall mean before the cumulative
+	second moment, so the cumsum-of-squares identity operates on O(σ)
+	residuals instead of O(mean) values (the raw ``cum_sq/n − mean²`` form
+	loses all variance digits once |mean| ≫ σ — e.g. trace estimates ~1e8
+	with unit variance came back with variance 8). Returns (avgs, std_err);
+	std_err is NaN-free (0 at n = 1)."""
+	idx = np.arange(1, len(x) + 1)
+	n = idx.astype(float)
+	avgs = np.cumsum(x) / idx
+	c = x - (avgs[-1] if len(x) else 0.0)  # center by the final mean
+	cum_c = np.cumsum(c)
+	cum_c2 = np.cumsum(c**2)
+	var = np.maximum(cum_c2 / n - (cum_c / n) ** 2, 0.0) * n / np.maximum(n - 1, 1)
+	return avgs, np.sqrt(var / n)
+
+
 def add_confidence_band(ax, estimator: Union[object, Sequence], confidence: float = 0.95, **kwargs):
 	"""Shade the running CLT confidence band around the cumulative mean.
 
@@ -148,13 +166,8 @@ def add_confidence_band(ax, estimator: Union[object, Sequence], confidence: floa
 	sample_vals = _sample_values(estimator)
 	x = sample_vals[~np.isnan(sample_vals)]
 	idx = np.arange(1, len(x) + 1)
-	avgs = np.cumsum(x) / idx
 	quantile = np.sqrt(2.0) * spc.erfinv(confidence)
-	# Running sample std (ddof=1) from cumulative moments; undefined at n=1.
-	cum_sq = np.cumsum(x**2)
-	n = idx.astype(float)
-	var = np.maximum(cum_sq / n - avgs**2, 0.0) * n / np.maximum(n - 1, 1)
-	std_err = np.sqrt(var / n)
+	avgs, std_err = _running_mean_stderr(x)
 	moe = quantile * std_err
 	ax.fill_between(
 		idx,
@@ -210,8 +223,6 @@ def figure_error(
 	"""
 	import matplotlib.pyplot as plt
 
-	from .estimators import ConfidenceCriterion, MeanEstimator
-
 	sample_vals = _sample_values(estimator)
 	valid = ~np.isnan(sample_vals)
 	idx = np.arange(1, int(np.sum(valid)) + 1)
@@ -226,11 +237,7 @@ def figure_error(
 		import scipy.stats as st
 
 		x = sample_vals[valid]
-		n_idx = idx.astype(float)
-		cum_mean = avgs
-		cum_sq = np.cumsum(x**2)
-		var = np.maximum(cum_sq / n_idx - cum_mean**2, 0.0) * n_idx / np.maximum(n_idx - 1, 1)
-		std_err = np.sqrt(var / n_idx)
+		cum_mean, std_err = _running_mean_stderr(x)
 		score = np.where(idx < 30, st.t.ppf(0.975, df=np.maximum(idx - 1, 1)), st.norm.ppf(0.975))
 		moe = score * std_err
 		with np.errstate(divide="ignore", invalid="ignore"):

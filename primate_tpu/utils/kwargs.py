@@ -30,7 +30,9 @@ def _accepted_names(fun: Callable) -> frozenset | None:
 	for p in sig.parameters.values():
 		if p.kind is inspect.Parameter.VAR_KEYWORD:
 			return None
-		if p.kind is not inspect.Parameter.VAR_POSITIONAL:
+		if p.kind not in (inspect.Parameter.VAR_POSITIONAL, inspect.Parameter.POSITIONAL_ONLY):
+			# POSITIONAL_ONLY params cannot legally be passed as keywords —
+			# routing them would make fun(**taken) raise TypeError.
 			names.append(p.name)
 	return frozenset(names)
 

@@ -214,3 +214,30 @@ def test_default_trace_criterion_composition():
 	for _ in range(201):  # count bound fires regardless of variance
 		est.update(np.asarray([1000.0 * np.random.default_rng(0).normal()]))
 	assert bool(crit(est))
+
+
+def test_plotting_running_variance_stable_at_large_mean():
+	"""Review r3g: the running CI band variance must survive |mean| >> sigma
+	(the raw cumsum-of-squares identity lost every variance digit at 1e8)."""
+	from primate_tpu.plotting import _running_mean_stderr
+
+	rng = np.random.default_rng(0)
+	x = 1e8 + rng.normal(size=400)
+	avgs, se = _running_mean_stderr(x)
+	var_run = (se[-1] ** 2) * len(x)
+	assert abs(var_run - np.var(x, ddof=1)) / np.var(x, ddof=1) < 0.05
+	assert abs(avgs[-1] - x.mean()) < 1e-6
+
+
+def test_restrict_kwargs_excludes_positional_only():
+	"""Review r3g: positional-only params cannot be passed as keywords — they
+	must route to 'rest', not crash fun(**taken)."""
+	from primate_tpu.utils.kwargs import restrict_kwargs, setdiff_kwargs
+
+	def f(x, /, y=1):
+		return x + y
+
+	taken = restrict_kwargs(f, {"x": 5, "y": 2})
+	assert taken == {"y": 2}
+	f(0, **taken)  # must not raise
+	assert setdiff_kwargs(f, {"x": 5, "y": 2}) == {"x": 5}
