@@ -37,6 +37,7 @@ __all__ = [
 	"slogdet",
 	"suggest_degree",
 	"shifted_trace",
+	"tikhonov",
 	"suggest_probes",
 	"weighted_trace",
 ]
@@ -976,6 +977,32 @@ def topk(A, k: int = 6, which: str = "LM", return_eigenvectors: bool = False, **
 	Vj = jnp.asarray(V)
 	proj = FunctionOperator(lambda X: Vj @ (jnp.conj(Vj).T @ X), op.shape, dtype=Vj.dtype, batched=True)
 	return (proj, ew, Vj) if return_eigenvectors else proj
+
+
+def tikhonov(
+	A,
+	B,
+	lam: float = 1.0,
+	rtol: float = 1e-8,
+	maxiter: Optional[int] = None,
+	**cg_kwargs,
+):
+	"""Tikhonov-regularized solve ``x = (A + λI)⁻¹ b`` — the reference table's
+	"tikhonov" matrix function (``docs/src/table.qmd:19``) as a named recipe.
+
+	One fused :func:`~primate_tpu.cg` loop on the operator pencil ``A + λI``
+	(SPD for any PSD ``A`` and ``λ > 0``); ``B`` may be a vector or an
+	``(n, k)`` block — all right-hand sides advance together. Extra kwargs
+	(``precond``, ``full``, ...) reach :func:`~primate_tpu.cg`. For the
+	regularization CURVE ``tr(A(A+λI)⁻¹)`` over a λ grid see
+	:func:`effective_dim`; for ``tr((A+λI)⁻¹)`` see :func:`trace_inv` on the
+	shifted pencil.
+	"""
+	from .solvers import cg
+
+	op = aslinop(A)
+	assert lam > 0 or cg_kwargs.get("precond") is not None, "lam must be positive (or supply a preconditioner for an SPD A)"
+	return cg(op + float(lam), B, rtol=rtol, maxiter=maxiter, **cg_kwargs)
 
 
 def pagerank(

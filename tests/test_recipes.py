@@ -549,3 +549,18 @@ def test_recipe_closures_have_stable_identity():
 	assert _memo_fun("abspow", 2.0) is _memo_fun("abspow", 2.0)
 	assert _memo_fun("logabs") is _memo_fun("logabs")
 	assert _memo_fun("effdim", 0.5) is not _memo_fun("effdim", 0.6)
+
+
+def test_tikhonov_solve():
+	"""tikhonov: (A + lam I)^-1 b via one fused CG loop (docs/src/table.qmd:19)."""
+	rng = np.random.default_rng(2)
+	ew = rng.uniform(0.0, 2.0, 48)
+	A = np.asarray(pt.symmetric(48, ew=ew, seed=3), np.float64)
+	b = rng.normal(size=48)
+	x = np.asarray(recipes.tikhonov(A, jnp.asarray(b), lam=0.5, rtol=1e-10))
+	want = np.linalg.solve(A + 0.5 * np.eye(48), b)
+	assert np.allclose(x, want, atol=1e-7)
+	# block RHS
+	Bm = rng.normal(size=(48, 3))
+	X = np.asarray(recipes.tikhonov(A, jnp.asarray(Bm), lam=0.5, rtol=1e-10))
+	assert np.allclose(X, np.linalg.solve(A + 0.5 * np.eye(48), Bm), atol=1e-7)
