@@ -529,6 +529,7 @@ def _partition_csr_host(
 		raise ValueError(f"CSR column index {int(indices.max())} out of range for {n_cols} columns")
 
 	halo_ok = True
+	bw = 0  # bandwidth max|col − row| over stored nonzeros (minimal halo width)
 	dev = []
 	for d in range(ndev):
 		lo, hi = d * rpd, min((d + 1) * rpd, n)
@@ -539,6 +540,7 @@ def _partition_csr_host(
 		cb, vb = indices[a:b], data[a:b]
 		if halo_col and cb.size:
 			halo_ok &= bool(np.all((cb >= (d - 1) * rpd) & (cb < (d + 2) * rpd)))
+			bw = max(bw, int(np.abs(cb - (rb + lo)).max()))
 		dev.append((rb, cb, vb))
 
 	nnz_max = max(max(r[0].size for r in dev), 1)
@@ -568,7 +570,7 @@ def _partition_csr_host(
 			slots = np.arange(rb.size) - first[rb]
 			ell_data[d, rb, slots] = vb
 			ell_idx[d, rb, slots] = cb
-	return st_data, st_cols, st_rows, ell_data, ell_idx, rpd, halo_ok
+	return st_data, st_cols, st_rows, ell_data, ell_idx, rpd, halo_ok, bw
 
 
 def _local_csr_mm(data, cols, rows, ell_data, ell_idx, V, *, rpd: int):
@@ -614,6 +616,7 @@ class ShardedCSROperator(LinearOperator):
 		probe_axis: Optional[str] = None,
 		comm: str = "allgather",
 		rpd: int = 0,
+		halo: int = 0,
 	):
 		self.data, self.cols, self.rows = data, cols, rows
 		self.ell_data, self.ell_idx = ell_data, ell_idx
@@ -624,6 +627,7 @@ class ShardedCSROperator(LinearOperator):
 		self.probe_axis = probe_axis
 		self.comm = comm
 		self.rpd = int(rpd)
+		self.halo = int(halo)  # boundary rows exchanged per ring neighbor (halo mode)
 
 	@classmethod
 	def from_csr(
@@ -660,14 +664,21 @@ class ShardedCSROperator(LinearOperator):
 			# ineligible operator is an error, never a silent downgrade.
 			raise ValueError("comm='halo' requires a square operator; use comm='allgather'.")
 		want_halo = comm in ("auto", "halo") and shape[0] == shape[1]
-		st_data, st_cols, st_rows, ell_d, ell_i, rpd, halo_ok = _partition_csr_host(
+		st_data, st_cols, st_rows, ell_d, ell_i, rpd, halo_ok, bw = _partition_csr_host(
 			data, indices, indptr, shape[1], ndev, halo_col=want_halo
 		)
+		halo = 0
 		if want_halo and halo_ok:
 			mode = "halo"
-			# Remap global cols into the 3-segment halo window [left|mine|right):
-			# local col = global col − (d−1)·rpd.
-			shift = ((np.arange(ndev) - 1) * rpd).astype(np.int32)
+			# MINIMAL halo: only the matrix BANDWIDTH's worth of boundary rows
+			# crosses the ring per neighbor (like ShardedDIAOperator) — a
+			# tridiagonal 1M-row partition ships 1 row per neighbor instead of
+			# the whole n/ndev segment. Falls back to full segments (h = rpd)
+			# when the band is wider than one chip's rows.
+			halo = int(min(max(bw, 1), rpd))
+			# Remap global cols into the halo window [lo − h, hi + h):
+			# local col = global col − (d·rpd − h).
+			shift = ((np.arange(ndev)) * rpd - halo).astype(np.int32)
 			st_cols = st_cols - shift[:, None]
 			if ell_i is not None:
 				ell_i = ell_i - shift[:, None, None]
@@ -683,7 +694,7 @@ class ShardedCSROperator(LinearOperator):
 		put = lambda x: None if x is None else jax.device_put(jnp.asarray(x), spec)  # noqa: E731
 		return cls(
 			put(st_data), put(st_cols), put(st_rows), put(ell_d), put(ell_i),
-			shape, mesh, op_axis, probe_axis, comm=mode, rpd=rpd,
+			shape, mesh, op_axis, probe_axis, comm=mode, rpd=rpd, halo=halo,
 		)
 
 	@property
@@ -721,12 +732,15 @@ class ShardedCSROperator(LinearOperator):
 			ndev = self.mesh.shape[op_ax]
 			fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
 			bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+			h = self.halo if self.halo > 0 else self.rpd  # 0: legacy full-segment pytrees
 
 			def shard_fn(*a):
 				*nz, Vl = a
-				V_left = lax.ppermute(Vl, op_ax, fwd)
-				V_right = lax.ppermute(Vl, op_ax, bwd)
-				V_ext = jnp.concatenate([V_left, Vl, V_right], axis=0)
+				# Ring-exchange ONLY the h boundary rows each way — O(h·k)
+				# traffic per neighbor, independent of n (the DIA scheme).
+				tail_from_left = lax.ppermute(Vl[-h:], op_ax, fwd)
+				head_from_right = lax.ppermute(Vl[:h], op_ax, bwd)
+				V_ext = jnp.concatenate([tail_from_left, Vl, head_from_right], axis=0)
 				return local(*unpack(nz), V_ext)
 
 			out = jax.shard_map(
@@ -751,7 +765,7 @@ class ShardedCSROperator(LinearOperator):
 		ndev = data.shape[0]
 		out = np.zeros(self.shape)
 		for d in range(ndev):
-			c = cols[d] + ((d - 1) * self.rpd if self.comm == "halo" else 0)
+			c = cols[d] + ((d * self.rpd - (self.halo if self.halo > 0 else self.rpd)) if self.comm == "halo" else 0)
 			r = d * self.rpd + rows[d]
 			ok = (r < self.shape[0]) & (c >= 0) & (c < self.shape[1]) & (data[d] != 0)
 			np.add.at(out, (r[ok], c[ok]), data[d][ok])
@@ -761,7 +775,7 @@ class ShardedCSROperator(LinearOperator):
 		children = (self.data, self.cols, self.rows)
 		if self.ell_data is not None:
 			children += (self.ell_data, self.ell_idx)
-		aux = (self.shape, self.dtype, self.mesh, self.op_axis, self.probe_axis, self.comm, self.rpd, self.ell_data is not None)
+		aux = (self.shape, self.dtype, self.mesh, self.op_axis, self.probe_axis, self.comm, self.rpd, self.halo, self.ell_data is not None)
 		return children, aux
 
 	@classmethod
@@ -770,7 +784,7 @@ class ShardedCSROperator(LinearOperator):
 		obj.data, obj.cols, obj.rows = children[:3]
 		has_ell = aux[-1]
 		obj.ell_data, obj.ell_idx = (children[3], children[4]) if has_ell else (None, None)
-		obj.shape, obj.dtype, obj.mesh, obj.op_axis, obj.probe_axis, obj.comm, obj.rpd, _ = aux
+		obj.shape, obj.dtype, obj.mesh, obj.op_axis, obj.probe_axis, obj.comm, obj.rpd, obj.halo, _ = aux
 		return obj
 
 

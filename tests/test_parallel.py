@@ -483,3 +483,24 @@ def test_sharded_bsr_halo_survives_empty_block_rows(mesh8):
 	assert op.comm == "halo", op.comm
 	V = np.random.default_rng(43).normal(size=(n, 3))
 	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), L @ V, atol=1e-9)
+
+
+def test_sharded_csr_minimal_halo_width(mesh8):
+	"""The halo scheme ships only bandwidth-many boundary rows per neighbor:
+	a tridiagonal 1000-row partition exchanges 1 row, not the 125-row segment."""
+	from primate_tpu.parallel import ShardedCSROperator
+
+	n = 1000
+	A = _laplacian(n)
+	op = ShardedCSROperator.from_csr(A, mesh8, comm="auto")
+	assert op.comm == "halo" and op.halo == 1, (op.comm, op.halo)
+	V = np.random.default_rng(51).normal(size=(n, 4))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-9)
+	# wider band -> wider (but still minimal) halo
+	import scipy.sparse as _sps
+
+	B = _sps.diags([np.ones(n - 7), 3.0 * np.ones(n), np.ones(n - 7)], [-7, 0, 7]).tocsr()
+	opb = ShardedCSROperator.from_csr(B, mesh8, comm="auto")
+	assert opb.comm == "halo" and opb.halo == 7
+	assert np.allclose(np.asarray(opb.matmat(jnp.asarray(V))), B @ V, atol=1e-9)
+	assert np.allclose(opb.todense(), B.toarray(), atol=0)
