@@ -122,6 +122,7 @@ def _partition_bsr_host(
 	n_brow_pad = bpd * ndev
 
 	halo_ok = True
+	bwb = 0  # block bandwidth max|bcol − brow| over structural blocks
 	dev_blocks, dev_rowids, dev_colids = [], [], []
 	for d in range(ndev):
 		lo, hi = d * bpd, (d + 1) * bpd
@@ -134,6 +135,8 @@ def _partition_bsr_host(
 			nz = np.abs(bl).reshape(bl.shape[0], -1).max(axis=1) > 0
 			cnz = cb[nz]
 			halo_ok &= bool(np.all((cnz >= (d - 1) * bpd) & (cnz < (d + 2) * bpd))) if cnz.size else True
+			if cnz.size:
+				bwb = max(bwb, int(np.abs(cnz - (rb[nz] + lo)).max()))
 		# Cover every local row (incl. rows past n_brow on the last device).
 		missing = np.setdiff1d(np.arange(bpd), rb)
 		if missing.size:
@@ -162,6 +165,7 @@ def _partition_bsr_host(
 		np.stack(dev_colids).astype(np.int32),
 		bpd,
 		halo_ok,
+		bwb,
 	)
 
 
@@ -205,6 +209,7 @@ class ShardedBSROperator(LinearOperator):
 		comm: str = "allgather",
 		bpd: int = 0,
 		use_pallas: Optional[bool] = None,
+		halo: int = 0,
 	):
 		self.blocks, self.rowids, self.colids = blocks, rowids, colids
 		self.shape = tuple(shape)
@@ -215,6 +220,7 @@ class ShardedBSROperator(LinearOperator):
 		self.comm = comm
 		self.bpd = int(bpd)
 		self.use_pallas = use_pallas
+		self.halo = int(halo)  # BLOCK-rows exchanged per ring neighbor (halo mode)
 
 	# -- construction -----------------------------------------------------
 	@classmethod
@@ -241,14 +247,19 @@ class ShardedBSROperator(LinearOperator):
 		if comm == "halo" and (bm != bn or A.shape[0] != A.shape[1]):
 			raise ValueError("comm='halo' requires a square operator with square (bm == bn) blocks.")
 		want_halo = comm in ("auto", "halo") and bm == bn and A.shape[0] == A.shape[1]
-		st_blocks, st_rowids, st_colids, bpd, halo_ok = _partition_bsr_host(
+		st_blocks, st_rowids, st_colids, bpd, halo_ok, bwb = _partition_bsr_host(
 			blocks, indices, indptr, ndev, halo_col=want_halo
 		)
+		halo = 0
 		if want_halo and halo_ok:
 			mode = "halo"
-			# Remap global block-cols into the 3-segment halo window
-			# [left | mine | right): local col = global col - (d-1)*bpd.
-			shift = (np.arange(ndev)[:, None] - 1) * bpd
+			# MINIMAL halo: ship only block-bandwidth-many boundary block-rows
+			# per ring neighbor (the DIA/CSR scheme) — O(bw·bm·k) traffic
+			# independent of n; falls back to full segments when the band is
+			# wider than one chip's block-rows. Remap global block-cols into
+			# the [lo − h, hi + h) window: local col = global − (d·bpd − h).
+			halo = int(min(max(bwb, 1), bpd))
+			shift = (np.arange(ndev)[:, None]) * bpd - halo
 			st_colids = (st_colids - shift).astype(np.int32)
 		else:
 			if comm == "halo" and not halo_ok:
@@ -257,7 +268,7 @@ class ShardedBSROperator(LinearOperator):
 					"reorder the matrix (e.g. RCM) or use comm='allgather'."
 				)
 			if want_halo:  # auto fell through: re-partition with global cols
-				st_blocks, st_rowids, st_colids, bpd, _ = _partition_bsr_host(
+				st_blocks, st_rowids, st_colids, bpd, _, _ = _partition_bsr_host(
 					blocks, indices, indptr, ndev, halo_col=False
 				)
 			mode = "allgather"
@@ -274,6 +285,7 @@ class ShardedBSROperator(LinearOperator):
 			comm=mode,
 			bpd=bpd,
 			use_pallas=use_pallas,
+			halo=halo,
 		)
 
 	# -- apply --------------------------------------------------------------
@@ -305,13 +317,17 @@ class ShardedBSROperator(LinearOperator):
 			fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
 			bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
 
+			bm = self.blocksize[0]
+			h_rows = (self.halo if self.halo > 0 else self.bpd) * bm  # 0: legacy full-segment pytrees
+
 			def shard_fn(blocks, rowids, colids, Vl):
 				blocks, rowids, colids = blocks[0], rowids[0], colids[0]
-				# Ring exchange of the two neighbor segments; the local
+				# Ring exchange of ONLY the halo block-rows each way — traffic
+				# O(halo·bm·k) per neighbor, independent of n; the local
 				# contraction overlaps with the transfers in XLA's schedule.
-				V_left = lax.ppermute(Vl, op_ax, fwd)  # from left neighbor
-				V_right = lax.ppermute(Vl, op_ax, bwd)  # from right neighbor
-				V_ext = jnp.concatenate([V_left, Vl, V_right], axis=0)
+				tail_from_left = lax.ppermute(Vl[-h_rows:], op_ax, fwd)
+				head_from_right = lax.ppermute(Vl[:h_rows], op_ax, bwd)
+				V_ext = jnp.concatenate([tail_from_left, Vl, head_from_right], axis=0)
 				return local(blocks, rowids, colids, V_ext)
 
 			out = jax.shard_map(
@@ -346,21 +362,22 @@ class ShardedBSROperator(LinearOperator):
 		for d in range(ndev):
 			for b in range(blocks.shape[1]):
 				r = d * self.bpd + rowids[d, b]
-				c = colids[d, b] + ((d - 1) * self.bpd if self.comm == "halo" else 0)
+				h = self.halo if self.halo > 0 else self.bpd
+				c = colids[d, b] + ((d * self.bpd - h) if self.comm == "halo" else 0)
 				if 0 <= c * bn and (c + 1) * bn <= out.shape[1]:
 					out[r * bm : (r + 1) * bm, c * bn : (c + 1) * bn] += blocks[d, b]
 		return out[: self.shape[0], : self.shape[1]]
 
 	def tree_flatten(self):
 		children = (self.blocks, self.rowids, self.colids)
-		aux = (self.shape, self.dtype, self.mesh, self.op_axis, self.probe_axis, self.comm, self.bpd, self.use_pallas)
+		aux = (self.shape, self.dtype, self.mesh, self.op_axis, self.probe_axis, self.comm, self.bpd, self.use_pallas, self.halo)
 		return children, aux
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
 		obj = object.__new__(cls)
 		obj.blocks, obj.rowids, obj.colids = children
-		obj.shape, obj.dtype, obj.mesh, obj.op_axis, obj.probe_axis, obj.comm, obj.bpd, obj.use_pallas = aux
+		obj.shape, obj.dtype, obj.mesh, obj.op_axis, obj.probe_axis, obj.comm, obj.bpd, obj.use_pallas, obj.halo = aux
 		return obj
 
 

@@ -504,3 +504,16 @@ def test_sharded_csr_minimal_halo_width(mesh8):
 	assert opb.comm == "halo" and opb.halo == 7
 	assert np.allclose(np.asarray(opb.matmat(jnp.asarray(V))), B @ V, atol=1e-9)
 	assert np.allclose(opb.todense(), B.toarray(), atol=0)
+
+
+def test_sharded_bsr_minimal_halo_width(mesh8):
+	"""BSR halo ships only block-bandwidth-many boundary block-rows: a
+	block-tridiagonal partition exchanges 1 block-row per neighbor."""
+	n = 512
+	A = _laplacian(n)
+	op = shard_operator(A, mesh8, comm="auto", blocksize=(8, 8))
+	assert isinstance(op, ShardedBSROperator) and op.comm == "halo"
+	assert op.halo == 1, op.halo
+	V = np.random.default_rng(61).normal(size=(n, 4))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-9)
+	assert np.allclose(op.todense(), A.toarray(), atol=0)
