@@ -351,6 +351,62 @@ class ShardedBSROperator(LinearOperator):
 		)(self.blocks, self.rowids, self.colids, Vp)
 		return out[:n]
 
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		"""Probe-major apply ``(A Vtᵀ)ᵀ`` on a ``(k, n)`` block — native sharded
+		kernels (no per-step transpose/resharding in Lanczos carries)."""
+		n = self.shape[0]
+		bm, bn = self.blocksize
+		op_ax, pr_ax = self.op_axis, self.probe_axis
+		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		bpd = self.bpd
+
+		def local_t(blocks, rowids, colids, Vt_seg):
+			acc = jnp.promote_types(self.dtype, jnp.float32)
+			kk = Vt_seg.shape[0]
+			Vtb = Vt_seg.reshape(kk, -1, bn)  # (k, n_bcol_seg, bn)
+			gathered = Vtb[:, colids]  # (k, nnzb, bn)
+			prod = jnp.einsum("zij,kzj->zki", blocks, gathered, preferred_element_type=acc)
+			Y = jax.ops.segment_sum(prod, rowids, num_segments=bpd)  # (bpd, k, bm)
+			return jnp.moveaxis(Y, 1, 0).reshape(kk, bpd * bm).astype(self.dtype)
+
+		if self.comm == "halo":
+			n_pad = self._n_row_pad
+			Vp = jnp.pad(Vt, ((0, 0), (0, n_pad - Vt.shape[1]))) if Vt.shape[1] != n_pad else Vt
+			ndev = self.mesh.shape[op_ax]
+			fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+			bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+			h_rows = (self.halo if self.halo > 0 else self.bpd) * bm
+
+			def shard_fn(blocks, rowids, colids, Vl):
+				blocks, rowids, colids = blocks[0], rowids[0], colids[0]
+				tail_from_left = lax.ppermute(Vl[:, -h_rows:], op_ax, fwd)
+				head_from_right = lax.ppermute(Vl[:, :h_rows], op_ax, bwd)
+				V_ext = jnp.concatenate([tail_from_left, Vl, head_from_right], axis=1)
+				return local_t(blocks, rowids, colids, V_ext)
+
+			out = jax.shard_map(
+				shard_fn,
+				mesh=self.mesh,
+				in_specs=(P(op_ax), P(op_ax), P(op_ax), P(pr, op_ax)),
+				out_specs=P(pr, op_ax),
+			)(self.blocks, self.rowids, self.colids, Vp)
+			return out[:, :n]
+
+		np_c = -(-self.shape[1] // bn) * bn
+		Vp = jnp.pad(Vt, ((0, 0), (0, np_c - Vt.shape[1]))) if Vt.shape[1] != np_c else Vt
+
+		def shard_fn(blocks, rowids, colids, Vfull):
+			blocks, rowids, colids = blocks[0], rowids[0], colids[0]
+			return local_t(blocks, rowids, colids, Vfull)
+
+		out = jax.shard_map(
+			shard_fn,
+			mesh=self.mesh,
+			in_specs=(P(op_ax), P(op_ax), P(op_ax), P(pr, None)),
+			out_specs=P(pr, op_ax),
+		)(self.blocks, self.rowids, self.colids, Vp)
+		return out[:, :n]
+
 	def todense(self) -> np.ndarray:
 		"""Host-side reconstruction (tests / small operators only)."""
 		blocks = np.asarray(self.blocks)
@@ -773,6 +829,63 @@ class ShardedCSROperator(LinearOperator):
 			shard_fn, mesh=self.mesh, in_specs=nz_specs + (P(None, pr),), out_specs=P(op_ax, pr)
 		)(*args, V)
 		return out[:n]
+
+	def matmat_t(self, Vt: jnp.ndarray) -> jnp.ndarray:
+		"""Probe-major apply ``(A Vtᵀ)ᵀ`` on a ``(k, n)`` block — native sharded
+		kernels, so the Lanczos carry never transposes (a transpose of a
+		row-sharded array is a resharding collective on a real mesh)."""
+		n = self.shape[0]
+		op_ax, pr_ax = self.op_axis, self.probe_axis
+		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		rpd = self.rpd
+		has_ell = self.ell_data is not None
+
+		if has_ell:
+			args = (self.data, self.cols, self.rows, self.ell_data, self.ell_idx)
+			nz_specs = (P(op_ax),) * 5
+		else:
+			args = (self.data, self.cols, self.rows)
+			nz_specs = (P(op_ax),) * 3
+
+		def local_t(nz, Vt_seg):
+			acc = jnp.promote_types(self.dtype, jnp.float32)
+			if has_ell:
+				data, cols, rows, ell_d, ell_i = (x[0] for x in nz)
+				out = jnp.einsum("bil,il->bi", Vt_seg[:, ell_i].astype(acc), ell_d.astype(acc))
+				return out.astype(self.dtype)
+			data, cols, rows = (x[0] for x in nz)
+			prod = data[None, :].astype(acc) * Vt_seg[:, cols].astype(acc)
+			out = jax.ops.segment_sum(prod.T, rows, num_segments=rpd, indices_are_sorted=True)
+			return out.T.astype(self.dtype)
+
+		if self.comm == "halo":
+			n_pad = self._n_row_pad
+			Vp = jnp.pad(Vt, ((0, 0), (0, n_pad - Vt.shape[1]))) if Vt.shape[1] != n_pad else Vt
+			ndev = self.mesh.shape[op_ax]
+			fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
+			bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
+			h = self.halo if self.halo > 0 else self.rpd
+
+			def shard_fn(*a):
+				*nz, Vl = a
+				tail_from_left = lax.ppermute(Vl[:, -h:], op_ax, fwd)
+				head_from_right = lax.ppermute(Vl[:, :h], op_ax, bwd)
+				V_ext = jnp.concatenate([tail_from_left, Vl, head_from_right], axis=1)
+				return local_t(nz, V_ext)
+
+			out = jax.shard_map(
+				shard_fn, mesh=self.mesh, in_specs=nz_specs + (P(pr, op_ax),), out_specs=P(pr, op_ax)
+			)(*args, Vp)
+			return out[:, :n]
+
+		def shard_fn(*a):
+			*nz, Vfull = a
+			return local_t(nz, Vfull)
+
+		out = jax.shard_map(
+			shard_fn, mesh=self.mesh, in_specs=nz_specs + (P(pr, None),), out_specs=P(pr, op_ax)
+		)(*args, Vt)
+		return out[:, :n]
 
 	def todense(self) -> np.ndarray:
 		"""Host-side reconstruction (tests / small operators only)."""
