@@ -31,6 +31,20 @@ from .stats import MeanState, make_mean_state, mean_update
 
 __all__ = ["diag", "diagpp", "xdiag"]
 
+def _hiprec_trace(fn):
+	"""Trace the wrapped program under full matmul precision: the sketch /
+	leave-one-out identities are exact algebra, and TPU's default bf16 matmul
+	precision costs ~3 digits (see linalg._hiprec)."""
+	import functools
+
+	@functools.wraps(fn)
+	def wrapped(*a, **k):
+		with jax.default_matmul_precision("highest"):
+			return fn(*a, **k)
+
+	return wrapped
+
+
 
 class _DiagCarry(NamedTuple):
 	it: jnp.ndarray  # () int32
@@ -319,6 +333,7 @@ def diag(
 
 
 @partial(jax.jit, static_argnames=("n", "nb", "pdf"))
+@_hiprec_trace
 def _diagpp_program(A, key, *, n: int, nb: int, pdf: str):
 	"""Fused Diag++: exact diagonal of the rank-``nb`` sketch + deflated rest.
 
@@ -377,6 +392,7 @@ def diagpp(A, m: Optional[int] = None, pdf: str = "rademacher", seed=None) -> np
 
 
 @partial(jax.jit, static_argnames=("n", "m", "pdf"))
+@_hiprec_trace
 def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
 	"""Fused XDiag (Epperly SM4.3): sketch + leave-one-out diagonal identities.
 

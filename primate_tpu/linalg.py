@@ -12,14 +12,30 @@ single MGS sweep), then QR'd locally; the triangular inverse updates by a
 block-triangular identity. Both are pure jnp and jit per (m, b) shape.
 """
 
+import functools
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 __all__ = ["update_trinv", "update_trinv_block", "qr_append", "colwise_dot"]
 
 
+def _hiprec(fn):
+	"""Trace the wrapped function under full matmul precision: the QR-append /
+	triangular-inverse identities are EXACT algebra — TPU's default bf16 matmul
+	precision breaks xtrace's m = n exactness (3e-3 instead of ~1e-6)."""
+
+	@functools.wraps(fn)
+	def wrapped(*a, **k):
+		with jax.default_matmul_precision("highest"):
+			return fn(*a, **k)
+
+	return wrapped
+
+
+@_hiprec
 def update_trinv(B_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 	"""Append one column to an upper-triangular inverse.
 
@@ -38,6 +54,7 @@ def update_trinv(B_inv: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 	return out
 
 
+@_hiprec
 def update_trinv_block(R_inv: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
 	"""Append a block of columns to an upper-triangular inverse.
 
@@ -56,6 +73,7 @@ def update_trinv_block(R_inv: jnp.ndarray, B: jnp.ndarray, C: jnp.ndarray) -> jn
 	return out
 
 
+@_hiprec
 def qr_append(
 	Q: Optional[jnp.ndarray], R: Optional[jnp.ndarray], Y: jnp.ndarray, reorth_passes: int = 2
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -190,7 +190,9 @@ class MatrixFunction(LinearOperator):
 		e = out.betas[: self._deg - 1].T  # (b, deg-1)
 		rw, Y = eigh_tridiag(a, e)  # (b, deg), (b, deg, deg)
 		w = self.fun(rw) * Y[:, 0, :]  # f(θ) ∘ Y[0,:], broadcast over stack axes
-		return jnp.einsum("bij,...bj->...bi", Y, w)
+		# precision: deg-length contraction of the spectral coefficients — TPU's
+		# default bf16 matmul precision costs ~3 digits of f(A)v accuracy.
+		return jnp.einsum("bij,...bj->...bi", Y, w, precision=jax.lax.Precision.HIGHEST)
 
 	def _matmat(self, X: jnp.ndarray) -> jnp.ndarray:
 		X = jnp.asarray(X, dtype=self.dtype)
@@ -210,7 +212,7 @@ class MatrixFunction(LinearOperator):
 		# Promote (never downcast): c is real even for complex/Hermitian A,
 		# and a bf16 window upcasts to the coefficient dtype for the contraction.
 		y_dtype = jnp.promote_types(out.Q.dtype, c.dtype)
-		y = jnp.einsum("knb,...bk->...nb", out.Q.astype(y_dtype), c.astype(y_dtype))
+		y = jnp.einsum("knb,...bk->...nb", out.Q.astype(y_dtype), c.astype(y_dtype), precision=jax.lax.Precision.HIGHEST)
 		return (x_norm * y).astype(self.dtype)
 
 	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:

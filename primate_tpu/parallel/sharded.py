@@ -182,7 +182,9 @@ def _local_bsr_mm(blocks, rowids, colids, V, *, n_brow_loc: int, use_pallas: boo
 		out = bsr_matmat_pallas(blocks, rowids, colids, Vp, n_out=n_brow_loc * bm)
 		return out[:, :k].astype(blocks.dtype)
 	Vb = V.reshape(-1, bn, k)
-	prod = jnp.einsum("zij,zjk->zik", blocks, Vb[colids], preferred_element_type=acc)
+	# precision=HIGHEST: TPU default matmul precision is bf16 (see
+	# operators/sparse.py) — gather-bound block contractions stay exact f32.
+	prod = jnp.einsum("zij,zjk->zik", blocks, Vb[colids], preferred_element_type=acc, precision=jax.lax.Precision.HIGHEST)
 	Y = jax.ops.segment_sum(prod, rowids, num_segments=n_brow_loc)
 	return Y.reshape(n_brow_loc * bm, k).astype(blocks.dtype)
 
@@ -365,7 +367,7 @@ class ShardedBSROperator(LinearOperator):
 			kk = Vt_seg.shape[0]
 			Vtb = Vt_seg.reshape(kk, -1, bn)  # (k, n_bcol_seg, bn)
 			gathered = Vtb[:, colids]  # (k, nnzb, bn)
-			prod = jnp.einsum("zij,kzj->zki", blocks, gathered, preferred_element_type=acc)
+			prod = jnp.einsum("zij,kzj->zki", blocks, gathered, preferred_element_type=acc, precision=jax.lax.Precision.HIGHEST)
 			Y = jax.ops.segment_sum(prod, rowids, num_segments=bpd)  # (bpd, k, bm)
 			return jnp.moveaxis(Y, 1, 0).reshape(kk, bpd * bm).astype(self.dtype)
 

@@ -115,9 +115,13 @@ class Mean:
 
 	def __init__(self, dim: int = 1, dtype=None):
 		self.dim = dim
-		# numpy state from the start: a device-resident zero state would commit
-		# every subsequent eager op to that (possibly remote) device.
-		self._state = jax.device_get(make_mean_state(dim, dtype or jnp.asarray(0.0).dtype))
+		# numpy state from the start, built on the LOCAL cpu backend: a
+		# device-resident zero state would commit every subsequent eager op to
+		# the (possibly remote) default device — and even creating-then-pulling
+		# it there costs a full round trip per constructed estimator
+		# (profiled 29 ms per hutch call on the TPU tunnel).
+		with jax.default_device(_host_cpu()):
+			self._state = jax.device_get(make_mean_state(dim, dtype or jnp.asarray(0.0).dtype))
 
 	@property
 	def n(self) -> int:
@@ -160,7 +164,8 @@ class Covariance(Mean):
 
 	def __init__(self, dim: int = 1, dtype=None):
 		self.dim = dim
-		self._state = jax.device_get(make_cov_state(dim, dtype or jnp.asarray(0.0).dtype))  # see Mean.__init__
+		with jax.default_device(_host_cpu()):  # see Mean.__init__
+			self._state = jax.device_get(make_cov_state(dim, dtype or jnp.asarray(0.0).dtype))
 
 	@property
 	def S(self) -> jnp.ndarray:

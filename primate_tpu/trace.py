@@ -58,6 +58,20 @@ from .stats import CovState, cov_matrix, cov_update, make_cov_state
 
 __all__ = ["hutch", "hutchpp", "xnystrace", "xtrace"]
 
+def _hiprec_trace(fn):
+	"""Trace the wrapped program under full matmul precision: the sketch /
+	leave-one-out identities are exact algebra, and TPU's default bf16 matmul
+	precision costs ~3 digits (see linalg._hiprec)."""
+	import functools
+
+	@functools.wraps(fn)
+	def wrapped(*a, **k):
+		with jax.default_matmul_precision("highest"):
+			return fn(*a, **k)
+
+	return wrapped
+
+
 
 class _HutchCarry(NamedTuple):
 	it: jnp.ndarray  # () int32 — batches executed
@@ -293,6 +307,7 @@ def hutch(
 
 
 @partial(jax.jit, static_argnames=("n", "nb", "pdf", "mode"))
+@_hiprec_trace
 def _hutchpp_program(A, key, *, n: int, nb: int, pdf: str, mode: str):
 	"""Fused Hutch++: low-rank sketch trace + Girard-Hutchinson on the deflation.
 
@@ -394,6 +409,7 @@ def hutchpp(
 
 
 @partial(jax.jit, static_argnames=("n", "m", "pdf"))
+@_hiprec_trace
 def _xnystrace_program(A, key, *, n: int, m: int, pdf: str):
 	"""Fused XNysTrace: all m leave-one-out Nyström estimates in one program.
 
@@ -493,6 +509,7 @@ def xnystrace(
 
 
 @jax.jit
+@_hiprec_trace
 def _xtrace_estimates(W, Z, Q, R, R_inv, sphere: jnp.ndarray):
 	"""Epperly's leave-one-out trace identities, batched over all m probes.
 
@@ -553,6 +570,7 @@ def _count_only_target(criterion) -> Optional[int]:
 	return None
 
 
+@_hiprec_trace
 def _xtrace_round_impl(op, W, Z, Q, R, R_inv, key, it, sphere_flag, *, ns: int, pdf: str, with_estimates: bool):
 	"""One XTrace growth round: sample → matmat → block QR append →
 	triangular-inverse update (→ leave-one-out estimates).
@@ -589,6 +607,7 @@ _xtrace_round = partial(jax.jit, static_argnames=("ns", "pdf", "with_estimates")
 
 
 @partial(jax.jit, static_argnames=("schedule", "pdf"))
+@_hiprec_trace
 def _xtrace_chain(op, key, sphere_flag, state, it0, *, schedule: tuple, pdf: str):
 	"""ALL growth rounds of a predetermined (count-only) schedule as ONE
 	program: a single dispatch and a single device→host sync, vs one jitted
