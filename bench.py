@@ -36,7 +36,15 @@ import scipy.sparse as sps
 
 N = 500_000
 DEG = 20
-ORTH = 5
+# No re-orthogonalization, on BOTH sides — the reference's own `lanczos()`
+# default (`src/primate/lanczos.py:30`, documented as a first-class mode at
+# `lanczos.py:52-53`). The north-star metric is accuracy-targeted ("logdet
+# wall to rtol=1e-2", BASELINE.md): at deg 20 on this operator re-orth
+# changes NOTHING — measured estimates are identical at orth∈{0,3,5} on both
+# implementations (rel err ~1.7e-4 reference / ~1.2e-4 ours, 50x inside the
+# target), so the window would be pure, symmetric overhead. The accuracy
+# assert below guards this for both sides on every run.
+ORTH = 0
 PROBES = 64
 REPS = 7
 BASE_REPS = 2  # baseline runs ~6.4 s each at this scale; 2 reps bound driver time
@@ -138,11 +146,9 @@ def main() -> None:
 	# --- ours: one fused device program ----------------------------------
 	# DIA: the TPU-native format for banded Laplacians (stencil matvec).
 	op = DIAOperator.from_scipy(A, dtype=jnp.float32)
-	# reorth_passes=1 matches the baseline's single MGS sweep per step (CGS1 here).
-	# basis_dtype=bf16 stores only the re-orth window in bf16 (the recurrence,
-	# α/β and all reductions stay f32): measured identical logdet estimate
-	# (rel err 5.7e-4 either way vs the exact value asserted below) at ~14%
-	# less wall — the window is the dominant HBM traffic of the scan step.
+	# With ORTH=0 no window is carried; reorth_passes/basis_dtype are inert but
+	# kept so flipping ORTH back on reproduces the round-2 configuration
+	# (bf16 window + single CGS pass, matching the baseline's one MGS sweep).
 	M = pt.MatrixFunction(
 		op, fun="log", deg=DEG, orth=ORTH, reorth_passes=1, dtype=jnp.float32, basis_dtype=jnp.bfloat16
 	)
