@@ -41,7 +41,15 @@ from .estimators import (
 from .integrate import lanczos_quadrature, lobatto_rule, quadrature, radau_rule
 from .kpm import ChebyshevFunction, kpm_density, kpm_trace, suggest_chebyshev_degree
 from .lanczos import OrthogonalPolynomialBasis, lanczos, lanczos_block, rayleigh_ritz
-from .operators import MatrixFunction, Toeplitz, auto_operator, matrix_function, normalize_unit
+from .operators import (
+	MatrixFunction,
+	Toeplitz,
+	auto_operator,
+	is_linear_op,
+	is_valid_operator,
+	matrix_function,
+	normalize_unit,
+)
 from .random import haar, hermitian, isotropic, symmetric
 from .solvers import NystromPreconditioner, cg, nystrom_precond, solve
 from .special import param_callable, stacked
@@ -77,6 +85,8 @@ __all__ = [
 	"hermitian",
 	"hutch",
 	"hutchpp",
+	"is_linear_op",
+	"is_valid_operator",
 	"isotropic",
 	"kpm_density",
 	"kpm_trace",
