@@ -137,6 +137,13 @@ def _partition_bsr_host(
 			halo_ok &= bool(np.all((cnz >= (d - 1) * bpd) & (cnz < (d + 2) * bpd))) if cnz.size else True
 			if cnz.size:
 				bwb = max(bwb, int(np.abs(cnz - (rb[nz] + lo)).max()))
+			# Structurally-zero stored blocks may carry arbitrary (out-of-band)
+			# colids; the halo window remap in `from_bsr` could push those
+			# outside [0, bpd + 2·halo), which the Pallas kernel's BlockSpec
+			# index_map would DMA unguarded. Point them at the in-window pad
+			# column instead — the block value is zero, so the product is too.
+			pad_col = min(lo, n_brow_pad - 1)
+			cb = np.where(nz, cb, pad_col).astype(cb.dtype)
 		# Cover every local row (incl. rows past n_brow on the last device).
 		missing = np.setdiff1d(np.arange(bpd), rb)
 		if missing.size:
@@ -263,6 +270,15 @@ class ShardedBSROperator(LinearOperator):
 			halo = int(min(max(bwb, 1), bpd))
 			shift = (np.arange(ndev)[:, None]) * bpd - halo
 			st_colids = (st_colids - shift).astype(np.int32)
+			# Backstop for the Pallas unguarded-DMA hazard: every remapped colid
+			# must land inside the [0, bpd + 2·halo) gather window (structural
+			# blocks by the halo_ok/bandwidth proof, zero blocks by the pad-col
+			# rewrite in `_partition_bsr_host`).
+			if st_colids.size and (st_colids.min() < 0 or st_colids.max() >= bpd + 2 * halo):
+				raise AssertionError(
+					f"internal: halo colid outside window [0, {bpd + 2 * halo}) after remap "
+					f"(range [{st_colids.min()}, {st_colids.max()}])"
+				)
 		else:
 			if comm == "halo" and not halo_ok:
 				raise ValueError(

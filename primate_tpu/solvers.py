@@ -9,6 +9,7 @@ right-hand-side block (SpMM/GEMM on the MXU) plus a few batched reductions —
 all RHS columns converge together with per-column masking.
 """
 
+import warnings
 from functools import partial
 from typing import Callable, NamedTuple, Optional, Union
 
@@ -237,10 +238,27 @@ def cg(
 			acc = jnp.promote_types(B.dtype, jnp.float32)
 			# A STOCHASTIC diagonal estimate can come out <= 0 on SPD operators
 			# that are not diagonally dominant — 1/d would then flip the sign of
-			# the preconditioned residual and break PCG. Clamp to a positive
-			# floor instead of only guarding exact zeros.
-			d_floor = 1e-3 * jnp.maximum(jnp.mean(jnp.abs(d)), jnp.finfo(acc).tiny)
-			M_inv_diag = DiagPreconditioner(jnp.where(d >= d_floor, 1.0 / jnp.maximum(d, d_floor), 1.0 / d_floor).astype(real_dtype_of(acc)))
+			# the preconditioned residual and break PCG. Floor ONLY entries that
+			# are non-positive (or denormal-tiny, relative to the mean scale):
+			# a legitimate SPD diagonal spanning many orders of magnitude keeps
+			# its exact 1/d, so the Jacobi preconditioner is not silently
+			# weakened on wide-dynamic-range operators.
+			d_mean = jnp.maximum(jnp.mean(jnp.abs(d)), jnp.finfo(acc).tiny)
+			d_tiny = jnp.finfo(acc).eps * d_mean  # positivity threshold
+			d_floor = 1e-3 * d_mean  # replacement for floored entries
+			floored = d <= d_tiny
+			try:  # warn when flooring fires (skipped under tracing)
+				n_floored = int(jnp.sum(floored))
+				if n_floored:
+					warnings.warn(
+						f"jacobi preconditioner: {n_floored} non-positive/tiny diagonal "
+						f"entr{'y' if n_floored == 1 else 'ies'} floored to {float(d_floor):.3g} "
+						"(stochastic diagonal estimate?)",
+						stacklevel=2,
+					)
+			except jax.errors.ConcretizationTypeError:
+				pass
+			M_inv_diag = DiagPreconditioner(jnp.where(floored, 1.0 / d_floor, 1.0 / jnp.maximum(d, d_tiny)).astype(real_dtype_of(acc)))
 
 	is_cplx = jnp.dtype(op.dtype).kind == "c"
 	if full or is_cplx:

@@ -546,3 +546,26 @@ def test_sharded_probe_major_matmat_t(mesh8):
 	est = pt.hutch(M, converge="count", count=64, seed=81)
 	true = np.linalg.slogdet(L.toarray())[1]
 	assert abs(float(est) - true) / abs(true) < 0.05
+
+
+def test_halo_explicit_zero_block_out_of_band(mesh8):
+	"""Explicit-zero stored blocks with out-of-band colids must be remapped into
+	the halo gather window at partition time (ADVICE r3: an out-of-window block
+	index is unguarded-DMA territory for the Pallas BSR kernel on TPU)."""
+	n = 512
+	A = _laplacian(n).tocsr()
+	# Store an explicit ZERO at (0, 480) — block (0, 60) of the (8,8) grid:
+	# structurally present in CSR/BSR, numerically zero, far outside the band.
+	Z = sps.csr_matrix((np.array([1.0]), (np.array([0]), np.array([480]))), shape=A.shape)
+	A = (A + Z).tocsr()
+	A.data[np.flatnonzero(A.indices[: A.indptr[1]] == 480)] = 0.0
+	assert A.nnz == _laplacian(n).nnz + 1  # the zero is stored
+
+	op = shard_operator(A, mesh8, comm="halo", blocksize=(8, 8))
+	assert op.comm == "halo"
+	colids = np.asarray(op.colids)
+	window = op.bpd + 2 * op.halo
+	assert colids.min() >= 0 and colids.max() < window, (colids.min(), colids.max(), window)
+	V = np.random.default_rng(7).normal(size=(n, 3))
+	assert np.allclose(np.asarray(op.matmat(jnp.asarray(V))), A @ V, atol=1e-10)
+	assert np.allclose(np.asarray(op.matmat_t(jnp.asarray(V.T))), (A @ V).T, atol=1e-10)

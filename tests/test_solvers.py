@@ -1,6 +1,7 @@
 """Batched CG solver tests, including the full GP log-likelihood composition."""
 
 import numpy as np
+import pytest
 import jax
 import scipy.sparse as sps
 import jax.numpy as jnp
@@ -166,3 +167,29 @@ def test_jacobi_precond_clamps_stochastic_diag():
 	x = cg(op, jnp.asarray(b), precond="jacobi", rtol=1e-8, maxiter=2000)
 	rel = float(np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b))
 	assert rel < 1e-5, rel
+
+
+def test_jacobi_precond_exact_on_wide_dynamic_range():
+	"""A legitimate SPD diagonal spanning >3 orders of magnitude must get the
+	EXACT 1/d Jacobi preconditioner (ADVICE r3: the old mean-relative floor
+	silently weakened it); non-positive entries still get floored, with a
+	warning."""
+	import warnings as _w
+
+	n = 64
+	d = np.logspace(-6, 2, n)  # 8 orders of magnitude, all positive
+	A = np.diag(d)
+	b = np.ones(n)
+	with _w.catch_warnings():
+		_w.simplefilter("error")  # exact path must NOT warn
+		x, nit, _ = cg(jnp.asarray(A), jnp.asarray(b), rtol=1e-10, precond="jacobi", full=True)
+	# Exact Jacobi on a diagonal matrix converges in one iteration.
+	assert nit <= 2, nit
+	assert np.allclose(np.asarray(x), b / d, rtol=1e-6)
+
+	# A (stochastic-estimate-like) diagonal with a negative entry: floored + warned.
+	d_bad = d.copy()
+	d_bad[3] = -1.0
+	with pytest.warns(UserWarning, match="floored"):
+		x2 = cg(jnp.asarray(A), jnp.asarray(b), rtol=1e-8, precond=jnp.asarray(d_bad), full=True)[0]
+	assert np.allclose(np.asarray(x2), b / d, rtol=1e-5)
