@@ -9,26 +9,33 @@ The problem is sized so real compute dominates BOTH sides of the ratio: at
 50k rows the TPU wall was purely the ~29 ms network-tunnel round trip (device
 time ~2 ms) and the reported ratio jittered 16-23x with host-loop noise; at
 500k rows the device streams ~40 ms of real work per estimate and the ratio
-is stable (~50-55x on a single v5e chip).
+is stable (~55-86x on a single v5e chip).
 
 Baseline: the same estimator implemented the reference's way — a host loop of
 serial per-probe Lanczos recurrences over CSR matvecs (the architecture of
-``src/primate/trace.py`` + ``include/lanczos.h``). Preferred implementation: a
-COMPILED C++ sweep (`benchmarks/ref_native.cpp`, g++ -O3 -march=native
--ffast-math — the Eigen class of optimization) so the baseline pays zero
-Python-interpreter cost per Lanczos step; the numpy stand-in of rounds 1-2
-remains the fallback when no compiler is available. The real scikit-primate
-package cannot be built here (no pybind11/pythran/meson, empty Eigen
-submodule, zero egress) — `benchmarks/REFERENCE_BUILD.md` records the attempt
-and the numpy-vs-compiled calibration. Identical probe-count/degree/
-quadrature, so vs_baseline is an apples-to-apples wall-time ratio on this
-machine.
+``src/primate/trace.py`` + ``include/lanczos.h``). Preferred implementation:
+the REAL scikit-primate package compiled on this image
+(`benchmarks/real_reference.py`); fallbacks: a compiled C++ sweep
+(`benchmarks/ref_native.cpp`), then the numpy stand-in. Identical probe-count/
+degree/quadrature, so vs_baseline is an apples-to-apples wall-time ratio on
+this machine.
+
+Robustness (round-4): the TPU lives behind a network tunnel that can be down
+for minutes at a time — round 3's official capture fell back to CPU because a
+single 180 s probe gave up. This script is now an ORCHESTRATOR: it probes
+with retry + backoff over a multi-minute budget, runs the measurement in a
+killable child process (so a tunnel death MID-RUN also falls back instead of
+hanging the driver), retries once, and only then records the CPU fallback —
+tagged ``"tpu_unreachable": true`` with the probe log.
 
 Prints ONE JSON line: {"metric", "value" (wall seconds), "unit", "vs_baseline"
 (baseline_time / our_time; >1 means faster than the reference architecture)}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -48,6 +55,13 @@ ORTH = 0
 PROBES = 64
 REPS = 7
 BASE_REPS = 2  # baseline runs ~6.4 s each at this scale; 2 reps bound driver time
+
+# --- TPU probe / orchestration policy ---------------------------------------
+# Escalating per-attempt timeouts with short sleeps between: quick first looks
+# (tunnel usually answers in <60 s when healthy), then patient retries that
+# ride out multi-minute outages. Total worst case ≈ 10.5 min of probing.
+PROBE_SCHEDULE = ((60, 5), (90, 15), (120, 30), (180, 45), (180, 0))
+CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1200"))
 
 
 def build_laplacian(n: int) -> sps.csr_matrix:
@@ -92,37 +106,55 @@ def baseline_slq_logdet(A: sps.csr_matrix, deg: int, orth: int, probes: int, see
 	return est, time.perf_counter() - t0
 
 
-def _tpu_reachable(timeout_s: float = 180.0) -> bool:
-	"""Probe TPU availability in a SUBPROCESS with a hard timeout.
+def _probe_once(timeout_s: float) -> bool:
+	"""One TPU-availability probe in a SUBPROCESS with a hard timeout.
 
 	The TPU is attached over a network tunnel; when the tunnel is down, backend
 	initialization blocks indefinitely inside the plugin — it must be probed in
-	a killable child, and the platform decision made BEFORE this process
-	touches jax. On failure the benchmark falls back to CPU: both sides of the
-	ratio run on the same hardware, so vs_baseline stays apples-to-apples.
+	a killable child, and the platform decision made BEFORE the measurement
+	process touches jax. ``BENCH_PROBE_CMD`` overrides the probed command for
+	outage-simulation tests.
 	"""
-	import subprocess
-	import sys
-
+	cmd = os.environ.get("BENCH_PROBE_CMD")
+	argv = (
+		[sys.executable, "-c", cmd]
+		if cmd
+		else [sys.executable, "-c", "import jax; assert any(d.platform == 'tpu' for d in jax.devices())"]
+	)
 	try:
-		r = subprocess.run(
-			[sys.executable, "-c", "import jax; assert any(d.platform == 'tpu' for d in jax.devices())"],
-			timeout=timeout_s,
-			capture_output=True,
-		)
+		r = subprocess.run(argv, timeout=timeout_s, capture_output=True)
 		return r.returncode == 0
 	except subprocess.TimeoutExpired:
 		return False
 
 
-def main() -> None:
-	import os
+def probe_tpu_with_retry(schedule=PROBE_SCHEDULE, sleep=time.sleep) -> tuple:
+	"""Retry-with-backoff TPU probe. Returns (reachable, attempt_log).
 
-	tpu_ok = _tpu_reachable()
+	Round 3's single 180 s probe turned a transient tunnel outage into a CPU
+	scoreboard number (BENCH_r03: 2.94x vs the 55-86x TPU captures). Spreading
+	the same patience over several attempts rides out congestion bursts while
+	still answering fast when the tunnel is healthy.
+	"""
+	log = []
+	for i, (timeout_s, sleep_s) in enumerate(schedule):
+		t0 = time.perf_counter()
+		ok = _probe_once(timeout_s)
+		log.append({"attempt": i + 1, "timeout_s": timeout_s, "ok": ok, "took_s": round(time.perf_counter() - t0, 1)})
+		if ok:
+			return True, log
+		if sleep_s:
+			sleep(sleep_s)
+	return False, log
+
+
+def run_measurement() -> None:
+	"""Child-process entry: run the measurement on the platform in BENCH_PLATFORM."""
+	platform = os.environ.get("BENCH_PLATFORM", "cpu")
 
 	import jax
 
-	if not tpu_ok:
+	if platform != "tpu":
 		# Pin through jax.config BEFORE backend init (env alone is overridden
 		# by site hooks that force-register the accelerator plugin).
 		jax.config.update("jax_platforms", "cpu")
@@ -223,5 +255,74 @@ def main() -> None:
 	)
 
 
+def _run_child(platform: str, timeout_s: float):
+	"""Run the measurement in a killable child; return its parsed JSON or None.
+
+	A child (not an in-process call) because a tunnel death MID-measurement
+	blocks inside the axon plugin uninterruptibly — the orchestrator must be
+	able to kill it and fall back rather than hang the driver.
+	"""
+	env = dict(os.environ, BENCH_PLATFORM=platform, BENCH_CHILD="1")
+	try:
+		r = subprocess.run(
+			[sys.executable, os.path.abspath(__file__)],
+			timeout=timeout_s,
+			capture_output=True,
+			text=True,
+			env=env,
+		)
+	except subprocess.TimeoutExpired:
+		return None, "timeout"
+	if r.returncode != 0:
+		return None, (r.stderr or "")[-2000:]
+	for line in reversed(r.stdout.strip().splitlines()):
+		line = line.strip()
+		if line.startswith("{"):
+			try:
+				return json.loads(line), None
+			except json.JSONDecodeError:
+				continue
+	return None, "no JSON line in child output"
+
+
+def main() -> None:
+	reachable, probe_log = probe_tpu_with_retry()
+	notes = []
+
+	if reachable:
+		result, err = _run_child("tpu", CHILD_TIMEOUT_S)
+		if result is not None:
+			print(json.dumps(result))
+			return
+		notes.append({"stage": "tpu-child", "error": err})
+		# The tunnel answered the probe but died mid-measurement (or the run
+		# crashed) — re-probe briefly and retry ONCE before giving up on TPU.
+		re_ok, re_log = probe_tpu_with_retry(schedule=((90, 10), (120, 0)))
+		probe_log += re_log
+		if re_ok:
+			result, err = _run_child("tpu", CHILD_TIMEOUT_S)
+			if result is not None:
+				result["tpu_retry"] = True
+				print(json.dumps(result))
+				return
+			notes.append({"stage": "tpu-child-retry", "error": err})
+
+	# CPU fallback: both sides of the ratio run on the same hardware, so
+	# vs_baseline stays apples-to-apples — but tag it loudly so the scoreboard
+	# is never mistaken for a TPU capture again (BENCH_r03 lesson).
+	result, err = _run_child("cpu", CHILD_TIMEOUT_S)
+	if result is None:
+		print(json.dumps({"metric": "slq_logdet_failed", "value": 0, "unit": "s", "vs_baseline": 0, "error": err}))
+		return
+	result["tpu_unreachable"] = True
+	result["probe_log"] = probe_log
+	if notes:
+		result["notes"] = notes
+	print(json.dumps(result))
+
+
 if __name__ == "__main__":
-	main()
+	if os.environ.get("BENCH_CHILD"):
+		run_measurement()
+	else:
+		main()
