@@ -29,7 +29,6 @@ import jax
 import jax.numpy as jnp
 
 import primate_tpu as pt
-from primate_tpu.random import sample_isotropic
 
 
 def make_kernel(theta: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
@@ -41,9 +40,12 @@ def make_kernel(theta: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
 
 def neg_log_likelihood(theta, X, y, key, deg=24, nv=32):
 	K = make_kernel(theta, X)
-	M = pt.MatrixFunction(K, fun="log", deg=deg, orth=8)
-	V = sample_isotropic(key, (X.shape[0], nv), pdf="rademacher", dtype=K.dtype)
-	logdet = jnp.mean(M.quad(V))
+	# Differentiable SLQ logdet (autodiff.logdet, a custom_vjp): forward is the
+	# fused Lanczos-quadrature estimate on nv shared Rademacher probes; backward
+	# is the stochastic identity  ∂logdet(K) = tr(K⁻¹ ∂K)  via batched CG on the
+	# SAME probes — reverse mode never unrolls the Lanczos recurrence (that
+	# costs O(deg·n·nv) residual memory and is numerically fragile).
+	logdet = pt.autodiff.logdet(K, deg=deg, orth=8, nv=nv, seed=key, solver_rtol=1e-6)
 	# GP kernels have exactly the outlier-heavy spectrum the randomized Nyström
 	# preconditioner was built for; gradients flow through the preconditioned
 	# solve via custom_linear_solve (the preconditioner itself is treated as

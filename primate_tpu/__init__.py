@@ -20,7 +20,7 @@ are batched into GEMM/SpMM on the MXU, and randomness is stateless threefry.
 
 __version__ = "0.1.0"
 
-from . import kpm, operators, random, recipes, special, stats
+from . import autodiff, kpm, operators, random, recipes, special, stats
 from .bidiag import lanczos_bidiag
 from .block_krylov import block_lanczos, block_quadrature, block_slq_trace
 from .density import cumulative_spectral_density, spectral_density, spectral_quantile
@@ -51,6 +51,7 @@ from .operators import (
 	normalize_unit,
 )
 from .random import haar, hermitian, isotropic, symmetric
+from .autodiff import spectral_sum
 from .solvers import NystromPreconditioner, cg, nystrom_precond, solve
 from .special import param_callable, stacked
 from .trace import hutch, hutchpp, xnystrace, xtrace
@@ -110,6 +111,7 @@ __all__ = [
 	"rayleigh_ritz",
 	"solve",
 	"special",
+	"spectral_sum",
 	"stacked",
 	"param_callable",
 	"stats",

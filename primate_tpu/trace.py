@@ -185,7 +185,36 @@ def hutch(
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
 	record = kwargs.pop("record", False)
+	differentiable = kwargs.pop("differentiable", False)
 	assert batch >= 1, "Batch size must be positive."
+
+	if differentiable:
+		# Reverse-differentiable fixed-budget path (custom_vjp; see autodiff.py).
+		# The adaptive while_loop is not reverse-differentiable, so this requires
+		# a count criterion and draws the whole budget as ONE probe block (the
+		# probe stream therefore differs from the batch-looped fused path).
+		# Returns a traced 0-d array, composing with jax.grad/jit.
+		grad_opts = {k: kwargs.pop(k) for k in ("grad_method", "fprime", "solver_rtol", "solver_maxiter") if k in kwargs}
+		criterion = convergence_criterion("count", **kwargs) if converge in ("default", "count") else convergence_criterion(converge, **kwargs)
+		assert isinstance(criterion, CountCriterion), (
+			"differentiable=True needs a fixed probe budget: pass converge='count', count=m "
+			"(adaptive criteria live inside a lax.while_loop, which is not reverse-differentiable)"
+		)
+		assert callback is None and resume is None and not record and not full, (
+			"differentiable=True is a pure traced-scalar path: callback/resume/record/full are unavailable"
+		)
+		assert classify_pdf(pdf) != "size", "differentiable=True needs a named pdf (rademacher/normal/sphere)"
+		nv = int(criterion.count)
+		from .operators.special_ops import MatrixFunction
+
+		if isinstance(op, MatrixFunction):
+			from .autodiff import spectral_sum
+
+			return spectral_sum(op, nv=nv, pdf=pdf, seed=seed, **grad_opts)
+		# Plain trace: mean of quadratic forms — differentiable as-is through
+		# the operator's matmat (d tr(A) = tr(dA), no Lanczos involved).
+		Z = sample_isotropic(as_key(seed), (N, nv), pdf=pdf, dtype=real_dtype(op.dtype))
+		return jnp.mean(quad_form(op, Z.astype(op.dtype)), axis=-1)
 
 	if converge == "default":
 		criterion = default_trace_criterion()
