@@ -23,6 +23,7 @@ from .estimators import (
 	EstSnapshot,
 	MeanEstimator,
 	convergence_criterion,
+	note_capped,
 )
 from .operators import aslinop, is_valid_operator
 from .trace import _reject_stacked
@@ -139,7 +140,10 @@ def _diag_fused(A, criterion, key, init_carry=None, *, n: int, pdf: str, maxiter
 			it=c.it + 1, numer=numer, denom=denom, mean=new_mean, delta=new_mean.mu - c.mean.mu, m2=m2
 		)
 
-	return lax.while_loop(cond, body, init)
+	final = lax.while_loop(cond, body, init)
+	# Surface budget-capped stops (VERDICT r3 #7): unmet criterion at maxiter.
+	capped = jnp.logical_and(final.it >= maxiter, jnp.logical_not(criterion.check(_diag_snapshot(final))))
+	return final, capped
 
 
 def diag(
@@ -239,12 +243,13 @@ def diag(
 
 	batch = max(1, int(batch))
 	if callback is None and not record and is_jittable_criterion(criterion) and pdf_kind != "size":
-		carry = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout, batch=batch)
-		carry = jax.device_get(carry)  # one transfer; later reads are host numpy
+		carry, capped = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout, batch=batch)
+		carry, capped = jax.device_get((carry, capped))  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
 		estimate = np.asarray(carry.mean.mu).reshape(stack_shape + (N,))
 		state = {"numer": np.asarray(carry.numer), "denom": np.asarray(carry.denom), "mean": carry.mean, "m2": np.asarray(carry.m2), "batch": batch}
 		if not full:
+			note_capped(bool(capped), maxiter, name="diag")
 			return estimate
 		result = EstimatorResult(
 			estimator=estimator,
@@ -254,6 +259,7 @@ def diag(
 			nit=int(carry.mean.n),
 		)
 		result.info["state"] = state
+		note_capped(bool(capped), maxiter, result, name="diag")
 		return estimate, result
 
 	# Host-stepped path for callbacks / sample recording.
@@ -329,6 +335,7 @@ def diag(
 		"mean": estimator._moments._state,
 		"m2": m2_res,
 	}
+	note_capped(it >= maxiter and not bool(criterion(estimator)), maxiter, result if full else None, name="diag")
 	return (estimate, result) if full else estimate
 
 

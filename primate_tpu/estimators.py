@@ -48,7 +48,28 @@ __all__ = [
 	"convergence_criterion",
 	"CRITERIA",
 	"arr_summary",
+	"note_capped",
 ]
+
+
+def note_capped(capped: bool, maxiter: int, result: "EstimatorResult" = None, name: str = "estimator") -> None:
+	"""Surface a budget-capped stop (VERDICT r3 #7): when a loop exhausts
+	``maxiter`` with its convergence criterion still unmet, warn — and when a
+	result record is available, flag it in ``info`` and append to ``message`` —
+	so an unconverged estimate never silently reads as converged."""
+	if not capped:
+		return
+	import warnings
+
+	warnings.warn(
+		f"{name}: stopped by maxiter={maxiter} before the convergence criterion was met; "
+		"the estimate may not have the requested accuracy/confidence (raise maxiter, or "
+		"resume= from the returned result to continue the same probe stream)",
+		stacklevel=3,
+	)
+	if result is not None:
+		result.info["capped"] = True
+		result.message = (result.message + " " if result.message else "") + f"[capped at maxiter={maxiter}]"
 
 
 def arr_summary(x) -> str:

@@ -38,6 +38,7 @@ from .estimators import (
 	criterion_needs_values,
 	default_trace_criterion,
 	is_jittable_criterion,
+	note_capped,
 )
 from .linalg import colwise_dot, qr_append, update_trinv_block
 
@@ -130,7 +131,10 @@ def _hutch_fused(
 		return _HutchCarry(it=c.it + 1, cov=new_cov, delta=delta, values=values)
 
 	final = lax.while_loop(cond, body, init)
-	return final
+	# Surface budget-capped stops: a run that exhausted `maxiter` with the
+	# criterion still unmet must not masquerade as converged (VERDICT r3 #7).
+	capped = jnp.logical_and(final.it >= maxiter, jnp.logical_not(criterion.check(_carry_snapshot(final))))
+	return final, capped
 
 
 @partial(jax.jit, static_argnames=("n", "batch", "pdf"))
@@ -275,14 +279,14 @@ def hutch(
 		init_it = n_seen // int(batch)
 
 	if callback is None and is_jittable_criterion(criterion) and pdf_kind != "size":
-		carry = _hutch_fused(
+		carry, capped = _hutch_fused(
 			op, criterion, key, init_cov, init_it,
 			n=N, batch=int(batch), pdf=pdf, maxiter=int(maxiter), record=record, dim=dim,
 		)
 		# ONE device→host transfer for the whole final carry: every later read
 		# is host numpy (each separate pull costs a full round trip, which
 		# dominates wall time on remote-attached accelerators).
-		carry = jax.device_get(carry)
+		carry, capped = jax.device_get((carry, capped))
 		estimator = MeanEstimator.from_state(carry.cov, delta=carry.delta, values=carry.values)
 		if int(carry.cov.n) == 0:
 			estimate = np.nan
@@ -291,6 +295,7 @@ def hutch(
 		else:
 			estimate = np.asarray(carry.cov.mu).reshape(stack_shape)
 		if not full:
+			note_capped(bool(capped), maxiter, name="hutch")
 			return estimate
 		result = EstimatorResult(
 			estimator=estimator,
@@ -299,6 +304,7 @@ def hutch(
 			message=getattr(criterion, "message", lambda e: "")(estimator),
 			nit=int(carry.cov.n),
 		)
+		note_capped(bool(capped), maxiter, result, name="hutch")
 		return estimate, result
 
 	# Host-stepped path: jitted batch step + per-batch callback (also the
@@ -332,6 +338,7 @@ def hutch(
 	# resumed estimator that already satisfies the criterion reports its
 	# accumulated count instead of 0.
 	result.nit = estimator.n_samples
+	note_capped(it >= maxiter and not bool(criterion(estimator)), maxiter, result if full else None, name="hutch")
 	return (estimator.estimate, result) if full else estimator.estimate
 
 

@@ -1,6 +1,7 @@
 """Estimator/criteria framework tests (mirrors reference `tests/test_estimators.py`)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 import primate_tpu as pt
 from primate_tpu.estimators import (
@@ -294,3 +295,38 @@ def test_control_variable_snapshot_var_is_residual():
 	assert float(snap.var) < 0.05 * raw_var  # CV explains ~99% of the variance
 	want = np.var(s - cv[:, 0], ddof=1)
 	assert abs(float(snap.var) - want) < 0.2 * want
+
+
+def test_maxiter_capped_stop_is_surfaced():
+	"""VERDICT r3 #7: a run that exhausts maxiter with its criterion unmet must
+	warn and label the result — never silently read as converged."""
+	import warnings as _w
+
+	import primate_tpu as pt
+
+	A = pt.symmetric(32, pd=True, seed=0)
+	# Tolerance impossible in 2 batches → capped.
+	with pytest.warns(UserWarning, match="maxiter=2"):
+		est, res = pt.hutch(A, batch=4, converge="tolerance", atol=0.0, rtol=0.0, maxiter=2, seed=1, full=True)
+	assert res.info.get("capped") is True
+	assert "capped at maxiter=2" in res.message
+	# full=False still warns.
+	with pytest.warns(UserWarning, match="maxiter=2"):
+		pt.hutch(A, batch=4, converge="tolerance", atol=0.0, rtol=0.0, maxiter=2, seed=1)
+	# A converged run carries no cap flag and no warning.
+	with _w.catch_warnings():
+		_w.simplefilter("error")
+		est2, res2 = pt.hutch(A, batch=4, converge="count", count=8, maxiter=64, seed=1, full=True)
+	assert "capped" not in res2.info and "capped" not in res2.message
+
+	# diag: fused path.
+	with pytest.warns(UserWarning, match="diag: stopped by maxiter=3"):
+		d, dres = pt.diag(A, converge="tolerance", atol=0.0, rtol=0.0, maxiter=3, seed=2, full=True)
+	assert dres.info.get("capped") is True and "capped at maxiter=3" in dres.message
+	# diag: host-stepped path (callback forces it).
+	with pytest.warns(UserWarning, match="diag: stopped by maxiter=3"):
+		d2, dres2 = pt.diag(A, converge="tolerance", atol=0.0, rtol=0.0, maxiter=3, seed=2, full=True, callback=lambda r: None)
+	assert dres2.info.get("capped") is True
+	# hutch: host-stepped path.
+	with pytest.warns(UserWarning, match="hutch: stopped by maxiter=2"):
+		pt.hutch(A, batch=4, converge="tolerance", atol=0.0, rtol=0.0, maxiter=2, seed=1, callback=lambda r: None)
