@@ -176,6 +176,20 @@ def _partition_bsr_host(
 	)
 
 
+def _probe_axis_or_none(mesh, pr_ax, k: int):
+	"""Probe-axis name if usable for this column count, else None.
+
+	Estimators issue applies with arbitrary column counts (a single matvec,
+	an eigsh residual block, a ragged final batch); a count not divisible by
+	the probe-axis size cannot be probe-sharded — run those replicated
+	instead of erroring inside shard_map.
+	"""
+	if pr_ax is None:
+		return None
+	npr = mesh.shape.get(pr_ax, 1)
+	return pr_ax if npr > 1 and k % npr == 0 else None
+
+
 def _local_bsr_mm(blocks, rowids, colids, V, *, n_brow_loc: int, use_pallas: bool):
 	"""Per-chip SpMM of the local row block against a gatherable V segment."""
 	bm, bn = blocks.shape[1:]
@@ -325,7 +339,7 @@ class ShardedBSROperator(LinearOperator):
 		if use_pallas is None:
 			use_pallas = jax.default_backend() == "tpu" and self.blocks.shape[1] <= MAX_PREFETCH_BLOCKS
 		op_ax, pr_ax = self.op_axis, self.probe_axis
-		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		pr = _probe_axis_or_none(self.mesh, pr_ax, V.shape[1])
 		local = partial(_local_bsr_mm, n_brow_loc=self.bpd, use_pallas=use_pallas)
 
 		if self.comm == "halo":
@@ -375,7 +389,7 @@ class ShardedBSROperator(LinearOperator):
 		n = self.shape[0]
 		bm, bn = self.blocksize
 		op_ax, pr_ax = self.op_axis, self.probe_axis
-		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		pr = _probe_axis_or_none(self.mesh, pr_ax, Vt.shape[0])
 		bpd = self.bpd
 
 		def local_t(blocks, rowids, colids, Vt_seg):
@@ -514,7 +528,7 @@ class ShardedDIAOperator(LinearOperator):
 		n_loc = n_pad // ndev
 		moff = max((abs(o) for o in self.offsets), default=0)
 		op_ax, pr_ax = self.op_axis, self.probe_axis
-		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		pr = _probe_axis_or_none(self.mesh, pr_ax, V.shape[1])
 		offsets = self.offsets
 		fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
 		bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
@@ -553,7 +567,7 @@ class ShardedDIAOperator(LinearOperator):
 		n_loc = n_pad // ndev
 		moff = max((abs(o) for o in self.offsets), default=0)
 		op_ax, pr_ax = self.op_axis, self.probe_axis
-		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		pr = _probe_axis_or_none(self.mesh, pr_ax, Vt.shape[0])
 		offsets = self.offsets
 		fwd = [(i, (i + 1) % ndev) for i in range(ndev)]
 		bwd = [(i, (i - 1) % ndev) for i in range(ndev)]
@@ -799,7 +813,7 @@ class ShardedCSROperator(LinearOperator):
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		n = self.shape[0]
 		op_ax, pr_ax = self.op_axis, self.probe_axis
-		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		pr = _probe_axis_or_none(self.mesh, pr_ax, V.shape[1])
 		local = partial(_local_csr_mm, rpd=self.rpd)
 		has_ell = self.ell_data is not None
 
@@ -854,7 +868,7 @@ class ShardedCSROperator(LinearOperator):
 		row-sharded array is a resharding collective on a real mesh)."""
 		n = self.shape[0]
 		op_ax, pr_ax = self.op_axis, self.probe_axis
-		pr = pr_ax if (pr_ax is not None and self.mesh.shape.get(pr_ax, 1) > 1) else None
+		pr = _probe_axis_or_none(self.mesh, pr_ax, Vt.shape[0])
 		rpd = self.rpd
 		has_ell = self.ell_data is not None
 
