@@ -61,18 +61,30 @@ def as_key(seed: Union[int, np.random.Generator, jax.Array, None] = None) -> jax
 	it, so `seed=np.random.default_rng(1234)` behaves reproducibly), or None
 	(fresh OS entropy).
 	"""
-	if seed is None:
-		return jax.random.key(np.random.SeedSequence().generate_state(1)[0].item())
 	if isinstance(seed, jax.Array) and jnp.issubdtype(seed.dtype, jax.dtypes.prng_key):
 		return seed
 	if isinstance(seed, (jax.Array, np.ndarray)) and seed.dtype == jnp.uint32 and seed.shape == (2,):
 		# Legacy raw PRNGKey (jax.random.PRNGKey): wrap into a typed key.
 		return jax.random.wrap_key_data(jnp.asarray(seed))
-	if isinstance(seed, np.random.Generator):
-		return jax.random.key(int(seed.integers(0, 2**63 - 1)))
-	if isinstance(seed, np.random.SeedSequence):
-		return jax.random.key(seed.generate_state(1)[0].item())
-	return jax.random.key(int(seed))
+
+	def _mk():
+		if seed is None:
+			return jax.random.key(np.random.SeedSequence().generate_state(1)[0].item())
+		if isinstance(seed, np.random.Generator):
+			return jax.random.key(int(seed.integers(0, 2**63 - 1)))
+		if isinstance(seed, np.random.SeedSequence):
+			return jax.random.key(seed.generate_state(1)[0].item())
+		return jax.random.key(int(seed))
+
+	try:
+		# Build the key on the LOCAL CPU backend: `jax.random.key` is an eager
+		# op, and on a tunnel-attached accelerator running it remotely costs a
+		# host↔device hop before the actual estimator dispatch. A host-resident
+		# key ships with the dispatch arguments instead (one transfer total).
+		with jax.default_device(jax.local_devices(backend="cpu")[0]):
+			return _mk()
+	except RuntimeError:  # no cpu backend registered (exotic configs)
+		return _mk()
 
 
 def classify_pdf(pdf) -> str:

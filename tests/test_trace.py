@@ -135,12 +135,11 @@ def test_xtrace_fused_round_matches_eager_path():
 	A = pt.symmetric(n, pd=True, seed=3)
 	op = pt.operators.DenseOperator(jnp.asarray(A))
 	key = as_key(11)
-	sphere = jnp.asarray(True)
 	dt = op.dtype
 	state = tuple(jnp.zeros(s, dt) for s in [(n, 0), (n, 0), (n, 0), (0, 0), (0, 0)])
 	ts = None
 	for it, ns in enumerate([16, 16, 16]):
-		state, ts = tr._xtrace_round(op, *state, key, it, sphere, ns=ns, pdf="sphere", with_estimates=True)
+		state, ts = tr._xtrace_round(op, *state, key, it, ns=ns, pdf="sphere", with_estimates=True)
 	est = float(np.mean(np.asarray(ts)))
 	true = float(np.trace(np.asarray(A)))
 	assert abs(est - true) < 1e-6  # leave-one-out exactness at m == n
@@ -148,7 +147,7 @@ def test_xtrace_fused_round_matches_eager_path():
 	# with_estimates=False returns the same state, empty estimates
 	state2 = tuple(jnp.zeros(s, dt) for s in [(n, 0), (n, 0), (n, 0), (0, 0), (0, 0)])
 	for it, ns in enumerate([16, 16, 16]):
-		state2, t2 = tr._xtrace_round(op, *state2, key, it, sphere, ns=ns, pdf="sphere", with_estimates=False)
+		state2, t2 = tr._xtrace_round(op, *state2, key, it, ns=ns, pdf="sphere", with_estimates=False)
 		assert t2.shape == (0,)
 	for a, b in zip(state, state2):
 		assert np.array_equal(np.asarray(a), np.asarray(b))
@@ -324,3 +323,28 @@ def test_hutch_rejects_zero_batch():
 		pt.hutch(A, batch=0)
 	with pytest.raises(AssertionError, match="positive"):
 		pt.hutchpp(A, batch=0)
+
+
+def test_xtrace_chain_fresh_matches_staged_chain():
+	"""The fresh-start fused chain (state built inside the program, VERDICT r3
+	#6) is bit-identical to seeding _xtrace_chain with host-side empty state —
+	and both match the public xtrace estimate on the same schedule."""
+	import primate_tpu.trace as tr
+	from primate_tpu.operators import aslinop
+
+	n, batch = 48, 16
+	A = pt.symmetric(n, pd=True, seed=5)
+	op = aslinop(jnp.asarray(A))
+	key = tr.as_key(11)
+	schedule = (batch, batch)
+	state0 = (
+		jnp.zeros((n, 0), op.dtype), jnp.zeros((n, 0), op.dtype), jnp.zeros((n, 0), op.dtype),
+		jnp.zeros((0, 0), op.dtype), jnp.zeros((0, 0), op.dtype),
+	)
+	st_a, t_a = tr._xtrace_chain(op, key, state0, jnp.zeros((), jnp.int32), schedule=schedule, pdf="sphere")
+	st_b, t_b = tr._xtrace_chain_fresh(op, key, schedule=schedule, pdf="sphere", n=n, dtype=op.dtype)
+	assert np.array_equal(np.asarray(t_a), np.asarray(t_b))
+	for a, b in zip(st_a, st_b):
+		assert np.array_equal(np.asarray(a), np.asarray(b))
+	est = pt.xtrace(jnp.asarray(A), batch=batch, converge="count", count=2 * batch, seed=11)
+	assert np.isclose(float(np.mean(np.asarray(t_a))), float(est), rtol=1e-10)
