@@ -16,10 +16,18 @@ estimator: {"estimator", "ref_s", "ours_s", "speedup", "ref_est", "our_est",
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import scipy.sparse as sps
+
+if os.environ.get("JAX_PLATFORMS", "").strip() not in ("", "axon"):
+	# Honor an explicit JAX_PLATFORMS=cpu (CPU-vs-CPU fallback table) despite
+	# the site hook that force-registers the tunnel-attached TPU plugin.
+	import jax
+
+	jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"].strip())
 
 
 def _spd_sparse(n: int = 4096, block: int = 8, seed: int = 0) -> sps.csr_matrix:
@@ -129,6 +137,9 @@ def main() -> None:
 	)
 	rows.append(("diag_sparse_4096_512probes", r_t, o_t, r_est, o_est, float(d_s.sum())))
 
+	import jax
+
+	platform = jax.devices()[0].platform
 	for name, r_t, o_t, r_est, o_est, true in rows:
 		print(
 			json.dumps(
@@ -140,6 +151,7 @@ def main() -> None:
 					"ref_est": round(r_est, 2),
 					"our_est": round(o_est, 2),
 					"true": round(true, 2),
+					"platform": platform,
 				}
 			)
 		)

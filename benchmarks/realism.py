@@ -76,8 +76,10 @@ def run_matrix(name: str, A, deg: int, probes: int, seed: int = 0) -> list:
 			"gb_per_s": round(float(stats.get("effective_GBps", 0.0)), 2),
 		})
 
-	# Estimators run on the format the library would pick by default.
-	op = next(iter(ops.values()))
+	# Estimators run on the structure-native format (DIA for stencils, BSR for
+	# block patterns, CSR otherwise) — the choice a user following the operator
+	# docs would make, and what the SpMM rows above justify.
+	op = ops.get("bsr") or ops.get("dia") or next(iter(ops.values()))
 	tr_exact = float(A.diagonal().sum())
 
 	M = pt.MatrixFunction(op, fun="log", deg=deg, orth=0, dtype=jnp.float32)
@@ -85,7 +87,7 @@ def run_matrix(name: str, A, deg: int, probes: int, seed: int = 0) -> list:
 	rows.append({"matrix": name, "n": n, "measure": "slq_logdet_hutch", "wall_s": round(dt, 4),
 		"deg": deg, "probes": probes, "estimate": float(est)})
 
-	dt, est = _timed(lambda: pt.hutchpp(op, batch=probes, seed=seed))
+	dt, est = _timed(lambda: pt.hutchpp(op, m=3 * probes, seed=seed))
 	rows.append({"matrix": name, "n": n, "measure": "hutchpp", "wall_s": round(dt, 4),
 		"estimate": float(est), "rel_err_vs_exact": round(abs(float(est) - tr_exact) / abs(tr_exact), 5)})
 
