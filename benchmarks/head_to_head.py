@@ -131,8 +131,10 @@ def main() -> None:
 		),
 		REPS_REF,
 	)
+	# NOTE: diag's criterion counts ITERATIONS (probe budget = batch × count,
+	# see its docstring) — count=8 × batch=64 = the reference's 512 probes.
 	o_est, o_t = _best(
-		lambda: float(np.sum(np.asarray(pt.diag(As_op, converge="count", count=512, seed=11, batch=64)))),
+		lambda: float(np.sum(np.asarray(pt.diag(As_op, converge="count", count=8, seed=11, batch=64)))),
 		REPS_OURS,
 	)
 	rows.append(("diag_sparse_4096_512probes", r_t, o_t, r_est, o_est, float(d_s.sum())))

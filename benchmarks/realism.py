@@ -96,7 +96,8 @@ def run_matrix(name: str, A, deg: int, probes: int, seed: int = 0) -> list:
 	rows.append({"matrix": name, "n": n, "measure": "xtrace", "wall_s": round(dt, 4),
 		"estimate": float(est), "rel_err_vs_exact": round(abs(float(est) - tr_exact) / abs(tr_exact), 5)})
 
-	dt, d = _timed(lambda: pt.diag(op, converge="count", count=64, batch=16, seed=seed))
+	# diag's criterion counts ITERATIONS (budget = batch × count): 4 × 16 = 64 probes.
+	dt, d = _timed(lambda: pt.diag(op, converge="count", count=4, batch=16, seed=seed))
 	derr = float(np.linalg.norm(np.asarray(d) - A.diagonal()) / np.linalg.norm(A.diagonal()))
 	rows.append({"matrix": name, "n": n, "measure": "diag64", "wall_s": round(dt, 4),
 		"rel_err_vs_exact": round(derr, 5)})
