@@ -288,6 +288,7 @@ def _run_child(platform: str, timeout_s: float):
 def main() -> None:
 	reachable, probe_log = probe_tpu_with_retry()
 	notes = []
+	reachable_ever = reachable
 
 	if reachable:
 		result, err = _run_child("tpu", CHILD_TIMEOUT_S)
@@ -299,6 +300,7 @@ def main() -> None:
 		# crashed) — re-probe briefly and retry ONCE before giving up on TPU.
 		re_ok, re_log = probe_tpu_with_retry(schedule=((90, 10), (120, 0)))
 		probe_log += re_log
+		reachable_ever = True if re_ok else reachable_ever
 		if re_ok:
 			result, err = _run_child("tpu", CHILD_TIMEOUT_S)
 			if result is not None:
@@ -308,13 +310,19 @@ def main() -> None:
 			notes.append({"stage": "tpu-child-retry", "error": err})
 
 	# CPU fallback: both sides of the ratio run on the same hardware, so
-	# vs_baseline stays apples-to-apples — but tag it loudly so the scoreboard
-	# is never mistaken for a TPU capture again (BENCH_r03 lesson).
+	# vs_baseline stays apples-to-apples — but tag it loudly, and with the
+	# RIGHT root cause: "tpu_unreachable" only when the tunnel never answered;
+	# a healthy tunnel whose measurement child failed (accuracy assert, OOM, a
+	# real TPU-path bug) is "tpu_run_failed" — mislabeling that as an outage
+	# would let a genuine regression hide behind quiet CPU numbers.
 	result, err = _run_child("cpu", CHILD_TIMEOUT_S)
 	if result is None:
 		print(json.dumps({"metric": "slq_logdet_failed", "value": 0, "unit": "s", "vs_baseline": 0, "error": err}))
 		return
-	result["tpu_unreachable"] = True
+	if reachable_ever:
+		result["tpu_run_failed"] = True
+	else:
+		result["tpu_unreachable"] = True
 	result["probe_log"] = probe_log
 	if notes:
 		result["notes"] = notes

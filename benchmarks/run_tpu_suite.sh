@@ -19,7 +19,11 @@ if ! probe; then
 fi
 
 echo "## bench.py (flagship config-2)" | tee -a "$LOG"
-timeout 2400 python bench.py 2>/dev/null | tee -a "$LOG"
+# The stage timeout must exceed bench.py's own worst-case orchestration
+# budget (probe schedule + two 900s children + re-probe + CPU fallback), or
+# a mid-measurement tunnel death yields NO json at all — worse than a
+# labeled fallback line. Children are tightened via BENCH_CHILD_TIMEOUT_S.
+timeout 4500 env BENCH_CHILD_TIMEOUT_S=900 python bench.py 2>/dev/null | tee -a "$LOG"
 
 echo "## head_to_head (shared estimators vs real reference)" | tee -a "$LOG"
 timeout 2400 python -m benchmarks.head_to_head 2>/dev/null | tee -a "$LOG"

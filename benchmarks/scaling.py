@@ -204,7 +204,17 @@ def _run_two_process(rows: int, timeout: float = 1800.0) -> dict:
 		)
 		for i, cpu in ((0, cpu0), (1, cpu1))
 	]
-	outs = [p.communicate(timeout=timeout) for p in procs]
+	try:
+		outs = [p.communicate(timeout=timeout) for p in procs]
+	except Exception:
+		# One child hung (port race / distributed-init stall): kill BOTH, or
+		# they keep running pinned to the measurement cores and holding the
+		# coordinator port, polluting every later pinned cell.
+		for p in procs:
+			if p.poll() is None:
+				p.kill()
+				p.wait()
+		raise
 	assert all(p.returncode == 0 for p in procs), outs[0][1][-1500:] + outs[1][1][-1500:]
 	return json.loads(outs[0][0].strip().splitlines()[-1])
 

@@ -71,7 +71,7 @@ def _is_inv(fun: Callable) -> bool:
 	return fun is jnp.reciprocal
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)
 def _spectral_sum_core(fprime, grad_method: str, solver_rtol: float, solver_maxiter: Optional[int]):
 	"""custom_vjp estimator factory, memoized on the gradient configuration.
 
@@ -79,6 +79,12 @@ def _spectral_sum_core(fprime, grad_method: str, solver_rtol: float, solver_maxi
 	pytree (operator leaves inside) and the probe block. Everything static
 	(fun, deg, orth) rides in ``M``'s aux data, so one cached instance serves
 	every operator of a given gradient configuration and jit caching works.
+
+	``maxsize=64`` (not unbounded): ``fprime`` is keyed by callable identity,
+	and a training loop that builds a fresh ``fprime`` lambda every step would
+	otherwise retain every instance (and its jit cache) forever. Pass a
+	STABLE callable (module-level function / cached closure) to reuse
+	compilations across calls — same rule as ``MatrixFunction(fun=...)``.
 	"""
 
 	@jax.custom_vjp
@@ -90,56 +96,112 @@ def _spectral_sum_core(fprime, grad_method: str, solver_rtol: float, solver_maxi
 
 	def bwd(res, gbar):
 		M, Z = res
-		if jnp.dtype(M.dtype).kind == "c":
-			raise NotImplementedError(
-				"spectral_sum gradients are real-symmetric only; for Hermitian operators "
-				"differentiate through the real embedding [[Re, -Im], [Im, Re]]."
-			)
-		if jnp.ndim(gbar) != 0:
-			raise NotImplementedError(
-				"spectral_sum gradients need a scalar spectral function; stacked families "
-				"(special.stacked) are forward-only — estimate each member separately to differentiate."
-			)
-		A = M.operator
-		nv = Z.shape[-1]
+		_check_grad_supported(M, gbar)
 		Zc = Z.astype(M.dtype)
-
-		fun = M.fun
-		method = grad_method
-		if method == "auto":
-			method = "cg" if (_is_log(fun) or _is_inv(fun)) and fprime is None else "slq"
-		if method == "cg":
-			from .solvers import cg
-
-			if not (_is_log(fun) or _is_inv(fun)):
-				raise ValueError(
-					"grad_method='cg' applies only to fun='log' (f' = A⁻¹) or fun='inv' "
-					"(f' = -A⁻²); pass fprime= or grad_method='slq' for other functions."
-				)
-			W = cg(A, Zc, rtol=solver_rtol, maxiter=solver_maxiter)
-			if _is_inv(fun):
-				W = -cg(A, W, rtol=solver_rtol, maxiter=solver_maxiter)
-		else:
-			fp = fprime if fprime is not None else _elementwise_grad(fun)
-			Mp = MatrixFunction(
-				A,
-				fun=fp,
-				deg=M.degree,
-				orth=M._orth,
-				dtype=M.dtype,
-				two_pass=M._two_pass,
-				reorth_passes=M._reorth_passes,
-				basis_dtype=M._basis_dtype,
-			)
-			W = Mp._matmat(Zc)
-
+		W = _apply_fprime(M, Zc, fprime, grad_method, solver_rtol, solver_maxiter)
 		# ∂̂ = (gbar/m) Σᵢ wᵢ zᵢᵀ pulled back through the operator's own matmat:
 		# tr(Wᵀ (∂A) Z)/m = (1/m) Σᵢ wᵢᵀ (∂A) zᵢ — jax.vjp routes the cotangent
 		# into whatever pytree leaves parameterize A (dense entries, CSR data,
 		# DIA bands, kernel hyperparameters upstream, ...).
 		_, pull = jax.vjp(lambda m: m.operator.matmat(Zc), M)
-		(M_bar,) = pull((gbar / nv) * W.astype(M.dtype))
+		(M_bar,) = pull((gbar / Z.shape[-1]) * W.astype(M.dtype))
 		return M_bar, jnp.zeros_like(Z)
+
+	estimate.defvjp(fwd, bwd)
+	return estimate
+
+
+def _check_grad_supported(M, gbar) -> None:
+	if jnp.dtype(M.dtype).kind == "c":
+		raise NotImplementedError(
+			"spectral_sum gradients are real-symmetric only; for Hermitian operators "
+			"differentiate through the real embedding [[Re, -Im], [Im, Re]]."
+		)
+	if jnp.ndim(gbar) != 0:
+		raise NotImplementedError(
+			"spectral_sum gradients need a scalar spectral function; stacked families "
+			"(special.stacked) are forward-only — estimate each member separately to differentiate."
+		)
+
+
+def _apply_fprime(M, Zc, fprime, grad_method: str, solver_rtol: float, solver_maxiter) -> jnp.ndarray:
+	"""``W = f'(A) Z``: CG for log/inv, a second Lanczos sweep otherwise."""
+	A = M.operator
+	fun = M.fun
+	method = grad_method
+	if method == "auto":
+		method = "cg" if (_is_log(fun) or _is_inv(fun)) and fprime is None else "slq"
+	if method == "cg":
+		from .solvers import cg
+
+		if not (_is_log(fun) or _is_inv(fun)):
+			raise ValueError(
+				"grad_method='cg' applies only to fun='log' (f' = A⁻¹) or fun='inv' "
+				"(f' = -A⁻²); pass fprime= or grad_method='slq' for other functions."
+			)
+		W = cg(A, Zc, rtol=solver_rtol, maxiter=solver_maxiter)
+		if _is_inv(fun):
+			W = -cg(A, W, rtol=solver_rtol, maxiter=solver_maxiter)
+		return W
+	fp = fprime if fprime is not None else _elementwise_grad(fun)
+	Mp = MatrixFunction(
+		A,
+		fun=fp,
+		deg=M.degree,
+		orth=M._orth,
+		dtype=M.dtype,
+		two_pass=M._two_pass,
+		reorth_passes=M._reorth_passes,
+		basis_dtype=M._basis_dtype,
+	)
+	return Mp._matmat(Zc)
+
+
+@lru_cache(maxsize=64)
+def _spectral_sum_chunked_core(
+	fprime, grad_method: str, solver_rtol: float, solver_maxiter: Optional[int], pdf: str, nchunks: int, chunk: int
+):
+	"""Chunked custom_vjp estimator: O(n·chunk) peak memory at any probe budget.
+
+	Probes are sampled per chunk inside a ``lax.map``/``lax.scan`` body from a
+	chunk-indexed key (``fold_in(key, i)``), so neither the forward quad nor
+	the backward ``f'(A)Z`` + cotangent accumulation ever materializes the
+	full ``(n, nchunks·chunk)`` block — the fix for review r4: a migrated
+	``hutch(batch=32, count=4096, differentiable=True)`` at n=500k would
+	otherwise allocate ~8 GB per pass. Differentiable input is the operator
+	pytree; the key rides as raw uint32 data (cotangent: float0 zeros).
+	"""
+
+	@jax.custom_vjp
+	def estimate(M, key_data):
+		key = jax.random.wrap_key_data(key_data)
+
+		def one(i):
+			Z = sample_isotropic(jax.random.fold_in(key, i), (M.shape[0], chunk), pdf=pdf, dtype=real_dtype(M.dtype))
+			return jnp.mean(M.quad(Z), axis=-1)
+
+		return jnp.mean(jax.lax.map(one, jnp.arange(nchunks)), axis=0)
+
+	def fwd(M, key_data):
+		return estimate(M, key_data), (M, key_data)
+
+	def bwd(res, gbar):
+		M, key_data = res
+		_check_grad_supported(M, gbar)
+		key = jax.random.wrap_key_data(key_data)
+		coef = gbar / (nchunks * chunk)
+
+		def step(acc, i):
+			Z = sample_isotropic(jax.random.fold_in(key, i), (M.shape[0], chunk), pdf=pdf, dtype=real_dtype(M.dtype))
+			Zc = Z.astype(M.dtype)
+			W = _apply_fprime(M, Zc, fprime, grad_method, solver_rtol, solver_maxiter)
+			_, pull = jax.vjp(lambda m: m.operator.matmat(Zc), M)
+			(mbar,) = pull(coef * W.astype(M.dtype))
+			return jax.tree_util.tree_map(jnp.add, acc, mbar), None
+
+		zero = jax.tree_util.tree_map(jnp.zeros_like, M)
+		M_bar, _ = jax.lax.scan(step, zero, jnp.arange(nchunks))
+		return M_bar, np.zeros(np.shape(key_data), jax.dtypes.float0)
 
 	estimate.defvjp(fwd, bwd)
 	return estimate
@@ -158,6 +220,7 @@ def spectral_sum(
 	solver_rtol: float = 1e-6,
 	solver_maxiter: Optional[int] = None,
 	dtype=None,
+	chunk: Optional[int] = None,
 	**fun_kwargs,
 ) -> jnp.ndarray:
 	r"""Differentiable stochastic estimate of ``tr(f(A))`` (fixed probe budget).
@@ -178,9 +241,14 @@ def spectral_sum(
 		pdf: probe distribution ("rademacher"/"normal"/"sphere").
 		seed: int / numpy Generator / JAX key; fold the optimizer step index in
 			(``jax.random.fold_in``) to resample probes across training steps.
-		fprime: optional explicit derivative callable (else automatic).
+		fprime: optional explicit derivative callable (else automatic). Pass a
+			STABLE callable across calls — the custom_vjp factory is memoized on
+			its identity, so a fresh lambda per call retraces every time.
 		grad_method: "auto" (CG for log/inv, else SLQ), "cg", or "slq".
 		solver_rtol, solver_maxiter: CG controls for the gradient solves.
+		chunk: process probes in ``(n, chunk)`` blocks inside a scan — peak
+			memory O(n·chunk) in both passes instead of O(n·nv) (budget rounds
+			up to whole chunks; probe stream differs from the unchunked path).
 
 	Returns a 0-d ``jnp.ndarray`` (keeps gradients flowing — call ``float()``
 	on the host side if you want a Python scalar).
@@ -190,7 +258,19 @@ def spectral_sum(
 	else:
 		M = MatrixFunction(aslinop(A, dtype=dtype), fun=fun, deg=deg, orth=orth, dtype=dtype, **fun_kwargs)
 	key = as_key(seed)
-	Z = sample_isotropic(key, (M.shape[0], int(nv)), pdf=pdf, dtype=real_dtype(M.dtype))
+	nv = int(nv)
+	if chunk is not None and int(chunk) < nv:
+		# Chunked path: probes processed in (n, chunk) blocks inside a scan —
+		# O(n·chunk) peak memory in BOTH passes. The budget rounds UP to whole
+		# chunks (matching hutch's batch semantics); the probe stream differs
+		# from the single-block path (per-chunk fold_in keys).
+		chunk = int(chunk)
+		nchunks = -(-nv // chunk)
+		core = _spectral_sum_chunked_core(
+			fprime, grad_method, float(solver_rtol), solver_maxiter, pdf, nchunks, chunk
+		)
+		return core(M, jax.random.key_data(key))
+	Z = sample_isotropic(key, (M.shape[0], nv), pdf=pdf, dtype=real_dtype(M.dtype))
 	core = _spectral_sum_core(fprime, grad_method, float(solver_rtol), solver_maxiter)
 	return core(M, Z)
 

@@ -431,11 +431,11 @@ def trace_inv(
 	if precond == "nystrom":
 		precond = nystrom_precond(op, seed=kwargs.get("seed"))
 	elif precond == "jacobi":
-		from .solvers import DiagPreconditioner, _operator_diagonal
+		from .solvers import DiagPreconditioner, _jacobi_weights, _operator_diagonal
 
-		d = _operator_diagonal(op)
+		d, d_stochastic = _operator_diagonal(op)
 		acc = jnp.promote_types(op.dtype, jnp.float32)
-		precond = DiagPreconditioner(jnp.where(d != 0, 1.0 / d, 1.0).astype(acc))
+		precond = DiagPreconditioner(_jacobi_weights(d, d_stochastic, acc))
 	# (op, precond) ride as pytree CAPTURES under a cached solver fn, so the
 	# fused hutch program is keyed on structure — not on a per-call closure
 	# that would bake A in as a constant and retrace every call.

@@ -231,34 +231,13 @@ def cg(
 		else:
 			if isinstance(precond, str):
 				assert precond == "jacobi", f"Unknown preconditioner '{precond}'"
-				d = _operator_diagonal(op)
+				d, d_stochastic = _operator_diagonal(op)
 			else:
-				d = jnp.asarray(precond)
-			d = jnp.real(d)  # Hermitian diagonals are real (no-op for real d)
+				# User-supplied diagonals are trusted as exact (the caller knows
+				# their provenance; pass a pre-floored array for noisy estimates).
+				d, d_stochastic = jnp.asarray(precond), False
 			acc = jnp.promote_types(B.dtype, jnp.float32)
-			# A STOCHASTIC diagonal estimate can come out <= 0 on SPD operators
-			# that are not diagonally dominant — 1/d would then flip the sign of
-			# the preconditioned residual and break PCG. Floor ONLY entries that
-			# are non-positive (or denormal-tiny, relative to the mean scale):
-			# a legitimate SPD diagonal spanning many orders of magnitude keeps
-			# its exact 1/d, so the Jacobi preconditioner is not silently
-			# weakened on wide-dynamic-range operators.
-			d_mean = jnp.maximum(jnp.mean(jnp.abs(d)), jnp.finfo(acc).tiny)
-			d_tiny = jnp.finfo(acc).eps * d_mean  # positivity threshold
-			d_floor = 1e-3 * d_mean  # replacement for floored entries
-			floored = d <= d_tiny
-			try:  # warn when flooring fires (skipped under tracing)
-				n_floored = int(jnp.sum(floored))
-				if n_floored:
-					warnings.warn(
-						f"jacobi preconditioner: {n_floored} non-positive/tiny diagonal "
-						f"entr{'y' if n_floored == 1 else 'ies'} floored to {float(d_floor):.3g} "
-						"(stochastic diagonal estimate?)",
-						stacklevel=2,
-					)
-			except jax.errors.ConcretizationTypeError:
-				pass
-			M_inv_diag = DiagPreconditioner(jnp.where(floored, 1.0 / d_floor, 1.0 / jnp.maximum(d, d_tiny)).astype(real_dtype_of(acc)))
+			M_inv_diag = DiagPreconditioner(_jacobi_weights(d, d_stochastic, acc))
 
 	is_cplx = jnp.dtype(op.dtype).kind == "c"
 	if full or is_cplx:
@@ -316,18 +295,71 @@ def _cg_program(op, B, M_inv_diag, rtol, *, maxiter: int):
 	return lax.custom_linear_solve(op.matmat, B, solve=solve_fn, symmetric=True)
 
 
-def _operator_diagonal(op) -> jnp.ndarray:
-	"""Exact diagonal when cheap; stochastic estimate otherwise."""
+def _jacobi_weights(d, stochastic: bool, acc) -> jnp.ndarray:
+	"""Per-entry Jacobi weights ``1/d`` with a provenance-aware floor.
+
+	Floor policy depends on how trustworthy the diagonal is:
+	  * EXACT diagonals (extracted from the operator, or user-supplied — the
+	    caller controls those) keep exact ``1/d`` down to an eps-relative
+	    positivity threshold, so a legitimate SPD diagonal spanning many
+	    orders of magnitude is not silently weakened (ADVICE r3);
+	  * STOCHASTIC estimates (matrix-free fallback) can come out ≤ 0 or
+	    tiny-positive on non-diagonally-dominant operators; exact ``1/d`` of a
+	    noisy near-zero entry is a huge, wrong weight that breaks or stalls
+	    PCG — those floor conservatively at ``1e-3·mean`` (review r4).
+	"""
+	d = jnp.real(d)  # Hermitian diagonals are real (no-op for real d)
+	d_mean = jnp.maximum(jnp.mean(jnp.abs(d)), jnp.finfo(acc).tiny)
+	rel_floor = 1e-3 if stochastic else float(jnp.finfo(acc).eps)
+	d_tiny = rel_floor * d_mean  # positivity/floor threshold
+	d_floor = 1e-3 * d_mean  # replacement weight for floored entries
+	floored = d <= d_tiny
+	_warn_floored_if_free(floored, d_floor)
+	return jnp.where(floored, 1.0 / d_floor, 1.0 / jnp.maximum(d, d_tiny)).astype(real_dtype_of(acc))
+
+
+def _warn_floored_if_free(floored, d_floor) -> None:
+	"""Warn that Jacobi flooring fired — but ONLY when counting costs nothing.
+
+	Under tracing there is no concrete value; on a remote-attached accelerator
+	an eager scalar pull costs a full host↔device round trip per cg call (the
+	exact latency class this library eliminates elsewhere), so the check runs
+	only for host-resident (numpy / local-CPU) values.
+	"""
+	if isinstance(floored, jax.core.Tracer):
+		return
+	devices = getattr(floored, "devices", None)
+	if callable(devices):
+		try:
+			if any(dev.platform != "cpu" for dev in floored.devices()):
+				return
+		except Exception:
+			return
+	n_floored = int(np.sum(np.asarray(floored)))
+	if n_floored:
+		warnings.warn(
+			f"jacobi preconditioner: {n_floored} non-positive/tiny diagonal "
+			f"entr{'y' if n_floored == 1 else 'ies'} floored to weight 1/{float(d_floor):.3g} "
+			"(stochastic diagonal estimate?)",
+			stacklevel=3,
+		)
+
+
+def _operator_diagonal(op) -> tuple:
+	"""``(diagonal, stochastic)``: exact extraction when cheap, else a
+	stochastic estimate (the flag drives the Jacobi floor policy)."""
 	from .operators import DenseOperator
 	from .operators.sparse import CSROperator, DIAOperator
 
 	if isinstance(op, DenseOperator):
-		return jnp.diagonal(op.A)
+		return jnp.diagonal(op.A), False
 	if isinstance(op, DIAOperator) and 0 in op.offsets:
-		return op.bands[op.offsets.index(0)]
+		return op.bands[op.offsets.index(0)], False
 	if isinstance(op, CSROperator):
-		return jnp.diagonal(op.todense()) if op.shape[0] <= 4096 else _stochastic_diag(op)
-	return _stochastic_diag(op)
+		if op.shape[0] <= 4096:
+			return jnp.diagonal(op.todense()), False
+		return _stochastic_diag(op), True
+	return _stochastic_diag(op), True
 
 
 def _stochastic_diag(op) -> jnp.ndarray:

@@ -208,13 +208,18 @@ def hutch(
 			"differentiable=True is a pure traced-scalar path: callback/resume/record/full are unavailable"
 		)
 		assert classify_pdf(pdf) != "size", "differentiable=True needs a named pdf (rademacher/normal/sphere)"
-		nv = int(criterion.count)
+		# Honor batch and maxiter like the fused loop does: probes run in
+		# batch-sized chunks (O(n·batch) memory via the chunked custom_vjp —
+		# review r4: a single (n, count) block OOMs where the batched
+		# non-differentiable path runs fine), and maxiter caps total batches.
+		nv = min(int(criterion.count), int(maxiter) * int(batch))
+		note_capped(nv < int(criterion.count), maxiter, name="hutch")
 		from .operators.special_ops import MatrixFunction
 
 		if isinstance(op, MatrixFunction):
 			from .autodiff import spectral_sum
 
-			return spectral_sum(op, nv=nv, pdf=pdf, seed=seed, **grad_opts)
+			return spectral_sum(op, nv=nv, pdf=pdf, seed=seed, chunk=int(batch), **grad_opts)
 		# Plain trace: mean of quadratic forms — differentiable as-is through
 		# the operator's matmat (d tr(A) = tr(dA), no Lanczos involved).
 		Z = sample_isotropic(as_key(seed), (N, nv), pdf=pdf, dtype=real_dtype(op.dtype))

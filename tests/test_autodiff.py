@@ -173,3 +173,28 @@ def test_grad_method_cg_rejected_for_generic_fun():
 	f = lambda th: spectral_sum(_make_K(th), fun=jnp.exp, deg=20, orth=8, nv=32, seed=1, grad_method="cg")
 	with pytest.raises(ValueError, match="grad_method='cg'"):
 		jax.grad(f)(THETA)
+
+
+def test_chunked_matches_fd_and_jit():
+	"""chunk= processes probes in O(n·chunk) blocks (review r4: a single
+	(n, count) block OOMs at scale); value+grad still match exact FD."""
+	f = lambda th: logdet(_make_K(th), deg=30, orth=-1, nv=400, seed=3, chunk=64)
+	val, g = jax.value_and_grad(f)(THETA)
+	exact_val = np.linalg.slogdet(np.asarray(_make_K(THETA), np.float64))[1]
+	assert abs(float(val) - exact_val) / abs(exact_val) < 0.05
+	exact_g = _fd_grad(lambda th: np.linalg.slogdet(np.asarray(_make_K(th), np.float64))[1], THETA)
+	assert np.allclose(np.asarray(g), exact_g, rtol=0.1), (np.asarray(g), exact_g)
+	jg = jax.jit(jax.grad(f))(THETA)
+	assert np.allclose(np.asarray(jg), np.asarray(g))
+
+
+def test_hutch_differentiable_honors_batch_and_maxiter():
+	"""batch → chunked probes; maxiter caps total batches (with the capped
+	warning), mirroring the fused loop's semantics."""
+	M = lambda th: pt.MatrixFunction(_make_K(th), fun="log", deg=30, orth=-1)
+	g = jax.grad(lambda th: pt.hutch(M(th), differentiable=True, converge="count", count=320, batch=32, seed=1))(THETA)
+	exact_g = _fd_grad(lambda th: np.linalg.slogdet(np.asarray(_make_K(th), np.float64))[1], THETA)
+	assert np.allclose(np.asarray(g), exact_g, rtol=0.15)
+	with pytest.warns(UserWarning, match="maxiter"):
+		v = pt.hutch(M(THETA), differentiable=True, converge="count", count=3200, batch=32, maxiter=4, seed=1)
+	assert np.isfinite(float(v))

@@ -193,3 +193,21 @@ def test_jacobi_precond_exact_on_wide_dynamic_range():
 	with pytest.warns(UserWarning, match="floored"):
 		x2 = cg(jnp.asarray(A), jnp.asarray(b), rtol=1e-8, precond=jnp.asarray(d_bad), full=True)[0]
 	assert np.allclose(np.asarray(x2), b / d, rtol=1e-5)
+
+
+def test_jacobi_weights_provenance_floor_policy():
+	"""Exact diagonals keep exact 1/d for any positive entry; stochastic
+	estimates floor tiny-positive entries too (review r4: exact 1/d of a noisy
+	near-zero estimate is a huge wrong weight that stalls PCG)."""
+	from primate_tpu.solvers import _jacobi_weights
+
+	d = jnp.asarray(np.array([1.0, 1e-7, -0.5]))
+	with pytest.warns(UserWarning, match="floored"):
+		w_exact = np.asarray(_jacobi_weights(d, False, jnp.float64))
+	assert np.isclose(w_exact[1], 1e7)  # legit tiny entry: exact weight
+	floor_w = w_exact[2]
+	assert floor_w < 1e5  # negative entry: floored
+	with pytest.warns(UserWarning, match="floored"):
+		w_stoch = np.asarray(_jacobi_weights(d, True, jnp.float64))
+	assert np.isclose(w_stoch[1], floor_w) and np.isclose(w_stoch[2], floor_w)
+	assert np.isclose(w_stoch[0], 1.0)
