@@ -56,6 +56,64 @@ class _DiagCarry(NamedTuple):
 	m2: jnp.ndarray  # (d·N,) per-dim Welford sum of squared deviations
 
 
+def _diag_differentiable(op, *, pdf, converge, seed, full, callback, record, maxiter, resume, batch, **kwargs):
+	"""Reverse-differentiable fixed-budget ``diag`` (the `differentiable=True`
+	path): the PLAIN ratio estimator ``Σ v∘(Av) / Σ v∘v`` computed as one
+	traced scan — the ratio is an ordinary composition of ``matmat``s, so
+	``jax.grad``/``jax.jit`` flow through the operator's pytree leaves
+	directly (no custom_vjp needed; the adaptive ``lax.while_loop`` is what
+	blocks reverse mode). Probes run in ``batch``-sized chunks inside a
+	``lax.scan`` (O(n·batch) memory); the criterion must be a count (its count
+	× batch = the probe budget, matching the fused loop's semantics), capped
+	by ``maxiter``. Returns a traced ``(…, n)`` array.
+
+	Note: the non-differentiable default returns the MEAN of the running-ratio
+	sequence (reference parity); this path returns the plain final ratio —
+	deterministically relatable, and ~1.4× lower RMSE at equal probes (see the
+	estimator note in :func:`diag`). A ``MatrixFunction`` operand
+	differentiates through its Lanczos recurrence (no trace-identity shortcut
+	exists for per-entry diagonals); prefer modest ``deg`` there.
+	"""
+	from .estimators import CountCriterion, note_capped
+
+	criterion = convergence_criterion("count", **kwargs) if converge in ("default", "count", "tolerance") else convergence_criterion(converge, **kwargs)
+	assert isinstance(criterion, CountCriterion), (
+		"differentiable=True needs a fixed probe budget: pass converge='count', count=m "
+		"(adaptive criteria live inside a lax.while_loop, which is not reverse-differentiable)"
+	)
+	assert callback is None and resume is None and not record and not full, (
+		"differentiable=True is a pure traced path: callback/resume/record/full are unavailable"
+	)
+	assert classify_pdf(pdf) != "size", "differentiable=True needs a named pdf (rademacher/normal/sphere)"
+	if jnp.dtype(op.dtype).kind == "c":
+		raise NotImplementedError("differentiable diag is real-symmetric only (mirrors autodiff.spectral_sum).")
+
+	N = op.shape[0]
+	batch = max(1, int(batch))
+	iters = min(int(criterion.count), int(maxiter))
+	note_capped(iters < int(criterion.count), maxiter, name="diag")
+	key = as_key(seed)
+	acc = jnp.promote_types(op.dtype, jnp.float32)
+
+	stack_shape = tuple(getattr(op, "stack_shape", None) or ())
+
+	def step(carry, i):
+		numer, denom = carry
+		V = sample_isotropic(jax.random.fold_in(key, i), (N, batch), pdf=pdf, dtype=real_dtype(op.dtype))
+		Va = V.astype(op.dtype)
+		U = op.matmat(Va) if hasattr(op, "matmat") else op @ Va  # (..., N, batch)
+		numer = numer + (U.astype(acc) * V.astype(acc)).sum(-1).reshape(numer.shape)
+		denom = denom + (V.astype(acc) * V.astype(acc)).sum(-1)
+		return (numer, denom), None
+
+	nout = int(np.prod(stack_shape)) if stack_shape else 1
+	(numer, denom), _ = jax.lax.scan(
+		step, (jnp.zeros(nout * N, acc), jnp.zeros(N, acc)), jnp.arange(iters)
+	)
+	est = (numer.reshape(nout, N) / jnp.where(denom == 0, 1.0, denom)).reshape(stack_shape + (N,))
+	return est.astype(acc) if stack_shape else est.reshape(N)
+
+
 def _diag_snapshot(c: _DiagCarry) -> EstSnapshot:
 	# Scalar variance proxy for CLT-style criteria on a dim-N estimator: the
 	# mean of the per-dim running variances (a full N×N covariance would be
@@ -192,6 +250,12 @@ def diag(
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
 	pdf_kind = classify_pdf(pdf)  # "size"-style callables sample on host per probe
+	differentiable = kwargs.pop("differentiable", False)
+	if differentiable:
+		return _diag_differentiable(
+			op, pdf=pdf, converge=converge, seed=seed, full=full, callback=callback,
+			record=record, maxiter=maxiter, resume=resume, batch=batch, **kwargs,
+		)
 	criterion = convergence_criterion(converge, **kwargs)
 	from .estimators import criterion_needs_values
 

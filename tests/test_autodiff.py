@@ -198,3 +198,20 @@ def test_hutch_differentiable_honors_batch_and_maxiter():
 	with pytest.warns(UserWarning, match="maxiter"):
 		v = pt.hutch(M(THETA), differentiable=True, converge="count", count=3200, batch=32, maxiter=4, seed=1)
 	assert np.isfinite(float(v))
+
+
+def test_diag_differentiable_exact_derivative_and_semantics():
+	"""diag(differentiable=True): the plain-ratio estimator is an ordinary
+	composition of matmats, so jax.grad gives the EXACT derivative of the
+	estimator (matches FD of the estimator itself); adaptive criteria are
+	rejected and maxiter caps with a warning."""
+	f = lambda th: jnp.sum(pt.diag(_make_K(th), differentiable=True, converge="count", count=16, batch=16, seed=3))
+	g = jax.grad(f)(THETA)
+	fd = _fd_grad(lambda th: float(f(jnp.asarray(th, jnp.float64))), THETA, eps=1e-5)
+	assert np.allclose(np.asarray(g), fd, rtol=1e-4, atol=1e-6)
+	jg = jax.jit(jax.grad(f))(THETA)
+	assert np.allclose(np.asarray(jg), np.asarray(g))
+	with pytest.warns(UserWarning, match="maxiter"):
+		pt.diag(_make_K(THETA), differentiable=True, converge="count", count=100, maxiter=4, batch=8, seed=1)
+	with pytest.raises(AssertionError, match="fixed probe budget"):
+		pt.diag(_make_K(THETA), differentiable=True, converge="confidence", seed=0)
