@@ -215,3 +215,31 @@ def test_diag_differentiable_exact_derivative_and_semantics():
 		pt.diag(_make_K(THETA), differentiable=True, converge="count", count=100, maxiter=4, batch=8, seed=1)
 	with pytest.raises(AssertionError, match="fixed probe budget"):
 		pt.diag(_make_K(THETA), differentiable=True, converge="confidence", seed=0)
+
+
+def test_sharded_operator_gradient_distributed_logdet():
+	"""Distributed differentiable logdet: the custom_vjp cotangent flows into
+	a SHARDED operator's per-device block leaves (the CG backward pass runs
+	through the halo shard_map) — no other spectral library differentiates a
+	distributed stochastic logdet."""
+	import scipy.sparse as sps
+
+	from primate_tpu.parallel import make_mesh, shard_operator
+
+	mesh = make_mesh((4, 2), ("op", "probe"))
+	n = 64
+	L = sps.diags([-np.ones(n - 1), 3.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	op0 = shard_operator(L, mesh, probe_axis="probe", comm="halo", blocksize=(8, 8))
+	children, treedef = jax.tree_util.tree_flatten(op0)
+
+	def f(blocks):
+		op = jax.tree_util.tree_unflatten(treedef, [blocks] + children[1:])
+		return logdet(op, deg=24, orth=-1, nv=300, seed=5)
+
+	v, g = jax.value_and_grad(f)(children[0])
+	true = np.linalg.slogdet(L.toarray())[1]
+	assert abs(float(v) - true) / abs(true) < 0.05
+	# d/ds logdet((1+s)A)|₀ = tr(A⁻¹A) = n, exactly — probe noise cancels in
+	# this direction because the CG cotangent solves against the same A.
+	got = float(jnp.sum(g * children[0]))
+	assert abs(got - n) / n < 0.05, (got, n)
