@@ -191,17 +191,33 @@ def _spectral_sum_chunked_core(
 		key = jax.random.wrap_key_data(key_data)
 		coef = gbar / (nchunks * chunk)
 
+		# The scan carry accumulates ONLY the inexact (differentiable) leaves:
+		# integer leaves (CSR indices, BSR row/col ids, ...) get float0
+		# cotangents from jax.vjp, which support no arithmetic by design — they
+		# are reattached as float0 zeros after the loop.
+		leaves, tdef = jax.tree_util.tree_flatten(M)
+		diff_idx = [i for i, leaf in enumerate(leaves) if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)]
+
 		def step(acc, i):
 			Z = sample_isotropic(jax.random.fold_in(key, i), (M.shape[0], chunk), pdf=pdf, dtype=real_dtype(M.dtype))
 			Zc = Z.astype(M.dtype)
 			W = _apply_fprime(M, Zc, fprime, grad_method, solver_rtol, solver_maxiter)
 			_, pull = jax.vjp(lambda m: m.operator.matmat(Zc), M)
 			(mbar,) = pull(coef * W.astype(M.dtype))
-			return jax.tree_util.tree_map(jnp.add, acc, mbar), None
+			mleaves = jax.tree_util.tree_leaves(mbar)
+			return tuple(a + mleaves[j] for a, j in zip(acc, diff_idx)), None
 
-		zero = jax.tree_util.tree_map(jnp.zeros_like, M)
-		M_bar, _ = jax.lax.scan(step, zero, jnp.arange(nchunks))
-		return M_bar, np.zeros(np.shape(key_data), jax.dtypes.float0)
+		acc0 = tuple(jnp.zeros_like(leaves[i]) for i in diff_idx)
+		accf, _ = jax.lax.scan(step, acc0, jnp.arange(nchunks))
+		out_leaves = []
+		k = 0
+		for i, leaf in enumerate(leaves):
+			if k < len(diff_idx) and i == diff_idx[k]:
+				out_leaves.append(accf[k])
+				k += 1
+			else:
+				out_leaves.append(np.zeros(np.shape(leaf), jax.dtypes.float0))
+		return jax.tree_util.tree_unflatten(tdef, out_leaves), np.zeros(np.shape(key_data), jax.dtypes.float0)
 
 	estimate.defvjp(fwd, bwd)
 	return estimate

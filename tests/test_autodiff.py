@@ -243,3 +243,30 @@ def test_sharded_operator_gradient_distributed_logdet():
 	# this direction because the CG cotangent solves against the same A.
 	got = float(jnp.sum(g * children[0]))
 	assert abs(got - n) / n < 0.05, (got, n)
+
+
+def test_chunked_gradient_integer_pytree_leaves():
+	"""The chunked custom_vjp's scan accumulator must handle operators with
+	integer pytree leaves (CSR indices, ELL planes): float0 cotangents carry
+	no arithmetic and are reattached after the loop."""
+	import scipy.sparse as sps
+
+	from primate_tpu.operators.sparse import CSROperator
+
+	n = 64
+	L = sps.diags([-np.ones(n - 1), 3.0 * np.ones(n), -np.ones(n - 1)], [-1, 0, 1]).tocsr()
+	op0 = CSROperator.from_scipy(L, dtype=jnp.float32)
+	children, treedef = jax.tree_util.tree_flatten(op0)
+	fidx = [i for i, c in enumerate(children) if jnp.issubdtype(jnp.asarray(c).dtype, jnp.inexact)]
+
+	def f(floats):
+		ch = list(children)
+		for i, v in zip(fidx, floats):
+			ch[i] = v
+		return logdet(jax.tree_util.tree_unflatten(treedef, ch), deg=24, orth=-1, nv=256, seed=5, chunk=64)
+
+	v, g = jax.value_and_grad(f)([children[i] for i in fidx])
+	# d/ds logdet((1+s)A)|₀ = n exactly (cotangent over ALL float leaves —
+	# this CSR has ELL planes, so the gradient lands on ell_data, not data).
+	got = sum(float(jnp.sum(gl * children[i])) for gl, i in zip(g, fidx))
+	assert abs(got - n) / n < 0.06, got
