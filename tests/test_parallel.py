@@ -427,7 +427,7 @@ def test_scaling_harness_smoke():
 
 	repo = str(Path(__file__).resolve().parent.parent)
 	r = subprocess.run(
-		[sys.executable, "-c", _CHILD, "2", "4096"],
+		[sys.executable, "-c", _CHILD, "2", "4096", "3"],
 		capture_output=True,
 		text=True,
 		timeout=300,
@@ -435,8 +435,10 @@ def test_scaling_harness_smoke():
 	)
 	assert r.returncode == 0, r.stderr[-1500:]
 	rec = json.loads(r.stdout.strip().splitlines()[-1])
-	assert rec["ndev"] == 2 and rec["rows"] == 4096
+	assert rec["ndev"] == 2 and rec["rows"] == 4096 and rec["reps"] == 3
 	assert rec["wall_s"] > 0 and rec["rel_err"] < 1e-2
+	# Paired-rep overhead efficiency (round-4 rework) reported per cell.
+	assert 0 < rec["overhead_efficiency"] < 2 and len(rec["eff_iqr"]) == 2
 
 
 def test_sharded_csr_kwarg_compat_and_rect_halo(mesh8):
