@@ -495,13 +495,18 @@ def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
 	return jnp.real(d[:, 0])
 
 
-def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndarray:
+def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None, differentiable: bool = False) -> np.ndarray:
 	"""Estimate ``diag(A)`` with the XDiag leave-one-out estimator.
 
 	Uses ``m / 2`` probe columns — ``m`` operator applications total (the
 	sketch pass ``A·N`` plus the test pass ``A·Q``; the reference's "m/2
 	matvecs" wording, `diagonal.py:102`, counts only the first). Parity:
 	reference `diagonal.py:99-138`.
+
+	``differentiable=True`` returns the traced device array instead of numpy:
+	the fused program is a fixed composition (sketch GEMMs + QR + leave-one-
+	out algebra — no adaptive while_loop), so ``jax.grad`` through it is the
+	EXACT derivative of the estimator (QR reverse rule included).
 	"""
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
@@ -511,4 +516,5 @@ def xdiag(A, m: Optional[int] = None, pdf: str = "sphere", seed=None) -> np.ndar
 	n = op.shape[0]
 	m = 2 * n if m is None else min(int(m) + (int(m) % 2), 2 * n)
 	m = m // 2
-	return np.asarray(_xdiag_program(op, as_key(seed), n=n, m=m, pdf=pdf))
+	out = _xdiag_program(op, as_key(seed), n=n, m=m, pdf=pdf)
+	return out if differentiable else np.asarray(out)

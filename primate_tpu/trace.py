@@ -406,6 +406,7 @@ def hutchpp(
 	exact sketch term (``result.info['sketch_trace']``).
 	"""
 	assert batch >= 1, "Batch size must be positive."
+	differentiable = kwargs.pop("differentiable", False)
 	is_valid_operator(A)
 	op = A if hasattr(A, "quad") else aslinop(A)
 	N = op.shape[0]
@@ -439,6 +440,12 @@ def hutchpp(
 		result.nit += 2 * nb  # honest total: the sketch/deflate applications count too
 		return result.estimate, result
 	est, rng_ests, defl_ests = _hutchpp_program(op, as_key(seed), n=N, nb=nb, pdf=pdf, mode=mode)
+	if differentiable:
+		# Fixed fused program (sketch GEMMs + QR + deflated probes — no
+		# while_loop): jax.grad through it is the EXACT derivative of the
+		# estimator. Return the traced scalar; full/adaptive are host paths.
+		assert not full and converge is None, "differentiable=True returns the traced estimate only (no full/adaptive)"
+		return est
 	est = float(est)
 	if not full:
 		return est
@@ -497,6 +504,7 @@ def xnystrace(
 	pdf: Union[str, Callable] = "normal",
 	seed=None,
 	full: bool = False,
+	differentiable: bool = False,
 ) -> Union[float, tuple]:
 	"""XNysTrace: leave-one-out Nyström trace estimator for **PSD** operators.
 
@@ -535,6 +543,11 @@ def xnystrace(
 	m_ = min(max(2, m_), N)  # ≥2 so every leave-one-out sketch is nonempty, ≤N always
 	if classify_pdf(pdf) == "size":
 		raise NotImplementedError("xnystrace samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
+	if differentiable:
+		# Fixed fused program (Nyström sketch + Cholesky/triangular algebra):
+		# jax.grad through it is the EXACT derivative of the estimator.
+		assert not full, "differentiable=True returns the traced estimate only"
+		return jnp.mean(_xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf))
 	t_samples = jax.device_get(_xnystrace_program(op, as_key(seed), n=N, m=m_, pdf=pdf))
 	estimator = MeanEstimator(covariance=True)
 	estimator.update(t_samples)

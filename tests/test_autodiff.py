@@ -270,3 +270,20 @@ def test_chunked_gradient_integer_pytree_leaves():
 	# this CSR has ELL planes, so the gradient lands on ell_data, not data).
 	got = sum(float(jnp.sum(gl * children[i])) for gl, i in zip(g, fidx))
 	assert abs(got - n) / n < 0.06, got
+
+
+def test_sketch_estimators_differentiable_exactly():
+	"""hutchpp/xnystrace/xdiag are FIXED fused programs (sketch GEMMs + QR /
+	Cholesky — no while_loop), so differentiable=True exposes jax.grad as the
+	EXACT derivative of each estimator (machine-precision FD match)."""
+	fd = lambda f: _fd_grad(lambda th: float(f(th)), THETA, eps=1e-5)
+
+	f1 = lambda th: pt.hutchpp(_make_K(th), m=12, seed=7, differentiable=True)
+	assert np.allclose(np.asarray(jax.grad(f1)(THETA)), fd(f1), rtol=1e-4)
+	f2 = lambda th: pt.xnystrace(_make_K(th), m=16, seed=7, differentiable=True)
+	assert np.allclose(np.asarray(jax.grad(f2)(THETA)), fd(f2), rtol=1e-4)
+	f3 = lambda th: jnp.sum(pt.xdiag(_make_K(th), m=16, seed=7, differentiable=True))
+	assert np.allclose(np.asarray(jax.grad(f3)(THETA)), fd(f3), rtol=1e-4)
+	# jit(grad) composes; the non-differentiable default is unchanged (host float).
+	assert np.allclose(np.asarray(jax.jit(jax.grad(f1))(THETA)), np.asarray(jax.grad(f1)(THETA)))
+	assert isinstance(pt.hutchpp(_make_K(THETA), m=12, seed=7), float)
