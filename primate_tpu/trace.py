@@ -726,6 +726,31 @@ def xtrace(
 	n = op.shape[0]
 	assert batch >= 1, "Batch size must be positive."
 	record = kwargs.pop("record", False)
+	differentiable = kwargs.pop("differentiable", False)
+	if differentiable:
+		# The predetermined-schedule chain is a FIXED composition (sample →
+		# matmat → block QR append → triangular-inverse update → leave-one-out
+		# algebra), so jax.grad through it is the exact derivative of the
+		# estimator. Requires a count-style budget; returns the traced mean.
+		assert callback is None and resume is None and not record and not full, (
+			"differentiable=True is a pure traced-scalar path: callback/resume/record/full are unavailable"
+		)
+		assert classify_pdf(pdf) != "size", "differentiable=True needs a named pdf"
+		crit = CountCriterion(count=n) if converge == "default" else convergence_criterion(converge, **kwargs)
+		target = _count_only_target(crit)
+		assert target is not None, (
+			"differentiable=True needs a fixed probe budget: pass converge='count', count=m"
+		)
+		schedule = []
+		m_cur = 0
+		while m_cur < min(int(target), n):
+			ns = min(n - m_cur, int(batch))
+			if ns <= 0:
+				break
+			schedule.append(ns)
+			m_cur += ns
+		_, t_samples = _xtrace_chain_fresh(op, as_key(seed), schedule=tuple(schedule), pdf=pdf, n=n, dtype=op.dtype)
+		return jnp.mean(t_samples)
 	user_callback = callback if callable(callback) else None
 
 	criterion = CountCriterion(count=n)

@@ -287,3 +287,18 @@ def test_sketch_estimators_differentiable_exactly():
 	# jit(grad) composes; the non-differentiable default is unchanged (host float).
 	assert np.allclose(np.asarray(jax.jit(jax.grad(f1))(THETA)), np.asarray(jax.grad(f1)(THETA)))
 	assert isinstance(pt.hutchpp(_make_K(THETA), m=12, seed=7), float)
+
+
+def test_xtrace_differentiable_exact_and_exhaustive():
+	"""xtrace(differentiable=True): the predetermined-schedule chain is a fixed
+	composition (block QR append + leave-one-out algebra), so jax.grad is the
+	exact estimator derivative — and at m=n the estimator itself equals tr(A)."""
+	n = _X.shape[0]
+	f = lambda th: pt.xtrace(_make_K(th), batch=16, converge="count", count=32, seed=9, differentiable=True)
+	g = jax.grad(f)(THETA)
+	fd = _fd_grad(lambda th: float(f(jnp.asarray(th, jnp.float64))), THETA, eps=1e-5)
+	assert np.allclose(np.asarray(g), fd, rtol=1e-4), (np.asarray(g), fd)
+	f_exact = lambda th: pt.xtrace(_make_K(th), batch=16, converge="count", count=n, seed=9, differentiable=True)
+	assert np.isclose(float(f_exact(THETA)), float(jnp.trace(_make_K(THETA))), rtol=1e-10)
+	with pytest.raises(AssertionError, match="fixed probe budget"):
+		jax.grad(lambda th: pt.xtrace(_make_K(th), converge="confidence", differentiable=True, seed=1))(THETA)
