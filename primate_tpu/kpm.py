@@ -231,10 +231,36 @@ def kpm_trace(
 	"""
 	# `special.stacked` callables advertise their family size via .nout, so a
 	# ONE-member family still returns a (1,)-array (matching the Lanczos path).
+	differentiable = fun_kwargs.pop("differentiable", False)
 	multi = isinstance(fun, (list, tuple)) or getattr(fun, "nout", None) is not None
 	funs = list(fun) if isinstance(fun, (list, tuple)) else [fun]
 	fs = [param_callable(fi, **fun_kwargs) if (fi is None or isinstance(fi, str)) else fi for fi in funs]
 	op = aslinop(A)
+	if differentiable:
+		# Traced path: the Chebyshev moment recurrence is a fixed lax.scan, so
+		# jax.grad through it is the exact derivative of the estimator
+		# (reverse memory O(m·n·nv) — the scan carries are saved). The
+		# expansion interval must be EXPLICIT: it is treated as a constant
+		# (the spectral-range estimate is host-side, and differentiating
+		# through a moving interval would add a spurious boundary term).
+		assert interval is not None, "kpm_trace(differentiable=True) needs an explicit interval=(lmin, lmax)"
+		assert m != "auto", "kpm_trace(differentiable=True) needs a fixed Chebyshev degree m"
+		lo, hi = float(interval[0]), float(interval[1])
+		c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
+		key = as_key(seed)
+		s_dtype = op.dtype if pdf == "phase" else real_dtype(op.dtype)
+		V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=s_dtype).astype(op.dtype)
+		rd = real_dtype(V.dtype)
+		mus = jnp.mean(_moment_scan(op, V, int(m), jnp.asarray(c, rd), jnp.asarray(r, rd)), axis=1)
+		# Coefficients depend only on (f, m, interval) — constants. Under an
+		# enclosing jit every jnp op is staged as a tracer, so force them to
+		# evaluate at trace time (they must stay host-side numpy).
+		with jax.ensure_compile_time_eval():
+			a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])
+			g = np.asarray(jackson_coefficients(m)) if damping == "jackson" else np.ones(m)
+		multi = multi or a.shape[0] > 1
+		ests = (jnp.asarray(g * a, mus.dtype) * mus).sum(axis=-1)
+		return ests if multi else ests[0]
 	interval = _resolve_interval(op, interval, seed)
 	if m == "auto":
 		rt = 1e-3 if damping == "jackson" else 1e-8

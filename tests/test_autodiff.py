@@ -302,3 +302,21 @@ def test_xtrace_differentiable_exact_and_exhaustive():
 	assert np.isclose(float(f_exact(THETA)), float(jnp.trace(_make_K(THETA))), rtol=1e-10)
 	with pytest.raises(AssertionError, match="fixed probe budget"):
 		jax.grad(lambda th: pt.xtrace(_make_K(th), converge="confidence", differentiable=True, seed=1))(THETA)
+
+
+def test_kpm_trace_differentiable():
+	"""kpm_trace(differentiable=True): the Chebyshev moment scan is a fixed
+	program; grad equals FD of the estimator exactly; explicit interval and
+	fixed m required; jit composes (coefficients forced to compile-time eval)."""
+	w = np.linalg.eigvalsh(np.asarray(_make_K(THETA), np.float64))
+	iv = (0.0, float(w.max()) * 1.2)
+	f = lambda th: pt.kpm_trace(
+		_make_K(th), fun="smoothstep", a=0.5, b=3.0, m=96, nv=64, interval=iv, seed=5, differentiable=True
+	)
+	g = jax.grad(f)(THETA)
+	fd = _fd_grad(lambda th: float(f(jnp.asarray(th, jnp.float64))), THETA, eps=1e-5)
+	assert np.allclose(np.asarray(g), fd, rtol=1e-4), (np.asarray(g), fd)
+	jg = jax.jit(jax.grad(f))(THETA)
+	assert np.allclose(np.asarray(jg), np.asarray(g), rtol=1e-8)
+	with pytest.raises(AssertionError, match="explicit interval"):
+		jax.grad(lambda th: pt.kpm_trace(_make_K(th), fun="exp", m=32, seed=1, differentiable=True))(THETA)
