@@ -18,7 +18,7 @@ fused device program (`lax.while_loop` over batched Lanczos sweeps), probes
 are batched into GEMM/SpMM on the MXU, and randomness is stateless threefry.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 from . import autodiff, kpm, operators, random, recipes, special, stats
 from .bidiag import lanczos_bidiag
