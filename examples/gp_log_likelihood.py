@@ -65,10 +65,16 @@ def main():
 	key = jax.random.PRNGKey(1)
 	loss_grad = jax.value_and_grad(neg_log_likelihood)
 
+	# Standard ecosystem optimizer: the stochastic gradients drop straight
+	# into optax (fresh probes per step average the estimator noise out).
+	import optax
+
+	opt = optax.adam(0.1)
+	opt_state = opt.init(theta)
 	for it in range(30):
 		nll, g = loss_grad(theta, X, y, jax.random.fold_in(key, it))
-		g = g / (1.0 + jnp.linalg.norm(g))  # normalized step — grads are O(n)
-		theta = theta - 0.1 * g
+		updates, opt_state = opt.update(g, opt_state)
+		theta = optax.apply_updates(theta, updates)
 		if it % 5 == 0:
 			print(f"iter {it:2d}  nll={float(nll):9.3f}  theta={np.asarray(theta).round(3)}")
 

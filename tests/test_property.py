@@ -136,3 +136,25 @@ def test_xtrace_exact_at_full_budget_random(n, seed):
 	A = (A + A.T) / 2
 	est = pt.xtrace(jnp.asarray(A), batch=max(2, n // 3), seed=int(seed) % 2**31)
 	assert abs(float(est) - np.trace(A)) < 1e-4 * max(1.0, abs(np.trace(A)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(n=st.integers(8, 24), seed=st.integers(0, 10_000), fun=st.sampled_from(["log", "inv", "exp"]))
+def test_spectral_sum_gradient_identity_random(n, seed, fun):
+	"""Property: for any SPD A and builtin f, the spectral_sum cotangent obeys
+	d/ds E[tr f((1+s)A)]|₀ = tr(f'(A)·A) — computed exactly from the
+	eigendecomposition. Full-probe budget (nv ≥ 8n) keeps estimator noise
+	below the tolerance; exercises both the CG (log/inv) and SLQ (exp)
+	backward paths over random spectra."""
+	import jax
+
+	ew = np.random.default_rng(seed).uniform(0.5, 2.0, n)
+	A = jnp.asarray(pt.symmetric(n, pd=True, ew=ew, seed=seed), jnp.float64)
+
+	def f(s):
+		return pt.spectral_sum((1.0 + s) * A, fun=fun, deg=n, orth=-1, nv=8 * n, seed=seed + 1, solver_rtol=1e-12)
+
+	g = float(jax.grad(f)(jnp.asarray(0.0, jnp.float64)))
+	fp = {"log": lambda x: 1.0 / x, "inv": lambda x: -1.0 / x**2, "exp": np.exp}[fun]
+	want = float(np.sum(fp(ew) * ew))  # tr(f'(A)·A) in the eigenbasis
+	assert np.isclose(g, want, rtol=0.15), (fun, g, want)
