@@ -76,7 +76,14 @@ def _diag_differentiable(op, *, pdf, converge, seed, full, callback, record, max
 	"""
 	from .estimators import CountCriterion, note_capped
 
-	criterion = convergence_criterion("count", **kwargs) if converge in ("default", "count", "tolerance") else convergence_criterion(converge, **kwargs)
+	if converge in ("default", "count") or (converge == "tolerance" and not kwargs):
+		# "tolerance" with no tolerance kwargs is just diag's signature
+		# default — treat it as "no explicit criterion". An EXPLICIT adaptive
+		# ask (rtol/atol present, or a non-count criterion) must raise, not be
+		# silently replaced by a fixed budget.
+		criterion = convergence_criterion("count", **kwargs)
+	else:
+		criterion = convergence_criterion(converge, **kwargs)
 	assert isinstance(criterion, CountCriterion), (
 		"differentiable=True needs a fixed probe budget: pass converge='count', count=m "
 		"(adaptive criteria live inside a lax.while_loop, which is not reverse-differentiable)"

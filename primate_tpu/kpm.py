@@ -128,12 +128,25 @@ def chebyshev_moments(
 	interval = _resolve_interval(op, interval, seed)
 	lo, hi = interval
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
+	return np.asarray(_traced_moments(op, m, nv, pdf, c, r, seed)), (lo, hi)
+
+
+def _traced_moments(op, m, nv, pdf, c, r, seed) -> jnp.ndarray:
+	"""Probe-averaged Chebyshev moments as a traced array (shared by the host
+	path above and ``kpm_trace(differentiable=True)``)."""
 	key = as_key(seed)
 	s_dtype = op.dtype if pdf == "phase" else real_dtype(op.dtype)
 	V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=s_dtype).astype(op.dtype)
 	rd = real_dtype(V.dtype)
-	mus = _moment_scan(op, V, int(m), jnp.asarray(c, rd), jnp.asarray(r, rd))
-	return np.asarray(jnp.mean(mus, axis=1)), (lo, hi)
+	return jnp.mean(_moment_scan(op, V, int(m), jnp.asarray(c, rd), jnp.asarray(r, rd)), axis=1)
+
+
+def _series_weights(fs, m: int, c: float, r: float, damping: str) -> tuple:
+	"""``(a, g)``: per-function Chebyshev coefficients (nt, m) and damping (m,)
+	— host numpy, identical for the traced and host reconstruction paths."""
+	a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])
+	g = np.asarray(jackson_coefficients(m)) if damping == "jackson" else np.ones(m)
+	return a, g
 
 
 def _chebyshev_coefficients(fun: Callable, m: int, c: float, r: float, quad_points: int = 4096) -> np.ndarray:
@@ -247,17 +260,12 @@ def kpm_trace(
 		assert m != "auto", "kpm_trace(differentiable=True) needs a fixed Chebyshev degree m"
 		lo, hi = float(interval[0]), float(interval[1])
 		c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
-		key = as_key(seed)
-		s_dtype = op.dtype if pdf == "phase" else real_dtype(op.dtype)
-		V = sample_isotropic(key, (op.shape[0], int(nv)), pdf=pdf, dtype=s_dtype).astype(op.dtype)
-		rd = real_dtype(V.dtype)
-		mus = jnp.mean(_moment_scan(op, V, int(m), jnp.asarray(c, rd), jnp.asarray(r, rd)), axis=1)
+		mus = _traced_moments(op, m, nv, pdf, c, r, seed)
 		# Coefficients depend only on (f, m, interval) — constants. Under an
 		# enclosing jit every jnp op is staged as a tracer, so force them to
 		# evaluate at trace time (they must stay host-side numpy).
 		with jax.ensure_compile_time_eval():
-			a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])
-			g = np.asarray(jackson_coefficients(m)) if damping == "jackson" else np.ones(m)
+			a, g = _series_weights(fs, m, c, r, damping)
 		multi = multi or a.shape[0] > 1
 		ests = (jnp.asarray(g * a, mus.dtype) * mus).sum(axis=-1)
 		return ests if multi else ests[0]
@@ -267,9 +275,8 @@ def kpm_trace(
 		m = max(suggest_chebyshev_degree(f, interval, rtol=rt, damping=damping) for f in fs)
 	mus, (lo, hi) = chebyshev_moments(op, m=m, nv=nv, pdf=pdf, interval=interval, seed=seed)
 	c, r = (hi + lo) / 2.0, (hi - lo) / 2.0
-	a = np.concatenate([np.atleast_2d(_chebyshev_coefficients(f, m, c, r)) for f in fs])  # (nt, m)
+	a, g = _series_weights(fs, m, c, r, damping)  # (nt, m), (m,)
 	multi = multi or a.shape[0] > 1  # a `special.stacked` callable is also a family
-	g = np.asarray(jackson_coefficients(m)) if damping == "jackson" else np.ones(m)
 	ests = (g * a * np.asarray(mus)).sum(axis=-1)
 	return ests if multi else float(ests[0])
 

@@ -221,9 +221,17 @@ def hutch(
 
 			return spectral_sum(op, nv=nv, pdf=pdf, seed=seed, chunk=int(batch), **grad_opts)
 		# Plain trace: mean of quadratic forms — differentiable as-is through
-		# the operator's matmat (d tr(A) = tr(dA), no Lanczos involved).
-		Z = sample_isotropic(as_key(seed), (N, nv), pdf=pdf, dtype=real_dtype(op.dtype))
-		return jnp.mean(quad_form(op, Z.astype(op.dtype)), axis=-1)
+		# the operator's matmat (d tr(A) = tr(dA), no Lanczos involved). Probes
+		# run in batch-sized chunks inside a lax.map so this branch keeps the
+		# same O(n·batch) memory bound as the MatrixFunction route.
+		key = as_key(seed)
+		nchunks = -(-nv // int(batch))
+
+		def _one(i):
+			Z = sample_isotropic(jax.random.fold_in(key, i), (N, int(batch)), pdf=pdf, dtype=real_dtype(op.dtype))
+			return jnp.mean(quad_form(op, Z.astype(op.dtype)), axis=-1)
+
+		return jnp.mean(jax.lax.map(_one, jnp.arange(nchunks)), axis=0)
 
 	if converge == "default":
 		criterion = default_trace_criterion()
@@ -417,6 +425,14 @@ def hutchpp(
 		raise NotImplementedError("hutchpp samples inside one fused program; pass a jax-style pdf(key, shape, dtype) callable.")
 	nb = (N // 3) if m is None else int(m)
 	nb = max(3, nb + (-nb) % 3)  # round UP to a multiple of 3; ≥3 so tiny N can't divide by zero
+	if differentiable:
+		# Guard BEFORE the adaptive branch, which would otherwise return first
+		# and silently drop the flag (eager) or die in a ConcretizationTypeError
+		# deep inside the sketch (under jax.grad).
+		assert converge is None and not full, (
+			"hutchpp(differentiable=True) is the fixed non-adaptive program only: "
+			"drop converge=/full= (the adaptive A-Hutch++ loop is not reverse-differentiable)"
+		)
 	if converge is not None:
 		from .operators import DeflatedOperator
 
@@ -443,8 +459,7 @@ def hutchpp(
 	if differentiable:
 		# Fixed fused program (sketch GEMMs + QR + deflated probes — no
 		# while_loop): jax.grad through it is the EXACT derivative of the
-		# estimator. Return the traced scalar; full/adaptive are host paths.
-		assert not full and converge is None, "differentiable=True returns the traced estimate only (no full/adaptive)"
+		# estimator. Return the traced scalar (guards above).
 		return est
 	est = float(est)
 	if not full:
