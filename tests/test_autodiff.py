@@ -320,3 +320,19 @@ def test_kpm_trace_differentiable():
 	assert np.allclose(np.asarray(jg), np.asarray(g), rtol=1e-8)
 	with pytest.raises(AssertionError, match="explicit interval"):
 		jax.grad(lambda th: pt.kpm_trace(_make_K(th), fun="exp", m=32, seed=1, differentiable=True))(THETA)
+
+
+def test_vmap_over_operator_batches():
+	"""spectral_sum/logdet compose with jax.vmap over a BATCH of matrices —
+	including vmap(grad(...)): multi-task GP workloads get per-task gradients
+	from one vectorized program (directional derivative n-exact per task)."""
+	n, B = 24, 4
+	rng = np.random.default_rng(0)
+	Ks = jnp.asarray(np.stack([np.asarray(pt.symmetric(n, pd=True, ew=rng.uniform(0.5, 2.0, n), seed=b)) for b in range(B)]))
+	f = lambda K: logdet(K, deg=n, orth=-1, nv=200, seed=3)
+	v = jax.vmap(f)(Ks)
+	true = np.array([np.linalg.slogdet(np.asarray(K, np.float64))[1] for K in Ks])
+	assert np.allclose(np.asarray(v), true, atol=0.15), (np.asarray(v), true)
+	g = jax.vmap(jax.grad(f))(Ks)
+	dirs = np.einsum("bij,bij->b", np.asarray(g), np.asarray(Ks))
+	assert np.allclose(dirs, n, rtol=1e-6), dirs
