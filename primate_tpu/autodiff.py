@@ -63,8 +63,8 @@ def _elementwise_grad(f: Callable) -> Callable:
 
 
 def _is_log(fun: Callable) -> bool:
-	return fun is _log_eps or fun is jnp.log
 	# `_log_eps` is what `MatrixFunction(..., fun="log")` resolves to.
+	return fun is _log_eps or fun is jnp.log
 
 
 def _is_inv(fun: Callable) -> bool:
@@ -172,13 +172,15 @@ def _spectral_sum_chunked_core(
 	pytree; the key rides as raw uint32 data (cotangent: float0 zeros).
 	"""
 
+	def chunk_probes(M, key, i):
+		return sample_isotropic(jax.random.fold_in(key, i), (M.shape[0], chunk), pdf=pdf, dtype=real_dtype(M.dtype))
+
 	@jax.custom_vjp
 	def estimate(M, key_data):
 		key = jax.random.wrap_key_data(key_data)
 
 		def one(i):
-			Z = sample_isotropic(jax.random.fold_in(key, i), (M.shape[0], chunk), pdf=pdf, dtype=real_dtype(M.dtype))
-			return jnp.mean(M.quad(Z), axis=-1)
+			return jnp.mean(M.quad(chunk_probes(M, key, i)), axis=-1)
 
 		return jnp.mean(jax.lax.map(one, jnp.arange(nchunks)), axis=0)
 
@@ -199,8 +201,7 @@ def _spectral_sum_chunked_core(
 		diff_idx = [i for i, leaf in enumerate(leaves) if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact)]
 
 		def step(acc, i):
-			Z = sample_isotropic(jax.random.fold_in(key, i), (M.shape[0], chunk), pdf=pdf, dtype=real_dtype(M.dtype))
-			Zc = Z.astype(M.dtype)
+			Zc = chunk_probes(M, key, i).astype(M.dtype)
 			W = _apply_fprime(M, Zc, fprime, grad_method, solver_rtol, solver_maxiter)
 			_, pull = jax.vjp(lambda m: m.operator.matmat(Zc), M)
 			(mbar,) = pull(coef * W.astype(M.dtype))

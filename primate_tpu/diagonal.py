@@ -74,7 +74,7 @@ def _diag_differentiable(op, *, pdf, converge, seed, full, callback, record, max
 	differentiates through its Lanczos recurrence (no trace-identity shortcut
 	exists for per-entry diagonals); prefer modest ``deg`` there.
 	"""
-	from .estimators import CountCriterion, note_capped
+	from .estimators import CountCriterion
 
 	if converge in ("default", "count") or (converge == "tolerance" and not kwargs):
 		# "tolerance" with no tolerance kwargs is just diag's signature
