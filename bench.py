@@ -59,8 +59,10 @@ BASE_REPS = 2  # baseline runs ~6.4 s each at this scale; 2 reps bound driver ti
 # --- TPU probe / orchestration policy ---------------------------------------
 # Escalating per-attempt timeouts with short sleeps between: quick first looks
 # (tunnel usually answers in <60 s when healthy), then patient retries that
-# ride out multi-minute outages. Total worst case ≈ 10.5 min of probing.
-PROBE_SCHEDULE = ((60, 5), (90, 15), (120, 30), (180, 45), (180, 0))
+# ride out multi-minute outages. Total worst case ≈ 8.3 min of probing — kept
+# under the (unknown) driver timeout with room for the CPU-fallback
+# measurement (~3-4 min); r03's capture shows the driver waits at least that.
+PROBE_SCHEDULE = ((60, 5), (90, 15), (150, 30), (150, 0))
 CHILD_TIMEOUT_S = int(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1200"))
 
 
