@@ -235,7 +235,11 @@ def block_slq_trace(
 	:func:`~primate_tpu.hutch` ∘ :class:`~primate_tpu.MatrixFunction` stalls).
 
 	Returns the estimate, or ``(estimate, samples)`` when ``full=True``.
+	``differentiable=True`` returns the traced scalar: the program is a fixed
+	composition (block recurrence + thin QR + eigh quadrature), so ``jax.grad``
+	is the exact derivative of the estimator.
 	"""
+	differentiable = kwargs.pop("differentiable", False)
 	op = aslinop(A)
 	n = op.shape[0]
 	key = as_key(seed)
@@ -244,6 +248,9 @@ def block_slq_trace(
 	deg = int(max(1, min(deg, n // max(b, 1))))
 	samples = _block_slq_program(op, key, fun=f, n=n, b=b, deg=deg, pdf=pdf, reorth=reorth, nblocks=int(nblocks))
 	est = jnp.mean(samples)
+	if differentiable:
+		assert not full, "differentiable=True returns the traced estimate only"
+		return est
 	return (float(est), np.asarray(samples)) if full else float(est)
 
 

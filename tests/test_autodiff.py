@@ -336,3 +336,13 @@ def test_vmap_over_operator_batches():
 	g = jax.vmap(jax.grad(f))(Ks)
 	dirs = np.einsum("bij,bij->b", np.asarray(g), np.asarray(Ks))
 	assert np.allclose(dirs, n, rtol=1e-6), dirs
+
+
+def test_block_slq_trace_differentiable():
+	"""block_slq_trace(differentiable=True): fixed block-Krylov program —
+	exact estimator gradient (FD match)."""
+	A = jnp.asarray(np.asarray(pt.symmetric(32, pd=True, seed=1)), jnp.float64)
+	f = lambda s: pt.block_slq_trace(s * A, fun="log", b=4, deg=6, nblocks=4, seed=2, differentiable=True)
+	g = float(jax.grad(f)(1.0))
+	fd = (float(f(1.0 + 1e-6)) - float(f(1.0 - 1e-6))) / 2e-6
+	assert np.isclose(g, fd, rtol=1e-5), (g, fd)
