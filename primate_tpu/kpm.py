@@ -241,6 +241,10 @@ def kpm_trace(
 	tuple of names or callables, e.g. exp(-t·x) over timepoints) re-uses the
 	single moment sweep and returns one estimate per member — the KPM analog
 	of :func:`~primate_tpu.special.stacked`.
+
+	``differentiable=True`` (explicit ``interval`` and fixed ``m`` required)
+	returns the traced value; ``jax.grad`` through the moment scan is the
+	exact estimator derivative.
 	"""
 	# `special.stacked` callables advertise their family size via .nout, so a
 	# ONE-member family still returns a (1,)-array (matching the Lanczos path).

@@ -176,6 +176,11 @@ def hutch(
 	upper bound on TOTAL batches incl. resumed ones (needed for the
 	statically-shaped record buffer).
 
+	``differentiable=True`` (with ``converge='count'``) switches to a traced
+	fixed-budget path that composes with ``jax.grad``/``jit`` — probes run in
+	``batch``-sized chunks, ``maxiter`` caps the budget; see
+	:mod:`primate_tpu.autodiff` and ``docs/guide_autodiff.md``.
+
 	``resume`` continues a previous run exactly (SURVEY §5.4 checkpoint/resume):
 	pass the :class:`EstimatorResult` (or its estimator) from an earlier
 	``full=True`` call made with the SAME ``A``/``seed``/``batch``/``pdf`` — the
