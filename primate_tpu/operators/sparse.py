@@ -94,11 +94,21 @@ class CSROperator(LinearOperator):
 	nonzeros out ELL-style as dense ``(n, L)`` index/value planes. SpMM then
 	becomes gather + a dense sum over the L slots — no scatter at all, which on
 	TPU is ~3× the sorted-`segment_sum` throughput (scatter-adds serialize
-	through HBM). Power-law row distributions fall back to `segment_sum` with
-	``indices_are_sorted=True`` (CSR row ids are non-decreasing by construction).
+	through HBM).
+
+	Power-law row distributions (hub rows orders of magnitude above the
+	median) defeat full-ELL padding, so construction then tries a HYB split:
+	ELL planes truncated at the cost-optimal slot count ``L*`` plus a
+	`segment_sum` tail holding only the hub-row overflow. ``L*`` minimises
+	``n·L/ELL_RATE_ADVANTAGE + tail(L)`` over the row-length histogram (both
+	terms in segment-sum-nnz units) and the split engages only when it beats
+	the pure scatter path by ≥25%. Truly flat distributions where neither
+	layout wins fall back to `segment_sum` with ``indices_are_sorted=True``
+	(CSR row ids are non-decreasing by construction).
 	"""
 
 	ELL_MAX_FILL = 4.0  # build the ELL planes when n·L ≤ this × nnz
+	ELL_RATE_ADVANTAGE = 3.0  # measured ELL-vs-sorted-segment-sum nnz/s ratio on v5e
 
 	def __init__(
 		self,
@@ -109,6 +119,7 @@ class CSROperator(LinearOperator):
 		rowids: Optional[jnp.ndarray] = None,
 		ell_data: Optional[jnp.ndarray] = None,
 		ell_idx: Optional[jnp.ndarray] = None,
+		tail: Optional[tuple] = None,  # (data, cols, rowids) hub-row overflow
 	):
 		self.data = jnp.asarray(data)
 		self.indices = jnp.asarray(indices, jnp.int32)
@@ -131,8 +142,17 @@ class CSROperator(LinearOperator):
 			ell_data, ell_idx = self._build_ell(
 				np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape[0]
 			)
+			if ell_data is None:
+				ell_data, ell_idx, tail = self._build_hyb(
+					np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape[0]
+				)
 		self.ell_data = None if ell_data is None else jnp.asarray(ell_data, self.dtype)
 		self.ell_idx = None if ell_idx is None else jnp.asarray(ell_idx, jnp.int32)
+		self.tail = (
+			None
+			if tail is None
+			else (jnp.asarray(tail[0], self.dtype), jnp.asarray(tail[1], jnp.int32), jnp.asarray(tail[2], jnp.int32))
+		)
 
 	@classmethod
 	def _build_ell(cls, data: np.ndarray, indices: np.ndarray, indptr: np.ndarray, n: int):
@@ -151,6 +171,48 @@ class CSROperator(LinearOperator):
 		ell_data = np.where(mask, data[pos], 0)
 		return ell_data, ell_idx
 
+	@classmethod
+	def _build_hyb(cls, data: np.ndarray, indices: np.ndarray, indptr: np.ndarray, n: int):
+		"""HYB split for heavy-tailed row-length distributions: ELL planes
+		truncated at the cost-optimal slot count plus a sorted segment-sum tail
+		of the hub-row overflow. Returns ``(None, None, None)`` when no split
+		beats the pure scatter path by ≥25% (in segment-sum-nnz cost units)."""
+		counts = np.diff(indptr)
+		nnz = int(data.shape[0])
+		if nnz == 0 or counts.size == 0:
+			return None, None, None
+		# Candidate L values: the distinct row lengths (hub distributions have
+		# few of them below the knee; cap the sweep for pathological inputs).
+		cands = np.unique(counts)
+		cands = cands[cands > 0]
+		if cands.size > 256:
+			cands = np.unique(np.percentile(cands, np.linspace(0, 100, 257)).astype(np.int64))
+		# tail(L) = overflow nnz beyond slot L, via the length histogram suffix.
+		tails = np.array([int(np.maximum(counts - L, 0).sum()) for L in cands], np.int64)
+		cost = n * cands.astype(np.float64) / cls.ELL_RATE_ADVANTAGE + tails
+		best = int(np.argmin(cost))
+		L = int(cands[best])
+		if cost[best] > 0.75 * nnz or n * L > cls.ELL_MAX_FILL * nnz:
+			return None, None, None
+		slot = np.arange(L)[None, :]
+		pos = indptr[:-1, None] + slot
+		mask = slot < counts[:, None]
+		pos_c = np.minimum(pos, max(nnz - 1, 0))
+		ell_idx = np.where(mask, indices[pos_c], 0).astype(np.int32)
+		ell_data = np.where(mask, data[pos_c], 0)
+		# Overflow entries, row-major (rowids non-decreasing → sorted segments).
+		over_rows = np.flatnonzero(counts > L)
+		t_data = np.concatenate([data[indptr[r] + L : indptr[r + 1]] for r in over_rows]) if over_rows.size else data[:0]
+		t_cols = (
+			np.concatenate([indices[indptr[r] + L : indptr[r + 1]] for r in over_rows])
+			if over_rows.size
+			else indices[:0]
+		)
+		t_rows = np.repeat(over_rows, counts[over_rows] - L).astype(np.int32) if over_rows.size else np.zeros(0, np.int32)
+		if t_data.size == 0:
+			return None, None, None  # degenerate: full ELL would have been built
+		return ell_data, ell_idx, (t_data, t_cols.astype(np.int32), t_rows)
+
 	@property
 	def nnz(self) -> int:
 		return self.data.shape[0]
@@ -168,13 +230,25 @@ class CSROperator(LinearOperator):
 
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		if self.ell_data is not None:
-			return (self.ell_data[:, :, None] * V[self.ell_idx, :]).sum(axis=1)
+			out = (self.ell_data[:, :, None] * V[self.ell_idx, :]).sum(axis=1)
+			if self.tail is not None:
+				t_data, t_cols, t_rows = self.tail
+				out = out + jax.ops.segment_sum(
+					t_data[:, None] * V[t_cols, :], t_rows, num_segments=self.shape[0], indices_are_sorted=True
+				)
+			return out
 		prod = self.data[:, None] * V[self.indices, :]
 		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0], indices_are_sorted=True)
 
 	def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
 		if self.ell_data is not None:
-			return (self.ell_data * v[self.ell_idx]).sum(axis=1)
+			out = (self.ell_data * v[self.ell_idx]).sum(axis=1)
+			if self.tail is not None:
+				t_data, t_cols, t_rows = self.tail
+				out = out + jax.ops.segment_sum(
+					t_data * v[t_cols], t_rows, num_segments=self.shape[0], indices_are_sorted=True
+				)
+			return out
 		prod = self.data * v[self.indices]
 		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0], indices_are_sorted=True)
 
@@ -200,14 +274,17 @@ class CSROperator(LinearOperator):
 		children = (self.data, self.indices, self.indptr, self.rowids)
 		if self.ell_data is not None:
 			children += (self.ell_data, self.ell_idx)
-		return children, (self.shape, self.dtype, self.ell_data is not None)
+		if self.tail is not None:
+			children += self.tail
+		return children, (self.shape, self.dtype, self.ell_data is not None, self.tail is not None)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
 		obj = object.__new__(cls)
-		shape, dtype, has_ell = aux
+		shape, dtype, has_ell, has_tail = aux
 		obj.data, obj.indices, obj.indptr, obj.rowids = children[:4]
 		obj.ell_data, obj.ell_idx = (children[4], children[5]) if has_ell else (None, None)
+		obj.tail = tuple(children[6:9]) if has_tail else None
 		obj.shape, obj.dtype = shape, dtype
 		return obj
 

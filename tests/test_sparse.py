@@ -112,15 +112,29 @@ def test_csr_ell_fast_path_and_fallback():
 
 	y = jax.jit(lambda o, V: o.matmat(V))(op, jnp.asarray(V))
 	assert np.allclose(np.asarray(y), A @ V, atol=1e-12)
-	# one dense row -> padding factor ~ n/2 -> fallback, same results
+	# one dense hub row -> full-ELL padding would cost ~n/2x, so the HYB split
+	# engages instead: L=1 ELL planes + the hub overflow in a segment-sum tail
 	B = sps.lil_matrix((n, n))
 	B[0, :] = 1.0
 	B.setdiag(2.0)
 	B = B.tocsr()
 	opB = CSROperator.from_scipy(B)
-	assert opB.ell_data is None
+	assert opB.ell_data is not None and opB.ell_data.shape[1] == 1
+	assert opB.tail is not None and opB.tail[0].shape[0] == n - 1
 	assert np.allclose(np.asarray(opB.matmat(V)), B @ V, atol=1e-12)
+	assert np.allclose(np.asarray(opB.matvec(V[:, 0])), B @ V[:, 0], atol=1e-12)
 	assert np.allclose(np.asarray(opB.rmatvec(V[:, 0])), B.T @ V[:, 0], atol=1e-12)
+	# HYB survives a jit round-trip through the pytree
+	yb = jax.jit(lambda o, V: o.matmat(V))(opB, jnp.asarray(V))
+	assert np.allclose(np.asarray(yb), B @ V, atol=1e-12)
+	# hub rows owning most of the nnz: neither layout wins -> pure segment_sum
+	C = sps.lil_matrix((n, n))
+	for r in range(0, n, 10):
+		C[r, :] = 1.0
+	C.setdiag(2.0)
+	opC = CSROperator.from_scipy(C.tocsr())
+	assert opC.ell_data is None and opC.tail is None
+	assert np.allclose(np.asarray(opC.matmat(V)), C.tocsr() @ V, atol=1e-12)
 
 
 def test_coo_rows_sorted_detection():
