@@ -167,6 +167,8 @@ class DenseOperator(LinearOperator):
 	(`eigen_operators.h:17-55`).
 	"""
 
+	stack_shape = ()  # plain (N,) apply: estimator wrappers skip their eval_shape probe
+
 	def __init__(self, A: jnp.ndarray):
 		self.A = jnp.asarray(A)
 		assert self.A.ndim == 2, "Operator must be two dimensional."

@@ -324,6 +324,8 @@ class Toeplitz(LinearOperator):
 	at once. Parity: reference `operators.py:165-183`.
 	"""
 
+	stack_shape = ()  # plain (N,) apply: estimator wrappers skip their eval_shape probe
+
 	def __init__(self, c: jnp.ndarray, r: Optional[jnp.ndarray] = None, dtype=None):
 		self.c = jnp.asarray(c, dtype=dtype)
 		self.r = jnp.asarray(c if r is None else r, dtype=dtype)

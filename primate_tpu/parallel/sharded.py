@@ -682,7 +682,9 @@ def _local_csr_mm(data, cols, rows, ell_data, ell_idx, V, *, rpd: int):
 	"""Per-chip CSR SpMM against a gatherable V segment (ELL or sorted-scatter)."""
 	acc = jnp.promote_types(data.dtype, jnp.float32)
 	if ell_data is not None:
-		out = (ell_data[:, :, None].astype(acc) * V[ell_idx, :].astype(acc)).sum(axis=1)
+		from ..operators.sparse import ell_apply
+
+		out = ell_apply(ell_data.astype(acc), ell_idx, V.astype(acc))
 		return out.astype(data.dtype)
 	prod = data[:, None].astype(acc) * V[cols, :].astype(acc)
 	out = jax.ops.segment_sum(prod, rows, num_segments=rpd, indices_are_sorted=True)
