@@ -49,7 +49,8 @@ def _operators(A, kind: str):
 
 	ops = {}
 	csr = CSROperator.from_scipy(A, dtype=jnp.float32)
-	ops["csr" + ("+ell" if csr.ell_data is not None else "")] = csr
+	label = "+ell" if csr.ell_data is not None else ("+sell" if csr.sell is not None else "")
+	ops["csr" + label] = csr
 	if kind == "fem":
 		ops["dia"] = DIAOperator.from_scipy(A, dtype=jnp.float32)
 	if kind == "block":

@@ -394,16 +394,22 @@ def diag(
 		iters = 0 if count_target is None else min(int(count_target), int(maxiter)) - done
 		if count_target is not None and iters > 0 and N * iters * batch <= _DIAG_BLOCK_BUDGET:
 			carry = _diag_count_fused(op, key, init_carry, n=N, pdf=pdf, iters=iters, nout=nout, batch=batch)
-			capped = jnp.asarray(int(count_target) > int(maxiter))
+			capped = int(count_target) > int(maxiter)  # static: no device pull needed
 		else:
 			carry, capped = _diag_fused(op, criterion, key, init_carry, n=N, pdf=pdf, maxiter=int(maxiter), nout=nout, batch=batch)
+		if not full:
+			# Pull ONLY the estimate (+ the capped flag where it is dynamic):
+			# each dim-N carry leaf is a separate device→host transfer, and on a
+			# tunnel-attached chip every pull pays the round trip plus ~19 ms/MB
+			# — fetching the five state arrays tripled the wall of a floor-bound
+			# diag call.
+			mu, capped = jax.device_get((carry.mean.mu, capped))
+			note_capped(bool(capped), maxiter, name="diag")
+			return np.asarray(mu).reshape(stack_shape + (N,))
 		carry, capped = jax.device_get((carry, capped))  # one transfer; later reads are host numpy
 		estimator = MeanEstimator.from_state(carry.mean, delta=carry.delta)
 		estimate = np.asarray(carry.mean.mu).reshape(stack_shape + (N,))
 		state = {"numer": np.asarray(carry.numer), "denom": np.asarray(carry.denom), "mean": carry.mean, "m2": np.asarray(carry.m2), "batch": batch}
-		if not full:
-			note_capped(bool(capped), maxiter, name="diag")
-			return estimate
 		result = EstimatorResult(
 			estimator=estimator,
 			criterion=criterion,

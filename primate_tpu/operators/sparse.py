@@ -30,6 +30,23 @@ _ELL_UNROLL_MAX = 128  # slot-unroll bound; larger L chunks through a lax.scan
 _ELL_SCAN_CHUNK = 8
 
 
+def _pad_lanes(V: jnp.ndarray):
+	"""Pad a (rows, k) probe block to 128 lanes when 16 < k < 64.
+
+	Row-gathers from narrow f32 blocks run far below the gather rate on v5e
+	(measured 64 ms vs 29 ms for the same 500k-row sliced-ELL apply at k = 32
+	vs 128 — the padded-lane physical traffic is paid either way, but the
+	narrow-lane lowering is additionally pathological). k ≥ 64 already runs at
+	the gather-issue rate (~6.3 ns per gathered row, chain-measured), and very
+	narrow blocks (k ≤ 16, e.g. single matvecs) are faster unpadded. Returns
+	the padded block and the original k (or the block unchanged and None).
+	"""
+	k = V.shape[-1]
+	if 16 < k < 64:
+		return jnp.pad(V, ((0, 0), (0, 128 - k))), k
+	return V, None
+
+
 def ell_apply(ell_data: jnp.ndarray, ell_idx: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
 	"""ELL-plane SpMM ``out[i, :] = Σ_l ell_data[i, l] · V[ell_idx[i, l], :]``.
 
@@ -165,18 +182,16 @@ class CSROperator(LinearOperator):
 	through HBM).
 
 	Power-law row distributions (hub rows orders of magnitude above the
-	median) defeat full-ELL padding, so construction then tries a HYB split:
-	ELL planes truncated at the cost-optimal slot count ``L*`` plus a
-	`segment_sum` tail holding only the hub-row overflow. ``L*`` minimises
-	``n·L/ELL_RATE_ADVANTAGE + tail(L)`` over the row-length histogram (both
-	terms in segment-sum-nnz units) and the split engages only when it beats
-	the pure scatter path by ≥25%. Truly flat distributions where neither
-	layout wins fall back to `segment_sum` with ``indices_are_sorted=True``
-	(CSR row ids are non-decreasing by construction).
+	median) defeat full-ELL padding, so construction then builds the SLICED
+	ELL layout instead (see :meth:`_build_sliced`): rows sorted by descending
+	length, slot ``l`` covering exactly the prefix of rows longer than ``l`` —
+	scatter-free with zero fill waste for any distribution — plus a tiny
+	`segment_sum` tail holding only the hub-row entries beyond the slot cap.
+	The pure sorted-`segment_sum` path remains for operators constructed under
+	tracing (where the host-side layout analysis cannot run).
 	"""
 
 	ELL_MAX_FILL = 4.0  # build the ELL planes when n·L ≤ this × nnz
-	ELL_RATE_ADVANTAGE = 3.0  # measured ELL-vs-sorted-segment-sum nnz/s ratio on v5e
 
 	def __init__(
 		self,
@@ -206,6 +221,7 @@ class CSROperator(LinearOperator):
 				counts = np.diff(np.asarray(self.indptr))
 				rowids = np.repeat(np.arange(shape[0]), counts)
 		self.rowids = jnp.asarray(rowids, jnp.int32)
+		self.sell = None  # sliced-ELL layout for heavy-tailed rows (see _build_sliced)
 		if ell_data is None and ell_idx is None and not traced:
 			if tail is not None:
 				raise ValueError("tail= requires explicit ell_data/ell_idx (it holds the ELL overflow)")
@@ -213,9 +229,20 @@ class CSROperator(LinearOperator):
 				np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape[0]
 			)
 			if ell_data is None:
-				ell_data, ell_idx, tail = self._build_hyb(
+				built = self._build_sliced(
 					np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape[0]
 				)
+				if built is not None:
+					rank, _nl, s_data, s_idx, s_tail = built
+					self.sell = (
+						jnp.asarray(rank, jnp.int32),
+						tuple(jnp.asarray(d, self.dtype) for d in s_data),
+						tuple(jnp.asarray(i, jnp.int32) for i in s_idx),
+						None
+						if s_tail is None
+						else (jnp.asarray(s_tail[0], self.dtype), jnp.asarray(s_tail[1], jnp.int32), jnp.asarray(s_tail[2], jnp.int32)),
+						0 if s_tail is None else int(s_tail[3]),
+					)
 		self.ell_data = None if ell_data is None else jnp.asarray(ell_data, self.dtype)
 		self.ell_idx = None if ell_idx is None else jnp.asarray(ell_idx, jnp.int32)
 		self.tail = (
@@ -241,47 +268,60 @@ class CSROperator(LinearOperator):
 		ell_data = np.where(mask, data[pos], 0)
 		return ell_data, ell_idx
 
+	SELL_MAX_SLOTS = 64  # slot cap; row entries beyond it join the hub tail
+	SELL_MIN_ROWS = 256  # drop trailing slots covering fewer rows than this
+
 	@classmethod
-	def _build_hyb(cls, data: np.ndarray, indices: np.ndarray, indptr: np.ndarray, n: int):
-		"""HYB split for heavy-tailed row-length distributions: ELL planes
-		truncated at the cost-optimal slot count plus a sorted segment-sum tail
-		of the hub-row overflow. Returns ``(None, None, None)`` when no split
-		beats the pure scatter path by ≥25% (in segment-sum-nnz cost units)."""
+	def _build_sliced(cls, data: np.ndarray, indices: np.ndarray, indptr: np.ndarray, n: int):
+		"""Sliced-ELL layout for row-length distributions full-ELL padding can't
+		afford (power-law graphs: hub rows ~1000× the median defeat dense
+		(n, L) planes, and the sorted-`segment_sum` fallback is scatter-bound —
+		measured 161 ms per 64-probe apply at 4.5M nnz on a v5e, ~28 Mnnz/s).
+
+		Rows are sorted by DESCENDING length (a row permutation only — column
+		ids are untouched, so no matching permutation of the operand is needed);
+		slot ``l`` then covers exactly the prefix of rows longer than ``l``, so
+		every slot is a dense scatter-free gather with ZERO fill waste for ANY
+		distribution. The apply accumulates slots smallest-first into a growing
+		prefix buffer (total traffic = covered nnz, not n·L), adds a tiny
+		`segment_sum` tail holding only the entries beyond ``SELL_MAX_SLOTS``
+		(hub-row overflow, num_segments = #hub rows), and un-permutes with one
+		(n, b) row gather.
+
+		Returns ``(rank, nl, slot_data, slot_idx, tail)`` — ``rank[i]`` = sorted
+		position of row ``i``, ``nl[l]`` = rows covered by slot ``l``, ``tail``
+		``(t_data, t_cols, t_rows, n_hub)`` or None — or None for empty inputs.
+		"""
 		counts = np.diff(indptr)
 		nnz = int(data.shape[0])
 		if nnz == 0 or counts.size == 0:
-			return None, None, None
-		# Candidate L values: the distinct row lengths (hub distributions have
-		# few of them below the knee; cap the sweep for pathological inputs).
-		cands = np.unique(counts)
-		cands = cands[cands > 0]
-		if cands.size > 256:
-			cands = np.unique(np.percentile(cands, np.linspace(0, 100, 257)).astype(np.int64))
-		# tail(L) = overflow nnz beyond slot L, via the length histogram suffix.
-		tails = np.array([int(np.maximum(counts - L, 0).sum()) for L in cands], np.int64)
-		cost = n * cands.astype(np.float64) / cls.ELL_RATE_ADVANTAGE + tails
-		best = int(np.argmin(cost))
-		L = int(cands[best])
-		if cost[best] > 0.75 * nnz or n * L > cls.ELL_MAX_FILL * nnz:
-			return None, None, None
-		slot = np.arange(L)[None, :]
-		pos = indptr[:-1, None] + slot
-		mask = slot < counts[:, None]
-		pos_c = np.minimum(pos, max(nnz - 1, 0))
-		ell_idx = np.where(mask, indices[pos_c], 0).astype(np.int32)
-		ell_data = np.where(mask, data[pos_c], 0)
-		# Overflow entries, row-major (rowids non-decreasing → sorted segments).
-		over_rows = np.flatnonzero(counts > L)
-		t_data = np.concatenate([data[indptr[r] + L : indptr[r + 1]] for r in over_rows]) if over_rows.size else data[:0]
-		t_cols = (
-			np.concatenate([indices[indptr[r] + L : indptr[r + 1]] for r in over_rows])
-			if over_rows.size
-			else indices[:0]
-		)
-		t_rows = np.repeat(over_rows, counts[over_rows] - L).astype(np.int32) if over_rows.size else np.zeros(0, np.int32)
-		if t_data.size == 0:
-			return None, None, None  # degenerate: full ELL would have been built
-		return ell_data, ell_idx, (t_data, t_cols.astype(np.int32), t_rows)
+			return None
+		order = np.argsort(-counts, kind="stable")
+		rank = np.empty(n, np.int32)
+		rank[order] = np.arange(n, dtype=np.int32)
+		sorted_counts = counts[order]
+		Lmax = int(sorted_counts[0])
+		S = min(Lmax, cls.SELL_MAX_SLOTS)
+		# rows covered by slot l = rows with count > l (prefix of the sort)
+		nl = np.array([int(np.searchsorted(-sorted_counts, -(l + 0.5))) for l in range(S)], np.int64)
+		while S > 1 and nl[S - 1] < cls.SELL_MIN_ROWS:
+			S -= 1
+		nl = nl[:S]
+		slot_data, slot_idx = [], []
+		for l in range(S):
+			rows_l = order[: nl[l]]
+			pos = indptr[rows_l] + l
+			slot_data.append(data[pos])
+			slot_idx.append(indices[pos].astype(np.int32))
+		tail = None
+		n_hub = int(np.searchsorted(-sorted_counts, -(S + 0.5)))  # rows with count > S
+		if n_hub > 0:
+			hub_rows = order[:n_hub]
+			t_data = np.concatenate([data[indptr[r] + S : indptr[r + 1]] for r in hub_rows])
+			t_cols = np.concatenate([indices[indptr[r] + S : indptr[r + 1]] for r in hub_rows]).astype(np.int32)
+			t_rows = np.repeat(np.arange(n_hub, dtype=np.int32), counts[hub_rows] - S)
+			tail = (t_data, t_cols, t_rows, n_hub)
+		return (rank, nl, slot_data, slot_idx, tail)
 
 	@property
 	def nnz(self) -> int:
@@ -298,6 +338,39 @@ class CSROperator(LinearOperator):
 
 		return cls.from_scipy(sps.csr_matrix(np.asarray(A)))
 
+	def _sell_apply(self, V: jnp.ndarray) -> jnp.ndarray:
+		"""Sliced-ELL SpMM (see _build_sliced): smallest slot first, each step
+		pads the running prefix buffer up to the next slot's row count — total
+		accumulate traffic equals the covered nnz, with no scatter anywhere but
+		the tiny hub tail."""
+		rank, s_data, s_idx, s_tail, n_hub = self.sell
+		single = V.ndim == 1
+		if single:
+			V = V[:, None]
+		V, k_orig = _pad_lanes(V)
+		n, b = self.shape[0], V.shape[1]
+		out = None
+		for l in reversed(range(len(s_data))):
+			contrib = s_data[l][:, None] * V[s_idx[l], :]
+			if out is None:
+				out = contrib
+			elif contrib.shape[0] == out.shape[0]:
+				out = out + contrib
+			else:
+				out = contrib + jnp.pad(out, ((0, contrib.shape[0] - out.shape[0]), (0, 0)))
+		if out is None:
+			out = jnp.zeros((0, b), self.dtype)
+		if s_tail is not None:
+			t_data, t_cols, t_rows = s_tail
+			ts = jax.ops.segment_sum(t_data[:, None] * V[t_cols, :], t_rows, num_segments=n_hub, indices_are_sorted=True)
+			out = out.at[:n_hub].add(ts)
+		if out.shape[0] < n:
+			out = jnp.pad(out, ((0, n - out.shape[0]), (0, 0)))
+		out = out[rank]  # un-permute: sorted position -> original row
+		if k_orig is not None:
+			out = out[:, :k_orig]
+		return out[:, 0] if single else out
+
 	def _matmat(self, V: jnp.ndarray) -> jnp.ndarray:
 		if self.ell_data is not None:
 			out = ell_apply(self.ell_data, self.ell_idx, V)
@@ -307,6 +380,8 @@ class CSROperator(LinearOperator):
 					t_data[:, None] * V[t_cols, :], t_rows, num_segments=self.shape[0], indices_are_sorted=True
 				)
 			return out
+		if self.sell is not None:
+			return self._sell_apply(V)
 		prod = self.data[:, None] * V[self.indices, :]
 		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0], indices_are_sorted=True)
 
@@ -319,6 +394,8 @@ class CSROperator(LinearOperator):
 					t_data * v[t_cols], t_rows, num_segments=self.shape[0], indices_are_sorted=True
 				)
 			return out
+		if self.sell is not None:
+			return self._sell_apply(v)
 		prod = self.data * v[self.indices]
 		return jax.ops.segment_sum(prod, self.rowids, num_segments=self.shape[0], indices_are_sorted=True)
 
@@ -346,16 +423,38 @@ class CSROperator(LinearOperator):
 			children += (self.ell_data, self.ell_idx)
 		if self.tail is not None:
 			children += self.tail
-		return children, (self.shape, self.dtype, self.ell_data is not None, self.tail is not None)
+		if self.sell is not None:
+			rank, s_data, s_idx, s_tail, n_hub = self.sell
+			children += (rank,) + tuple(s_data) + tuple(s_idx)
+			if s_tail is not None:
+				children += s_tail
+			sell_aux = (len(s_data), s_tail is not None, n_hub)
+		else:
+			sell_aux = None
+		return children, (self.shape, self.dtype, self.ell_data is not None, self.tail is not None, sell_aux)
 
 	@classmethod
 	def tree_unflatten(cls, aux, children):
 		obj = object.__new__(cls)
-		shape, dtype, has_ell, has_tail = aux
+		shape, dtype, has_ell, has_tail, sell_aux = aux
 		obj.data, obj.indices, obj.indptr, obj.rowids = children[:4]
+		at = 4
 		obj.ell_data, obj.ell_idx = (children[4], children[5]) if has_ell else (None, None)
-		tail_at = 6 if has_ell else 4  # tail slots shift when no ELL planes precede them
-		obj.tail = tuple(children[tail_at : tail_at + 3]) if has_tail else None
+		at += 2 if has_ell else 0
+		obj.tail = tuple(children[at : at + 3]) if has_tail else None
+		at += 3 if has_tail else 0
+		if sell_aux is not None:
+			n_slots, sell_has_tail, n_hub = sell_aux
+			rank = children[at]
+			at += 1
+			s_data = tuple(children[at : at + n_slots])
+			at += n_slots
+			s_idx = tuple(children[at : at + n_slots])
+			at += n_slots
+			s_tail = tuple(children[at : at + 3]) if sell_has_tail else None
+			obj.sell = (rank, s_data, s_idx, s_tail, n_hub)
+		else:
+			obj.sell = None
 		obj.shape, obj.dtype = shape, dtype
 		return obj
 

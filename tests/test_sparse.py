@@ -112,29 +112,35 @@ def test_csr_ell_fast_path_and_fallback():
 
 	y = jax.jit(lambda o, V: o.matmat(V))(op, jnp.asarray(V))
 	assert np.allclose(np.asarray(y), A @ V, atol=1e-12)
-	# one dense hub row -> full-ELL padding would cost ~n/2x, so the HYB split
-	# engages instead: L=1 ELL planes + the hub overflow in a segment-sum tail
+	# one dense hub row -> full-ELL padding would cost ~n/2x, so the sliced-ELL
+	# layout engages: degree-sorted prefix slots + the hub overflow in a tiny
+	# segment-sum tail (num_segments = #hub rows)
 	B = sps.lil_matrix((n, n))
 	B[0, :] = 1.0
 	B.setdiag(2.0)
 	B = B.tocsr()
 	opB = CSROperator.from_scipy(B)
-	assert opB.ell_data is not None and opB.ell_data.shape[1] == 1
-	assert opB.tail is not None and opB.tail[0].shape[0] == n - 1
+	assert opB.ell_data is None and opB.sell is not None
+	rank, s_data, s_idx, s_tail, n_hub = opB.sell
+	assert n_hub == 1 and s_tail is not None  # the single hub row overflows
+	assert s_data[0].shape[0] == n  # slot 0 covers every nonempty row
 	assert np.allclose(np.asarray(opB.matmat(V)), B @ V, atol=1e-12)
 	assert np.allclose(np.asarray(opB.matvec(V[:, 0])), B @ V[:, 0], atol=1e-12)
 	assert np.allclose(np.asarray(opB.rmatvec(V[:, 0])), B.T @ V[:, 0], atol=1e-12)
-	# HYB survives a jit round-trip through the pytree
+	# sliced-ELL survives a jit round-trip through the pytree
 	yb = jax.jit(lambda o, V: o.matmat(V))(opB, jnp.asarray(V))
 	assert np.allclose(np.asarray(yb), B @ V, atol=1e-12)
-	# hub rows owning most of the nnz: neither layout wins -> pure segment_sum
+	# hub rows owning most of the nnz: sliced-ELL still applies scatter-free up
+	# to the slot cap, with only the beyond-cap overflow in the tail
 	C = sps.lil_matrix((n, n))
 	for r in range(0, n, 10):
 		C[r, :] = 1.0
 	C.setdiag(2.0)
 	opC = CSROperator.from_scipy(C.tocsr())
-	assert opC.ell_data is None and opC.tail is None
+	assert opC.ell_data is None and opC.sell is not None
 	assert np.allclose(np.asarray(opC.matmat(V)), C.tocsr() @ V, atol=1e-12)
+	yc = jax.jit(lambda o, V: o.matmat(V))(opC, jnp.asarray(V))
+	assert np.allclose(np.asarray(yc), C.tocsr() @ V, atol=1e-12)
 
 
 def test_coo_rows_sorted_detection():
