@@ -1,0 +1,115 @@
+"""Gradient-variance study for the differentiable estimator family (VERDICT r4 #7).
+
+Two artifacts ``docs/guide_autodiff.md`` promises:
+
+1. **Estimator-gradient spread vs the exact gradient.** For SPD ``A`` the
+   exact gradient of ``logdet(A)`` w.r.t. ``A`` is ``A⁻¹``; the stochastic
+   estimator's gradient is unbiased but carries probe noise. Measured here:
+   relative Frobenius error of ``jax.grad(autodiff.logdet)`` over seeds, per
+   probe budget ``nv`` — the caveat quantified (error ∝ 1/√nv, and the
+   deg-truncation bias floor).
+
+2. **Chunked-probe memory at scale**: value+grad of ``autodiff.logdet`` on a
+   1M-row sparse operator with a probe budget far above what a single
+   (n, nv) block could hold, processed in ``chunk``-sized blocks.
+
+Run: ``python -m benchmarks.grad_variance`` (JSON lines).
+"""
+
+import json
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+
+def spread_study(n: int = 256, seeds: int = 10, deg: int = 30) -> None:
+	import primate_tpu as pt
+	from primate_tpu import autodiff
+	from primate_tpu.operators import DenseOperator
+
+	A = np.asarray(pt.symmetric(n, pd=True, ew=np.linspace(0.5, 2.0, n), seed=0), np.float64)
+	exact = np.linalg.inv(A)
+	A32 = jnp.asarray(A, jnp.float32)
+
+	for nv in (8, 32, 128, 512):
+		errs = []
+		for s in range(seeds):
+			g = jax.grad(lambda M: autodiff.logdet(DenseOperator(M), deg=deg, nv=nv, seed=s))(A32)
+			errs.append(float(np.linalg.norm(np.asarray(g, np.float64) - exact) / np.linalg.norm(exact)))
+		errs = np.asarray(errs)
+		print(json.dumps({
+			"metric": "logdet_grad_rel_err_vs_exact_inverse", "n": n, "deg": deg, "nv": nv,
+			"mean": round(float(errs.mean()), 5), "std": round(float(errs.std()), 5),
+			"seeds": seeds,
+		}))
+
+
+def structured_study(n: int = 256, seeds: int = 10, deg: int = 30) -> None:
+	"""Gradient accuracy for STRUCTURED parameters — how users actually
+	differentiate (a kernel scale, a diagonal shift): d/dc logdet(A + cI) =
+	tr((A+cI)⁻¹), estimator vs exact. Entrywise full-matrix gradients (above)
+	carry O(1/√nv) probe noise per entry; scalar/structured projections
+	contract that noise by the parameter's dimension — sub-1% at nv=8."""
+	import primate_tpu as pt
+	from primate_tpu import autodiff
+	from primate_tpu.operators import DenseOperator
+
+	A = np.asarray(pt.symmetric(n, pd=True, ew=np.linspace(0.5, 2.0, n), seed=0), np.float64)
+	exact = float(np.trace(np.linalg.inv(A + 0.3 * np.eye(n))))
+	for nv in (8, 32, 128):
+		errs = []
+		for s in range(seeds):
+			def f(c):
+				M = jnp.asarray(A, jnp.float32) + c * jnp.eye(n, dtype=jnp.float32)
+				return autodiff.logdet(DenseOperator(M), deg=deg, nv=nv, seed=s)
+
+			g = float(jax.grad(f)(jnp.float32(0.3)))
+			errs.append(abs(g - exact) / abs(exact))
+		errs = np.asarray(errs)
+		print(json.dumps({
+			"metric": "logdet_grad_rel_err_structured_shift", "n": n, "deg": deg, "nv": nv,
+			"mean": round(float(errs.mean()), 5), "std": round(float(errs.std()), 5), "seeds": seeds,
+		}))
+
+
+def scale_wall(n: int = 1_000_000, deg: int = 20, nv: int = 256, chunk: int = 32) -> None:
+	from primate_tpu import autodiff
+	from primate_tpu.operators import CSROperator
+
+	main = 3.0 * np.ones(n, np.float32)
+	off = -1.0 * np.ones(n - 1, np.float32)
+	A = sps.diags([off, main, off], [-1, 0, 1]).tocsr().astype(np.float32)
+	op = CSROperator.from_scipy(A, dtype=jnp.float32)
+
+	f = jax.jit(lambda o: jax.value_and_grad(
+		lambda data: autodiff.logdet(
+			jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(o), [data] + jax.tree_util.tree_leaves(o)[1:]),
+			deg=deg, nv=nv, seed=0, chunk=chunk,
+		)
+	)(jax.tree_util.tree_leaves(o)[0]))
+	val, g = f(op)
+	jax.block_until_ready(g)
+	best = np.inf
+	for _ in range(3):
+		t0 = time.perf_counter()
+		val, g = f(op)
+		jax.block_until_ready(g)
+		best = min(best, time.perf_counter() - t0)
+	k = np.arange(1, n + 1)
+	exact = float(np.sum(np.log(3.0 - 2.0 * np.cos(k * np.pi / (n + 1)))))
+	print(json.dumps({
+		"metric": "autodiff_logdet_value_and_grad_1M", "n": n, "deg": deg, "nv": nv, "chunk": chunk,
+		"wall_s": round(best, 4), "rel_err": round(abs(float(val) - exact) / abs(exact), 6),
+		"platform": jax.devices()[0].platform,
+	}))
+
+
+if __name__ == "__main__":
+	spread_study()
+	structured_study()
+	scale_wall(nv=64)
+	scale_wall(nv=256)

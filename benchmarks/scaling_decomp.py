@@ -58,6 +58,7 @@ mesh = make_mesh((ndev, 1), ("op", "probe"))
 base = DIAOperator.from_scipy(lap(n_rows), dtype=jnp.float32)
 op_full = shard_operator(base, mesh)
 
+@jax.tree_util.register_pytree_node_class
 class NoCommDIA(ShardedDIAOperator):
     # ppermute -> zeros of the same shape: same data path minus the collective
     def matmat_t(self, Vt):
@@ -80,6 +81,7 @@ class NoCommDIA(ShardedDIAOperator):
     def _matmat(self, V):
         return self.matmat_t(V.T).T
 
+@jax.tree_util.register_pytree_node_class
 class NoHaloDIA(ShardedDIAOperator):
     # boundary-zero local stencil: no ppermute, no concat (slice+pad fuses)
     def matmat_t(self, Vt):
