@@ -28,6 +28,7 @@ from .estimators import (
 from .operators import aslinop, is_valid_operator
 from .trace import _reject_stacked
 from .random import as_key, classify_pdf, real_dtype, sample_isotropic
+from .linalg import tall_qr
 from .stats import MeanState, make_mean_state, mean_update
 
 __all__ = ["diag", "diagpp", "xdiag"]
@@ -516,7 +517,7 @@ def _diagpp_program(A, key, *, n: int, nb: int, pdf: str):
 	# rowwise ⟨Q, conj(AQ)⟩ since Q†A = (AQ)†), real final output — each conj
 	# is an identity on the real path.
 	S = sample_isotropic(k1, (n, nb), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
-	Q, _ = jnp.linalg.qr(apply_op(S).astype(acc), mode="reduced")
+	Q, _ = tall_qr(apply_op(S).astype(acc))
 	AQ = apply_op(Q.astype(dtype)).astype(acc)
 	d1 = jnp.einsum("ij,ij->i", Q, jnp.conj(AQ))  # diag(QQ†A)
 
@@ -571,7 +572,7 @@ def _xdiag_program(A, key, *, n: int, m: int, pdf: str):
 	apply_op = A.matmat if hasattr(A, "matmat") else (lambda V: A @ V)
 	N = sample_isotropic(key, (n, m), pdf=pdf, dtype=real_dtype(dtype)).astype(dtype)
 	Y = apply_op(N)
-	Q, R = jnp.linalg.qr(Y, mode="reduced")
+	Q, R = tall_qr(Y)
 	dNY = jnp.einsum("ij,ij->i", N, jnp.conj(Y))[:, None]  # rowwise ⟨N, conj(Y)⟩ = diag(N Y†)
 
 	Z = apply_op(Q)  # Hermitian A: Q†A = Z†

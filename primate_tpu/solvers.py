@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .operators import aslinop
+from .linalg import tall_qr
 from .random import real_dtype as real_dtype_of
 
 __all__ = ["NystromPreconditioner", "cg", "nystrom_precond", "solve"]
@@ -82,7 +83,7 @@ def nystrom_precond(A, rank: int = 64, mu: float = 0.0, seed=None) -> NystromPre
 	acc = jnp.promote_types(op.dtype, jnp.float32)
 	r_acc = real_dtype_of(acc)
 	Om = sample_isotropic(as_key(seed), (n, s), pdf="normal", dtype=real_dtype_of(op.dtype))
-	Om, _ = jnp.linalg.qr(Om.astype(acc))
+	Om, _ = tall_qr(Om.astype(acc))
 	Y = (op.matmat(Om.astype(op.dtype))).astype(acc)
 	nu = jnp.finfo(r_acc).eps * jnp.linalg.norm(Y) / jnp.sqrt(jnp.asarray(n, r_acc))
 	Y = Y + nu * Om
