@@ -43,7 +43,10 @@ def _pad_lanes(V: jnp.ndarray):
 	"""
 	k = V.shape[-1]
 	if 16 < k < 64:
-		return jnp.pad(V, ((0, 0), (0, 128 - k))), k
+		# The barrier MATERIALIZES the padded block: without it XLA fuses the
+		# pad into every slot gather, which drops the gathers back to the slow
+		# narrow-lane lowering (56 ms vs 30 ms for the same padded apply).
+		return jax.lax.optimization_barrier(jnp.pad(V, ((0, 0), (0, 128 - k)))), k
 	return V, None
 
 
