@@ -85,18 +85,25 @@ def scale_wall(n: int = 1_000_000, deg: int = 20, nv: int = 256, chunk: int = 32
 	A = sps.diags([off, main, off], [-1, 0, 1]).tocsr().astype(np.float32)
 	op = CSROperator.from_scipy(A, dtype=jnp.float32)
 
-	f = jax.jit(lambda o: jax.value_and_grad(
-		lambda data: autodiff.logdet(
-			jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(o), [data] + jax.tree_util.tree_leaves(o)[1:]),
-			deg=deg, nv=nv, seed=0, chunk=chunk,
-		)
-	)(jax.tree_util.tree_leaves(o)[0]))
-	val, g = f(op)
+	# Differentiate w.r.t. ALL pytree leaves (allow_int gives float0 for the
+	# index arrays): a CSR with ELL planes computes through ell_data, so
+	# differentiating only the `data` leaf would dead-code-eliminate the whole
+	# backward pass and time a forward-only program (review round-5 finding).
+	treedef = jax.tree_util.tree_structure(op)
+
+	f = jax.jit(lambda leaves: jax.value_and_grad(
+		lambda ls: autodiff.logdet(jax.tree_util.tree_unflatten(treedef, ls), deg=deg, nv=nv, seed=0, chunk=chunk),
+		allow_int=True,
+	)(leaves))
+	leaves = jax.tree_util.tree_leaves(op)
+	val, g = f(leaves)
 	jax.block_until_ready(g)
+	gnorm = float(sum(jnp.abs(x).sum() for x in jax.tree_util.tree_leaves(g) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)))
+	assert gnorm > 0, "gradient is identically zero — the backward pass was eliminated"
 	best = np.inf
 	for _ in range(3):
 		t0 = time.perf_counter()
-		val, g = f(op)
+		val, g = f(leaves)
 		jax.block_until_ready(g)
 		best = min(best, time.perf_counter() - t0)
 	k = np.arange(1, n + 1)
@@ -104,6 +111,7 @@ def scale_wall(n: int = 1_000_000, deg: int = 20, nv: int = 256, chunk: int = 32
 	print(json.dumps({
 		"metric": "autodiff_logdet_value_and_grad_1M", "n": n, "deg": deg, "nv": nv, "chunk": chunk,
 		"wall_s": round(best, 4), "rel_err": round(abs(float(val) - exact) / abs(exact), 6),
+		"grad_l1": round(gnorm, 3),
 		"platform": jax.devices()[0].platform,
 	}))
 

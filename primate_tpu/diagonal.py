@@ -393,7 +393,7 @@ def diag(
 		count_target = _count_only_target(criterion)
 		done = 0 if init_carry is None else int(jax.device_get(init_carry.it))
 		iters = 0 if count_target is None else min(int(count_target), int(maxiter)) - done
-		if count_target is not None and iters > 0 and N * iters * batch <= _DIAG_BLOCK_BUDGET:
+		if count_target is not None and iters > 0 and N * iters * batch * max(1, nout) <= _DIAG_BLOCK_BUDGET:
 			carry = _diag_count_fused(op, key, init_carry, n=N, pdf=pdf, iters=iters, nout=nout, batch=batch)
 			capped = int(count_target) > int(maxiter)  # static: no device pull needed
 		else:

@@ -59,7 +59,17 @@ def _shifted_cholqr3(Y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 		R2 = jnp.linalg.cholesky(G2).conj().T
 		Q = solve_triangular(R2.conj().T, jnp.conj(Q).T, lower=True).conj().T
 		R = R2 @ R
-	return Q, R
+	# RANK-DEFICIENT blocks (rank(Y) < m — e.g. the sketch of an exactly
+	# low-rank operator, or Lanczos/xtrace at breakdown): the unshifted
+	# refinement Choleskys produce NaN. Householder QR handles them (any
+	# orthonormal completion is valid for the estimator algebra), so detect
+	# and fall back at runtime — the common full-rank path never takes it.
+	ok = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(Q))
+	return jax.lax.cond(
+		ok,
+		lambda: (Q, R),
+		lambda: tuple(jnp.linalg.qr(Y, mode="reduced")),
+	)
 
 
 def tall_qr(Y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

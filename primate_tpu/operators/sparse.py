@@ -90,29 +90,10 @@ def ell_apply(ell_data: jnp.ndarray, ell_idx: jnp.ndarray, V: jnp.ndarray) -> jn
 
 
 def ell_apply_vec(ell_data: jnp.ndarray, ell_idx: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-	"""Single-vector form of :func:`ell_apply` (no trailing probe axis)."""
-	rows, L = ell_data.shape
-	acc = jnp.promote_types(ell_data.dtype, v.dtype)
-	if L == 0:
-		return jnp.zeros((rows,), acc)
-	if L <= _ELL_UNROLL_MAX:
-		out = ell_data[:, 0] * v[ell_idx[:, 0]]
-		for l in range(1, L):
-			out = out + ell_data[:, l] * v[ell_idx[:, l]]
-		return out
-	C = _ELL_SCAN_CHUNK
-	Lp = -(-L // C) * C
-	edc = jnp.pad(ell_data, ((0, 0), (0, Lp - L))).reshape(rows, Lp // C, C).transpose(1, 0, 2)
-	eic = jnp.pad(ell_idx, ((0, 0), (0, Lp - L))).reshape(rows, Lp // C, C).transpose(1, 0, 2)
-
-	def body(out, planes):
-		e, i = planes
-		for l in range(C):
-			out = out + e[:, l] * v[i[:, l]]
-		return out, None
-
-	out, _ = jax.lax.scan(body, jnp.zeros((rows,), acc), (edc, eic))
-	return out
+	"""Single-vector form of :func:`ell_apply` (no trailing probe axis) —
+	delegates with a unit probe axis (identical lowering at one lane; one
+	implementation keeps the slot/chunk logic in one place)."""
+	return ell_apply(ell_data, ell_idx, v[:, None])[:, 0]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -225,9 +206,12 @@ class CSROperator(LinearOperator):
 				rowids = np.repeat(np.arange(shape[0]), counts)
 		self.rowids = jnp.asarray(rowids, jnp.int32)
 		self.sell = None  # sliced-ELL layout for heavy-tailed rows (see _build_sliced)
+		if tail is not None and ell_data is None and ell_idx is None:
+			# Structural invariant, enforced on the traced path too: the tail
+			# holds ELL overflow and is only applied alongside ELL planes — a
+			# tail without them would be silently dropped from the product.
+			raise ValueError("tail= requires explicit ell_data/ell_idx (it holds the ELL overflow)")
 		if ell_data is None and ell_idx is None and not traced:
-			if tail is not None:
-				raise ValueError("tail= requires explicit ell_data/ell_idx (it holds the ELL overflow)")
 			ell_data, ell_idx = self._build_ell(
 				np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr), self.shape[0]
 			)
@@ -473,6 +457,8 @@ class BSROperator(LinearOperator):
 	elsewhere.
 	"""
 
+	BELL_MAX_BYTES = 256 * 1024 * 1024  # auto block-ELL build cap (duplicated tile storage)
+
 	def __init__(
 		self,
 		blocks: jnp.ndarray,  # (nnzb, bm, bn)
@@ -481,6 +467,7 @@ class BSROperator(LinearOperator):
 		shape: Tuple[int, int],
 		rowids: Optional[jnp.ndarray] = None,
 		use_pallas: Optional[bool] = None,
+		bell: Optional[bool] = None,
 	):
 		self.blocks = jnp.asarray(blocks)
 		self.indices = jnp.asarray(indices, jnp.int32)
@@ -496,13 +483,20 @@ class BSROperator(LinearOperator):
 		# Block-ELL planes (the tile-granularity analog of the CSR ELL path):
 		# when padding block rows to the max block count Lb stays under
 		# ELL_MAX_FILL× the stored tiles, SpMM drops the segment_sum scatter for
-		# a slot-unrolled gather + per-slot block einsum.
+		# a slot-unrolled gather + per-slot block einsum. The planes DUPLICATE
+		# the tile storage (`blocks` stays — rmatmat/todense need it), so the
+		# auto build additionally caps the extra bytes; ``bell=True`` forces
+		# the build past the caps, ``bell=False`` disables it.
 		self.bell_blocks = self.bell_idx = None
-		if not traced:
+		if not traced and bell is not False:
 			counts = np.diff(np.asarray(self.indptr))
 			nnzb = int(self.blocks.shape[0])
 			Lb = int(counts.max()) if counts.size else 0
-			if 0 < Lb <= _ELL_UNROLL_MAX and counts.size * Lb <= CSROperator.ELL_MAX_FILL * max(nnzb, 1):
+			fits = counts.size * Lb <= CSROperator.ELL_MAX_FILL * max(nnzb, 1)
+			if bell is None:
+				bell_bytes = int(counts.size) * Lb * int(np.prod(self.blocks.shape[1:])) * self.blocks.dtype.itemsize
+				fits = fits and bell_bytes <= self.BELL_MAX_BYTES
+			if 0 < Lb <= _ELL_UNROLL_MAX and (fits or bell is True):
 				slot = np.arange(Lb)[None, :]
 				pos = np.asarray(self.indptr)[:-1, None] + slot
 				mask = slot < counts[:, None]

@@ -48,3 +48,40 @@ def test_qr_append_matches_full_qr():
 	assert np.allclose(Q.T @ Q, np.eye(9), atol=1e-10)  # orthonormal
 	assert np.allclose(Q @ R, Y, atol=1e-10)  # factorization holds
 	assert np.allclose(np.tril(R, -1), 0.0, atol=1e-10)  # R upper-triangular
+
+
+def test_tall_qr_rank_deficient_falls_back():
+	"""Shifted CholeskyQR3 NaNs on rank-deficient blocks; tall_qr must detect
+	that at runtime and fall back to Householder QR (round-5 review finding:
+	hutchpp/diagpp/xdiag returned NaN on exactly low-rank operators)."""
+	import jax
+	import jax.numpy as jnp
+	import numpy as np
+
+	from primate_tpu.linalg import tall_qr
+
+	rng = np.random.default_rng(0)
+	B = jnp.asarray(rng.normal(size=(1024, 8)), jnp.float32)
+	Y = B @ jnp.asarray(rng.normal(size=(8, 96)), jnp.float32)  # rank 8 < 96
+	Q, R = jax.jit(tall_qr)(Y)
+	assert bool(jnp.isfinite(Q).all()) and bool(jnp.isfinite(R).all())
+	assert float(jnp.abs(Q @ R - Y).max()) < 1e-3
+	# full-rank path still takes the fast branch and stays orthonormal
+	Yf = jnp.asarray(rng.normal(size=(1024, 64)), jnp.float32)
+	Qf, Rf = tall_qr(Yf)
+	assert float(jnp.abs(Qf.T @ Qf - jnp.eye(64)).max()) < 1e-4
+
+
+def test_low_rank_sketch_estimators_finite():
+	"""End-to-end guard for the same finding: sketches of low-rank operators."""
+	import numpy as np
+
+	import primate_tpu as pt
+
+	rng = np.random.default_rng(1)
+	B = rng.normal(size=(512, 8)).astype(np.float32)
+	A = (B @ B.T).astype(np.float32)
+	est = pt.hutchpp(A, m=96, seed=1)
+	assert np.isfinite(est) and abs(est - np.trace(A)) / np.trace(A) < 1e-3  # exact: rank <= sketch
+	assert np.isfinite(pt.diagpp(A, m=32, seed=1)).all()
+	assert np.isfinite(pt.xdiag(A, m=64, seed=1)).all()

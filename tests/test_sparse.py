@@ -210,3 +210,24 @@ def test_bsr_rectangular_adjoint():
 	u = rng.normal(size=24)
 	got = np.asarray(op.rmatvec(jnp.asarray(u)))
 	assert np.allclose(got, X.T @ u, atol=1e-8)
+
+
+def test_bsr_bell_gating():
+	"""bell=False disables the block-ELL planes; tail without ELL raises even
+	under tracing (round-5 review findings)."""
+	import pytest
+	import scipy.sparse as sps
+
+	rng = np.random.default_rng(5)
+	S = sps.kron(sps.random(16, 16, density=0.2, random_state=5, format="csr"), np.ones((8, 8))).tobsr(blocksize=(8, 8))
+	op_on = BSROperator(S.data, S.indices, S.indptr, S.shape)
+	op_off = BSROperator(S.data, S.indices, S.indptr, S.shape, bell=False)
+	assert op_on.bell_blocks is not None and op_off.bell_blocks is None
+	V = rng.normal(size=(S.shape[1], 9)).astype(np.float32)
+	assert np.allclose(np.asarray(op_on.matmat(jnp.asarray(V))), np.asarray(op_off.matmat(jnp.asarray(V))), atol=1e-4)
+
+	with pytest.raises(ValueError, match="tail"):
+		CSROperator(
+			np.ones(3, np.float32), np.arange(3, dtype=np.int32), np.array([0, 1, 2, 3], np.int32), (3, 3),
+			tail=(np.ones(1, np.float32), np.zeros(1, np.int32), np.zeros(1, np.int32)),
+		)
