@@ -85,3 +85,18 @@ def test_low_rank_sketch_estimators_finite():
 	assert np.isfinite(est) and abs(est - np.trace(A)) / np.trace(A) < 1e-3  # exact: rank <= sketch
 	assert np.isfinite(pt.diagpp(A, m=32, seed=1)).all()
 	assert np.isfinite(pt.xdiag(A, m=64, seed=1)).all()
+
+
+def test_tall_qr_complex():
+	"""Complex-Hermitian operands route through the conjugate-aware CholeskyQR3."""
+	import jax
+	import jax.numpy as jnp
+	import numpy as np
+
+	from primate_tpu.linalg import tall_qr
+
+	rng = np.random.default_rng(2)
+	Y = jnp.asarray(rng.normal(size=(1024, 24)) + 1j * rng.normal(size=(1024, 24)), jnp.complex64)
+	Q, R = tall_qr(Y)
+	assert float(jnp.abs(jnp.conj(Q).T @ Q - jnp.eye(24)).max()) < 1e-4
+	assert float(jnp.abs(Q @ R - Y).max()) < 1e-4
