@@ -222,3 +222,42 @@ def test_diag_resume_rejects_batch_mismatch():
 	_, r_half = pt.diag(A, seed=13, converge="count", count=6, batch=8, full=True)
 	with pytest.raises(ValueError, match="batch"):
 		pt.diag(A, seed=13, converge="count", count=12, batch=4, full=True, resume=r_half)
+
+
+def test_diag_count_path_matches_while_loop_bitwise():
+	"""The one-shot count path (round 5) must be bit-identical to the adaptive
+	while_loop path — same probe stream, same sequential mean/m2 — including
+	through resume across the two paths."""
+	import primate_tpu.diagonal as D
+
+	import scipy.sparse as sps
+
+	from primate_tpu.operators import CSROperator
+
+	# CSR's slot-ordered ELL apply is reduction-order-invariant across batch
+	# widths, so the two paths are BITWISE equal (a dense GEMM's tiling order
+	# varies with the block width — only allclose there).
+	S = sps.random(96, 96, density=0.1, random_state=2, format="csr")
+	S = S + S.T + sps.diags(np.abs(S).sum(axis=1).A1 + 1.0)
+	A = CSROperator.from_scipy(S, dtype=jnp.float32)
+	fast = pt.diag(A, converge="count", count=8, seed=11, batch=16)
+	orig = D._DIAG_BLOCK_BUDGET
+	try:
+		D._DIAG_BLOCK_BUDGET = 0  # force the while_loop path
+		slow = pt.diag(A, converge="count", count=8, seed=11, batch=16)
+		_, r_half = pt.diag(A, converge="count", count=4, seed=11, batch=16, full=True)
+	finally:
+		D._DIAG_BLOCK_BUDGET = orig
+	assert np.array_equal(np.asarray(fast), np.asarray(slow))
+	# resume a while-loop-produced state through the count path
+	resumed = pt.diag(A, converge="count", count=8, seed=11, batch=16, resume=r_half)
+	assert np.array_equal(np.asarray(resumed), np.asarray(fast))
+	# dense operators: same estimator, GEMM tiling differs -> allclose
+	Ad = np.asarray(pt.symmetric(96, pd=True, seed=2), np.float32)
+	fast_d = pt.diag(Ad, converge="count", count=8, seed=11, batch=16)
+	try:
+		D._DIAG_BLOCK_BUDGET = 0
+		slow_d = pt.diag(Ad, converge="count", count=8, seed=11, batch=16)
+	finally:
+		D._DIAG_BLOCK_BUDGET = orig
+	assert np.allclose(fast_d, slow_d, rtol=1e-4, atol=1e-4)
